@@ -1,0 +1,522 @@
+"""Relational core: scans, filters, joins, aggregations, sorts, set ops.
+
+Covers SURVEY.md §2.2 (F-rows), §2.3 (J-rows), §2.4 (A-rows), §2.6
+(L-rows), §2.7 (set ops) re-expressed as analytics queries over the star
+schema. All plans are declarative DataFrame chains so Catalyst applies
+predicate pushdown, column pruning, and join selection; at 100 TB the
+dimension joins below (region/nation/customer/supplier/part) stay
+broadcast-able, and fact-fact joins shuffle on their equi-keys where AQE
+can coalesce/skew-split them.
+
+Cross-engine hash-stability conventions (see ops/_compat.py):
+- money aggregates go through exact DECIMAL sums (summation order differs
+  between engines; round() boundaries differ too — never round doubles);
+- integer aggregates cast to BIGINT on both sides (DuckDB sum(int) is
+  HUGEINT, Spark is long);
+- top-k orderings always carry a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.ops._compat import davg, dsum
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- scans / filters / projections -----------------------------------------
+
+
+@query(
+    "q03_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS disc_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q03_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection (F5/F6 analog); filters push to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("disc_price"),
+        )
+    )
+
+
+# --- aggregations -----------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity)                                                          AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)              AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           SUM(l_quantity) / COUNT(l_quantity)                                      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*)::BIGINT                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped rollup (A1/A3 analog): partial aggregation is
+    map-side; the only exchange is on the 2-column group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            davg(F.col("l_discount"), 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q06_agg_filter",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*)::BIGINT AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped global aggregate over a pushed-down predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q10_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey)::BIGINT AS n_supp,
+           COUNT(DISTINCT l_partkey)::BIGINT AS n_part,
+           COUNT(*)::BIGINT AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q10_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg under the hood)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q11_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           GROUPING(l_returnflag)::BIGINT + 2 * GROUPING(l_linestatus)::BIGINT AS grouping_id,
+           SUM(l_quantity) AS sum_qty,
+           COUNT(*)::BIGINT AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (§2.4 'not present in reference' — exposed
+    as Spark built-in)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+        (
+            F.grouping("l_returnflag").cast("bigint")
+            + 2 * F.grouping("l_linestatus").cast("bigint")
+        ).alias("grouping_id"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+        "grouping_id",
+        "sum_qty",
+        "n_rows",
+    )
+
+
+@query(
+    "q12_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>')   AS orderstatus,
+           COALESCE(o_orderpriority, '<all>') AS orderpriority,
+           GROUPING(o_orderstatus)::BIGINT + 2 * GROUPING(o_orderpriority)::BIGINT AS grouping_id,
+           COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two order dimensions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+        (
+            F.grouping("o_orderstatus").cast("bigint")
+            + 2 * F.grouping("o_orderpriority").cast("bigint")
+        ).alias("grouping_id"),
+    ).select(
+        F.coalesce("o_orderstatus", F.lit("<all>")).alias("orderstatus"),
+        F.coalesce("o_orderpriority", F.lit("<all>")).alias("orderpriority"),
+        "grouping_id",
+        "n_orders",
+        "sum_price",
+    )
+
+
+@query(
+    "q15_having",
+    oracle="""
+    SELECT l_suppkey, SUM(l_quantity) AS total_qty,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 15000
+    """,
+)
+def q15_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.count("*").alias("n_lines"),
+        )
+        .filter(F.col("total_qty") > 15000)
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+
+@query(
+    "q02_revenue_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*)::BIGINT AS n_lines,
+           COUNT(DISTINCT o.o_orderkey)::BIGINT AS n_orders,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q02_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship spine (SURVEY §7.2): fact-fact join on the shuffle key plus a
+    broadcast-able dimension join (J1 analog), grouped revenue rollup.
+    customer is tiny relative to lineitem at every SF — broadcast it."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q04_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS (J2-adjacent; reference dedup's positive half)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q05_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS — the reference's INSERT OR IGNORE dedup
+    semantics (S6/J2: insert rows whose key is absent)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q07_outer_join_histogram",
+    oracle="""
+    SELECT c_count, COUNT(*)::BIGINT AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q07_outer_join_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped left outer join + double aggregation (null-preserving
+    counts: COUNT(col) skips the unmatched side)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q08_full_outer",
+    oracle="""
+    SELECT COALESCE(c.c_nationkey, s.s_nationkey)::BIGINT AS nationkey,
+           COUNT(c.c_custkey)::BIGINT AS n_cust,
+           COUNT(s.s_suppkey)::BIGINT AS n_supp
+    FROM (SELECT c_custkey, c_nationkey FROM customer) c
+    FULL OUTER JOIN (SELECT s_suppkey, s_nationkey FROM supplier) s
+      ON c.c_nationkey = s.s_nationkey
+    GROUP BY COALESCE(c.c_nationkey, s.s_nationkey)
+    """,
+)
+def q08_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: nations having customers, suppliers, or either."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .groupBy(
+            F.coalesce(F.col("c_nationkey"), F.col("s_nationkey"))
+            .cast("bigint")
+            .alias("nationkey")
+        )
+        .agg(
+            F.count("c_custkey").alias("n_cust"),
+            F.count("s_suppkey").alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "q09_cross_join",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q09_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small dims (BroadcastNestedLoopJoin)."""
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    return r.crossJoin(n)
+
+
+@query(
+    "q18_multiway_join",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*)::BIGINT AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1994-01-01'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q18_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join (TPC-H Q5-shaped): one shuffle join on the fact key,
+    then a broadcast chain over the dimension tables — the plan Catalyst
+    should pick at any scale once the dims are below the broadcast
+    threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1994-01-01")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )
+
+
+# --- sorts / limits / top-k ---------------------------------------------------
+
+
+@query(
+    "q16_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 15
+    """,
+)
+def q16_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (L3 analog) — TakeOrderedAndProject, no full sort. The
+    unique o_orderkey tie-break makes the k-boundary deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@query(
+    "q19_limit_min_one",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 1",
+)
+def q19_limit_min_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-truncation limit with the reference's min-1 guard
+    (F11/L1: `[:max(limit, 1)]`, sec_edgar.py:14)."""
+    requested_limit = 0  # reference semantics: floor at 1
+    r = _t(spark, sf_dir, "region")
+    return r.orderBy("r_regionkey").limit(max(requested_limit, 1)).select(
+        "r_regionkey", "r_name"
+    )
+
+
+# --- set operations -----------------------------------------------------------
+
+
+@query(
+    "q13_set_ops",
+    oracle="""
+    SELECT custkey FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    )
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT with SQL set (distinct) semantics (§2.7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    with_orders = o.select(F.col("o_custkey").alias("custkey"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.union(rich).distinct().intersect(with_orders).subtract(urgent)
+
+
+@query(
+    "q17_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q17_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = hash aggregate on all columns."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q14_union_by_name",
+    oracle="""
+    SELECT nationkey, kind, COUNT(*)::BIGINT AS n
+    FROM (
+        SELECT c_nationkey::BIGINT AS nationkey, 'customer' AS kind FROM customer
+        UNION ALL
+        SELECT s_nationkey::BIGINT AS nationkey, 'supplier' AS kind FROM supplier
+    )
+    GROUP BY nationkey, kind
+    """,
+)
+def q14_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) + grouped count over the combined stream."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.lit("customer").alias("kind"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s).groupBy("nationkey", "kind").agg(F.count("*").alias("n"))

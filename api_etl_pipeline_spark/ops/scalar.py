@@ -1,0 +1,309 @@
+"""Scalar function surface (SURVEY.md §2.8, X-rows).
+
+Every X-row from the reference inventory re-expressed as a JVM-side
+column expression (no Python UDFs — whole-stage codegen keeps these in
+the generated loop): hashing (X1), string surgery (X2–X5), printf
+templates (X4, the reference's f-string URL builder sec_edgar.py:27-31),
+JSON access (X6/X7), date/time (X9), array access (X12), comma-split
+explode (X15), and CASE/coalesce dispatch (X13/X16/F12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+
+@query(
+    "x01_hash_functions",
+    oracle="""
+    SELECT c_custkey,
+           sha256(c_name) AS name_sha256,
+           md5(c_name)    AS name_md5,
+           substr(sha256(c_name), 1, 2) AS blob_bucket
+    FROM customer
+    """,
+)
+def x01_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha256/md5 content hashing (X1, downloads.py:23-24) + the blob store's
+    2-char hash-prefix fan-out (X11, blob_store.py:10) as a derived column."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("name_sha256"),
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.substring(F.sha2(F.col("c_name").cast("binary"), 256), 1, 2).alias("blob_bucket"),
+    )
+
+
+@query(
+    "x02_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)                       AS name_lower,
+           upper(p_brand)                      AS brand_upper,
+           substr(p_name, 1, 10)               AS name_prefix,
+           lpad(p_partkey::VARCHAR, 10, '0')   AS key_padded,
+           replace(p_type, ' ', '-')           AS type_dashed,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+           length(p_name)::BIGINT              AS name_len,
+           concat(p_brand, '#', p_type)        AS brand_type
+    FROM part
+    """,
+)
+def x02_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surgery: X2 (dash strip → generalized replace/regexp_replace),
+    X3 (zero-pad via lpad, sec_edgar.py:29), X4 (concat), X5 (lower)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.regexp_replace("p_type", " ", "-").alias("type_dashed"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@query(
+    "x03_string_classify",
+    oracle="""
+    SELECT kind, COUNT(*)::BIGINT AS n
+    FROM (
+        SELECT CASE
+                 WHEN lower(p_type) LIKE '%brass%'  THEN 'brass'
+                 WHEN lower(p_type) LIKE 'promo%'   THEN 'promo'
+                 WHEN lower(p_type) LIKE '%polished' THEN 'polished-suffix'
+                 ELSE 'other'
+               END AS kind
+        FROM part
+    )
+    GROUP BY kind
+    """,
+)
+def x03_string_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contains/startswith/endswith dispatch — the PDF-URL classifier shape
+    (F8, http_client.py:78-80) over part types."""
+    p = load_table(spark, sf_dir, "part")
+    lt = F.lower(F.col("p_type"))
+    kind = (
+        F.when(lt.contains("brass"), "brass")
+        .when(lt.startswith("promo"), "promo")
+        .when(lt.endswith("polished"), "polished-suffix")
+        .otherwise("other")
+    )
+    return p.select(kind.alias("kind")).groupBy("kind").agg(F.count("*").alias("n"))
+
+
+@query(
+    "x04_url_template",
+    oracle="""
+    SELECT s_suppkey,
+           printf('https://api.example.gov/suppliers/%d/detail/%s',
+                  s_suppkey, replace(lower(s_name), ' ', '')) AS detail_url
+    FROM supplier
+    """,
+)
+def x04_url_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style URL templating — the reference's derived artifact URL
+    (F4/X4, sec_edgar.py:27-31: int-cast key + stripped name + template)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.format_string(
+            "https://api.example.gov/suppliers/%d/detail/%s",
+            F.col("s_suppkey"),
+            F.regexp_replace(F.lower("s_name"), " ", ""),
+        ).alias("detail_url"),
+    )
+
+
+@query(
+    "x05_date_funcs",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           year(o_orderdate)::BIGINT                 AS order_year,
+           month(o_orderdate)::BIGINT                AS order_mon,
+           COUNT(*)::BIGINT                          AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def x05_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp bucketing (X9: ISO stems/date_format analog) — month
+    truncation + calendar field extraction."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_mon"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "x06_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(p_retailprice, 2)          AS price_r2,
+           FLOOR(p_retailprice)::BIGINT     AS price_floor,
+           CEIL(p_retailprice)::BIGINT      AS price_ceil,
+           ABS(p_size - 25)::BIGINT         AS size_dev,
+           ROUND(LN(p_retailprice), 6)      AS price_ln,
+           ROUND(SQRT(p_retailprice), 6)    AS price_sqrt,
+           ROUND(POW(p_size, 2), 1)         AS size_sq,
+           (p_partkey % 7)::BIGINT          AS key_mod7
+    FROM part
+    """,
+)
+def x06_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface (X10-adjacent): round/floor/ceil/abs/ln/sqrt/pow/mod."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price_r2"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.abs(F.col("p_size") - 25).cast("bigint").alias("size_dev"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        (F.col("p_partkey") % 7).cast("bigint").alias("key_mod7"),
+    )
+
+
+@query(
+    "x07_json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')::BIGINT AS k_value
+    FROM events
+    """,
+)
+def x07_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path access over a stringified-JSON column (X7/F1: the
+    reference's params_json/headers_json pattern, db.py:12,14)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+@query(
+    "x08_split_explode",
+    oracle="""
+    SELECT token, COUNT(*)::BIGINT AS n
+    FROM (
+        SELECT unnest(string_split(p_name, ' ')) AS token FROM part
+    )
+    GROUP BY token
+    """,
+)
+def x08_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma/space-split to rows (X15, the dossier's docketNumber fan-out):
+    split + explode + grouped count."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "x09_case_buckets",
+    oracle="""
+    SELECT bucket, COUNT(*)::BIGINT AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM (
+        SELECT CASE
+                 WHEN o_totalprice < 50000  THEN 'small'
+                 WHEN o_totalprice < 150000 THEN 'medium'
+                 WHEN o_totalprice < 300000 THEN 'large'
+                 ELSE 'jumbo'
+               END AS bucket
+             , o_totalprice
+        FROM orders
+    )
+    GROUP BY bucket
+    """,
+)
+def x09_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing — the size-gate dispatch shape (F9/F13/F14)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "x10_coalesce_nullif",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<masked>') AS segment_masked,
+           COALESCE(NULLIF(ROUND(c_acctbal, 2), 0.0), -1.0)       AS acctbal_or_default
+    FROM customer
+    """,
+)
+def x10_coalesce_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce/nullif — the multi-key alternate-path lookup shape
+    (X13, nrc_adams_aps.py:94-108)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("<masked>")).alias(
+            "segment_masked"
+        ),
+        F.coalesce(
+            F.nullif(F.round("c_acctbal", 2), F.lit(0.0)), F.lit(-1.0)
+        ).alias("acctbal_or_default"),
+    )
+
+
+@query(
+    "x11_casts",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey::VARCHAR                    AS key_str,
+           FLOOR(o_totalprice)::BIGINT            AS price_int,
+           (o_orderkey % 2 = 0)                   AS key_even,
+           CAST(o_orderdate AS DATE)              AS order_date,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS date_str
+    FROM orders
+    """,
+)
+def x11_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-type casts (X3/X14: int-cast CIK, string coercions)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+        (F.col("o_orderkey") % 2 == 0).alias("key_even"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("date_str"),
+    )

@@ -1,0 +1,204 @@
+"""Window functions (SURVEY.md §2.5, W-rows).
+
+The reference only has window *semantics* (attempt numbering W1/W4,
+latest-run selection W2, first-of-ordered-array W3); the engine exposes the
+full ranking / analytic / frame-spec suite as Spark built-ins.
+
+Determinism convention: every ORDER BY inside a window carries a unique
+trailing key so row_number/lag/frames are reproducible across engines.
+At scale, window partitioning keys (custkey, suppkey) are the shuffle
+keys; a window over an already-partitioned column reuses the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+
+@query(
+    "w01_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rn
+    FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               )::BIGINT AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def w01_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — row_number over a desc window (W2 analog:
+    'latest/top per key'). One shuffle on the partition key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "w02_rank_dense_rank",
+    oracle="""
+    SELECT s_suppkey, s_nationkey::BIGINT AS nationkey,
+           ROUND(s_acctbal, 2) AS acctbal,
+           RANK()       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)::BIGINT AS rnk,
+           DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)::BIGINT AS drnk
+    FROM supplier
+    """,
+)
+def w02_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank — tie-tolerant ranking (value-determined, so no
+    tie-break key needed)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return s.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("bigint").alias("nationkey"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+
+@query(
+    "w03_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           DATE_DIFF('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER w,
+               CAST(o_orderdate AS DATE))::BIGINT AS days_since_prev,
+           LEAD(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def w03_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead — inter-order gaps per customer (the incremental-sync
+    'previous watermark' lookup, T1/A6 analog, as an analytic function)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("orderdate"),
+        F.datediff(d, F.lag(d).over(w)).cast("bigint").alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "w04_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_revenue
+    FROM lineitem
+    """,
+)
+def w04_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per supplier — explicit ROWS frame (A2/W1 analog:
+    monotonic accumulation in event order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        )
+        .over(w)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
+@query(
+    "w05_ntile",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)::BIGINT AS quartile
+    FROM customer
+    """,
+)
+def w05_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles over a global window (unique tie-break key)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select("c_custkey", F.ntile(4).over(w).cast("bigint").alias("quartile"))
+
+
+@query(
+    "w06_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           LAST_VALUE(o_orderkey)  OVER w AS last_orderkey
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def w06_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an unbounded frame (W3 analog: first of an
+    ordered collection)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w).alias("last_orderkey"),
+    )
+
+
+@query(
+    "w07_range_frame",
+    oracle="""
+    SELECT s_suppkey, ROUND(s_acctbal, 2) AS acctbal,
+           COUNT(*) OVER (
+               ORDER BY s_acctbal
+               RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING
+           )::BIGINT AS n_within_500
+    FROM supplier
+    """,
+)
+def w07_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering — peers within ±500 acctbal."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.orderBy(F.col("s_acctbal")).rangeBetween(-500, 500)
+    return s.select(
+        "s_suppkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.count("*").over(w).cast("bigint").alias("n_within_500"),
+    )

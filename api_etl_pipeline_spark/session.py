@@ -1,0 +1,41 @@
+"""SparkSession factory.
+
+Tuned for the local[N] test environment but with settings that carry to a
+real cluster: AQE on (runtime join re-plan + skew handling + partition
+coalescing), UTC session timezone (required for DuckDB-oracle parity —
+DuckDB timestamps are UTC-naive), Arrow enabled for the pandas-UDF surface.
+
+At 100 TB the only local-specific knob here is ``spark.sql.shuffle.partitions``:
+on a 1000-executor cluster you would leave AQE's
+``spark.sql.adaptive.coalescePartitions`` to pick the post-shuffle
+parallelism from ``advisoryPartitionSizeInBytes`` rather than pinning a
+small fixed number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "api_etl_pipeline_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS,false), which the
+        # vectorized reader rejects; read as long and convert in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,61 @@
+"""Testdata loaders.
+
+The driver generates deterministic TPC-H-ish parquet at
+/root/testdata/sf{0.001,0.01,0.1} (see /root/repo/TESTDATA.md). Loading is
+a plain columnar parquet scan — Catalyst pushes filters and prunes columns
+into the scan, so callers should select/filter on the returned DataFrames
+directly rather than pre-materializing.
+
+At 100 TB these would be partitioned tables (e.g. orders by month,
+lineitem by shipdate) registered in a catalog; the loader shape stays the
+same — `spark.read.parquet` on a directory prefix with partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # parquet TIMESTAMP(NANOS) read via nanosAsLong: truncate ns → µs with
+        # integer division (matches DuckDB's ns→µs truncation), then rebuild
+        # a proper TimestampType column.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for the SQL surface)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

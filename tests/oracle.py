@@ -1,0 +1,62 @@
+"""Differential-oracle comparison mirroring the driver's t2 gate.
+
+Spark result vs DuckDB result: row count, column names (sorted), and an
+order-insensitive multiset compare of row values. Values are normalized
+(timestamps → isoformat strings, floats kept exact — queries are expected
+to round on BOTH sides, so any float mismatch is a query bug, not noise).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from collections import Counter
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / 0.0 and represent exactly
+        return repr(v + 0.0)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def compare(spark_df, duck_con, oracle_sql: str) -> None:
+    duck_rel = duck_con.execute(oracle_sql)
+    duck_cols = [d[0] for d in duck_rel.description]
+    duck_rows = duck_rel.fetchall()
+
+    spark_cols = spark_df.columns
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    # align duck column order to spark's, then sort columns by name like the driver
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    duck_idx = {c: i for i, c in enumerate(duck_cols)}
+    duck_order = [duck_idx[spark_cols[i]] for i in order]
+
+    spark_rows = spark_df.collect()
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+
+    s_ms = Counter(tuple(_norm(row[i]) for i in order) for row in spark_rows)
+    d_ms = Counter(tuple(_norm(row[i]) for i in duck_order) for row in duck_rows)
+    if s_ms != d_ms:
+        only_s = list((s_ms - d_ms).items())[:5]
+        only_d = list((d_ms - s_ms).items())[:5]
+        raise AssertionError(
+            f"value mismatch: {sum((s_ms - d_ms).values())} rows only in spark "
+            f"(e.g. {only_s}); {sum((d_ms - s_ms).values())} only in duck (e.g. {only_d})"
+        )

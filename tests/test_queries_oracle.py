@@ -1,0 +1,45 @@
+"""Differential-oracle test over every registered query (driver t2 mirror).
+
+Each registered query with an oracle runs on Spark at sf0.01 and is
+compared row-for-row (order-insensitive) against DuckDB executing the
+oracle SQL on the same parquet. Queries without an oracle get a
+schema-stability + runs-without-error check here (their semantics are
+covered by dedicated unit tests).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from api_etl_pipeline_spark.registry import all_queries
+from tests.conftest import SF_DIR
+from tests.oracle import compare
+
+_SPECS = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_query_matches_oracle(name, spark, duck):
+    spec = _SPECS[name]
+    df = spec.fn(spark, SF_DIR)
+    if spec.oracle is None:
+        rows = df.count()
+        assert rows >= 0 and len(df.columns) > 0
+    else:
+        compare(df, duck, spec.oracle)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) > 0
