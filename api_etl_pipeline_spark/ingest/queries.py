@@ -1,0 +1,461 @@
+"""Ingest-parity operators as oracle-checked queries (SURVEY.md §2 S/F/J/A
+rows) over the driver's testdata tables.
+
+Each query exercises the same engine primitive the ingest layer runs in
+production (ingest/*.py), but over deterministic testdata-derived inputs
+so the driver's DuckDB differential oracle can verify it. Payload columns
+are *constructed* from testdata columns (identically on both sides) and
+then processed with each engine's native machinery — e.g. ing12 builds
+JSON strings from `documents` rows, then extracts with from_json+coalesce
+on Spark vs json_extract_string+COALESCE on DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from api_etl_pipeline_spark.ingest.dedup import dedup_insert
+from api_etl_pipeline_spark.ingest.redact import redact_map
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+
+def _docs_with_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.format_string("https://corpus.example/%s/%d", F.col("source"), F.col("doc_id")).alias(
+            "source_url"
+        ),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256"),
+    )
+
+
+@query(
+    "ing01_dedup_insert",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               printf('https://corpus.example/%s/%d', source, doc_id) AS source_url,
+               sha256(text) AS sha256
+        FROM documents
+    ), existing AS (
+        SELECT source_url, sha256 FROM keyed WHERE doc_id % 3 = 0
+    )
+    SELECT k.doc_id, k.source, k.source_url, k.sha256
+    FROM keyed k
+    WHERE NOT EXISTS (
+        SELECT 1 FROM existing e
+        WHERE e.source_url = k.source_url AND e.sha256 = k.sha256
+    )
+    """,
+)
+def ing01_dedup_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/J2: INSERT OR IGNORE on UNIQUE(source_url, sha256) (db.py:28,76)
+    as a left-anti merge — the exact production path (ingest/dedup.py)."""
+    keyed = _docs_with_key(spark, sf_dir)
+    existing = keyed.filter(F.col("doc_id") % 3 == 0)
+    return dedup_insert(keyed, existing).select("doc_id", "source", "source_url", "sha256")
+
+
+@query(
+    "ing02_blob_bucket_fanout",
+    oracle="""
+    SELECT substr(sha256(text), 1, 2) AS bucket, COUNT(*)::BIGINT AS n_blobs,
+           SUM(n_chars)::BIGINT AS total_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def ing02_blob_bucket_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/X11: content-addressed blob fan-out — 2-hex-char hash prefix
+    (blob_store.py:10) as the partition key, with per-bucket size rollup
+    (A5). At 100 TB this bucket IS the physical partition column."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.substring(F.sha2(F.col("text").cast("binary"), 256), 1, 2).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_blobs"),
+            F.sum("n_chars").cast("bigint").alias("total_bytes"),
+        )
+    )
+
+
+@query(
+    "ing03_retryable_status",
+    oracle="""
+    SELECT status_code,
+           (status_code IN (429, 403) OR status_code >= 500) AS retryable,
+           COUNT(*)::BIGINT AS n
+    FROM (
+        SELECT CASE event_id % 5 WHEN 0 THEN 200 WHEN 1 THEN 404
+               WHEN 2 THEN 429 WHEN 3 THEN 500 ELSE 403 END AS status_code
+        FROM events
+    )
+    GROUP BY status_code
+    """,
+)
+def ing03_retryable_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: retryable-status predicate (429/403/5xx, http_client.py:111-112)
+    over a synthesized status column."""
+    e = load_table(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_id") % 5 == 0, 200)
+        .when(F.col("event_id") % 5 == 1, 404)
+        .when(F.col("event_id") % 5 == 2, 429)
+        .when(F.col("event_id") % 5 == 3, 500)
+        .otherwise(403)
+    )
+    df = e.select(status.alias("status_code"))
+    return df.groupBy("status_code").agg(
+        (F.col("status_code").isin(429, 403) | (F.col("status_code") >= 500)).alias("retryable"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "ing04_headers_redaction",
+    oracle="""
+    SELECT event_id,
+           concat('{"authorization":"***REDACTED***","content-type":"application/json",',
+                  '"x-request-kind":"', event_type, '"}') AS headers_redacted
+    FROM events
+    """,
+)
+def ing04_headers_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: secret redaction. Spark runs the real projection — parse the
+    stringified headers, transform_values with the sensitive-key regex,
+    re-serialize with sorted keys (run_capture.py:229-244 semantics); the
+    oracle states the expected canonical output."""
+    e = load_table(spark, sf_dir, "events")
+    headers_json = F.format_string(
+        '{"authorization":"Bearer user-%d","content-type":"application/json",'
+        '"x-request-kind":"%s"}',
+        F.col("user_id"),
+        F.col("event_type"),
+    )
+    m = F.from_json(headers_json, T.MapType(T.StringType(), T.StringType()))
+    redacted = redact_map(m)
+    out = F.to_json(F.map_from_entries(F.array_sort(F.map_entries(redacted))))
+    return e.select("event_id", out.alias("headers_redacted"))
+
+
+@query(
+    "ing05_normalized_emission",
+    oracle="""
+    SELECT '1.0.0' AS _schema_version,
+           'corpus' AS provider,
+           concat('DOC', lpad(doc_id::VARCHAR, 10, '0')) AS accession_number,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                ELSE concat('DKT-', (doc_id % 97)::VARCHAR) END AS docket_number,
+           (DATE '2025-01-01' + ((doc_id % 365)::INT)) AS document_date,
+           epoch_ms(1735689600000 + doc_id * 60000) AS date_added_timestamp,
+           printf('https://corpus.example/%s/%d', source, doc_id) AS url,
+           sha256(text) AS sha256,
+           n_chars::BIGINT AS bytes,
+           (doc_id % 10 <> 0) AS retention_allowed
+    FROM documents
+    """,
+)
+def ing05_normalized_emission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dossier's normalized emission contract (Appendix A,
+    docs/Golden_Record_API_Dossiers.md:796-826): one canonical record shape
+    regardless of provider, every field a deterministic projection."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.lit("1.0.0").alias("_schema_version"),
+        F.lit("corpus").alias("provider"),
+        F.concat(F.lit("DOC"), F.lpad(F.col("doc_id").cast("string"), 10, "0")).alias(
+            "accession_number"
+        ),
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            F.concat(F.lit("DKT-"), (F.col("doc_id") % 97).cast("string")),
+        ).alias("docket_number"),
+        F.date_add(F.lit("2025-01-01").cast("date"), (F.col("doc_id") % 365).cast("int")).alias(
+            "document_date"
+        ),
+        F.timestamp_millis(F.lit(1735689600000) + F.col("doc_id") * 60000).alias(
+            "date_added_timestamp"
+        ),
+        F.format_string(
+            "https://corpus.example/%s/%d", F.col("source"), F.col("doc_id")
+        ).alias("url"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256"),
+        F.col("n_chars").cast("bigint").alias("bytes"),
+        (F.col("doc_id") % 10 != 0).alias("retention_allowed"),
+    )
+
+
+@query(
+    "ing06_watermark_advance",
+    oracle="""
+    SELECT event_type, MAX(ts) AS watermark, COUNT(*)::BIGINT AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ing06_watermark_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/T1: per-stream watermark = max observed event time
+    (dossier :714 — `watermark = max(DateAddedTimestamp)`)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.max("ts").alias("watermark"), F.count("*").alias("n_events")
+    )
+
+
+@query(
+    "ing07_attempt_numbering",
+    oracle="""
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           )::BIGINT AS attempt_seq
+    FROM events
+    """,
+)
+def ing07_attempt_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/A2: the run-capture attempt counter (run_capture.py:87,113-114)
+    as a per-key row_number in event order."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "event_id", "user_id", F.row_number().over(w).cast("bigint").alias("attempt_seq")
+    )
+
+
+@query(
+    "ing08_run_summary",
+    oracle="""
+    SELECT 'run-0001' AS run_id, 'succeeded' AS status,
+           COUNT(*)::BIGINT AS responses,
+           COUNT(DISTINCT user_id)::BIGINT AS actors,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS parse_errors
+    FROM events
+    """,
+)
+def ing08_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/A3: the run.json count rollup — one summary row per run."""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.lit("run-0001").alias("run_id"),
+        F.lit("succeeded").alias("status"),
+        F.count("*").alias("responses"),
+        F.countDistinct("user_id").alias("actors"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("parse_errors"),
+    ).select("run_id", "status", "responses", "actors", "parse_errors")
+
+
+@query(
+    "ing09_size_gates",
+    oracle="""
+    SELECT (n_chars >= 400)  AS gzip_copy,
+           (n_chars <= 200)  AS pretty_view,
+           (n_chars > 480)   AS over_cap,
+           COUNT(*)::BIGINT AS n_docs
+    FROM documents
+    GROUP BY 1, 2, 3
+    """,
+)
+def ing09_size_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F13/F14: the three size gates (50 MiB cap http_client.py:114-119,
+    5 MB gzip run_capture.py:135, 2 MB pretty :143) scaled to testdata
+    char counts; the *decision columns* are the engine surface."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        (F.col("n_chars") >= 400).alias("gzip_copy"),
+        (F.col("n_chars") <= 200).alias("pretty_view"),
+        (F.col("n_chars") > 480).alias("over_cap"),
+    ).agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "ing10_pdf_url_classifier",
+    oracle="""
+    SELECT is_pdf, COUNT(*)::BIGINT AS n, SUM(n_chars)::BIGINT AS bytes_total
+    FROM (
+        SELECT n_chars,
+               (lower(url) LIKE '%.pdf' OR contains(lower(url), 'www.nrc.gov/docs/')) AS is_pdf
+        FROM (
+            SELECT n_chars,
+                   CASE doc_id % 3
+                     WHEN 0 THEN printf('https://example.com/%s/%d.PDF', source, doc_id)
+                     WHEN 1 THEN printf('https://www.nrc.gov/docs/ML%d.html', doc_id)
+                     ELSE printf('https://example.com/%s/%d.json', source, doc_id)
+                   END AS url
+            FROM documents
+        )
+    )
+    GROUP BY is_pdf
+    """,
+)
+def ing10_pdf_url_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: the PDF-URL classifier (http_client.py:78-80 — case-insensitive
+    .pdf suffix OR nrc docs path) that selects the long read-timeout."""
+    d = load_table(spark, sf_dir, "documents")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.format_string("https://example.com/%s/%d.PDF", F.col("source"), F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.format_string("https://www.nrc.gov/docs/ML%d.html", F.col("doc_id")),
+        )
+        .otherwise(
+            F.format_string("https://example.com/%s/%d.json", F.col("source"), F.col("doc_id"))
+        )
+    )
+    lurl = F.lower(url)
+    is_pdf = lurl.endswith(".pdf") | lurl.contains("www.nrc.gov/docs/")
+    return (
+        d.select(F.col("n_chars"), is_pdf.alias("is_pdf"))
+        .groupBy("is_pdf")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").cast("bigint").alias("bytes_total"))
+    )
+
+
+@query(
+    "ing11_parallel_array_unnest",
+    oracle="SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem",
+)
+def ing11_parallel_array_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/X12 full form: the SEC struct-of-arrays layout round-tripped —
+    collapse lineitem into per-order parallel arrays (the payload shape,
+    dossier :174-191), then arrays_zip + posexplode back to rows. The
+    oracle is the identity projection, proving the unnest is lossless."""
+    li = load_table(spark, sf_dir, "lineitem")
+    soa = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey"))).alias("pairs")
+    )
+    arrays = soa.select(
+        "l_orderkey",
+        F.transform("pairs", lambda p: p["l_linenumber"]).alias("linenumbers"),
+        F.transform("pairs", lambda p: p["l_partkey"]).alias("partkeys"),
+    )
+    return arrays.select(
+        "l_orderkey",
+        F.explode(F.arrays_zip("linenumbers", "partkeys")).alias("z"),
+    ).select(
+        "l_orderkey",
+        F.col("z.linenumbers").alias("l_linenumber"),
+        F.col("z.partkeys").alias("l_partkey"),
+    )
+
+
+@query(
+    "ing12_envelope_coalesce",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(
+               json_extract_string(payload, '$.results[0].pdfUrl'),
+               json_extract_string(payload, '$.documents[0].document.Url')
+           ) AS artifact_url
+    FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                 THEN printf('{"results":[{"pdfUrl":"https://adams.example/dl/%d.pdf"}]}', doc_id)
+                 ELSE printf('{"documents":[{"document":{"Url":"https://adams.example/doc/%d.pdf"}}]}', doc_id)
+               END AS payload
+        FROM documents
+    )
+    """,
+)
+def ing12_envelope_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/X13: NRC envelope drift — both roots (results/documents) built as
+    real JSON, parsed with the dual-branch schema, extracted with the
+    production coalesce chain (ingest/parse.py::nrc_extract_pdf_url)."""
+    from api_etl_pipeline_spark.ingest.parse import nrc_first_result
+    from api_etl_pipeline_spark.ingest.schemas import NRC_SEARCH
+
+    d = load_table(spark, sf_dir, "documents")
+    payload_str = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.format_string(
+            '{"results":[{"pdfUrl":"https://adams.example/dl/%d.pdf"}]}', F.col("doc_id")
+        ),
+    ).otherwise(
+        F.format_string(
+            '{"documents":[{"document":{"Url":"https://adams.example/doc/%d.pdf"}}]}',
+            F.col("doc_id"),
+        )
+    )
+    parsed = d.select("doc_id", F.from_json(payload_str, NRC_SEARCH).alias("payload"))
+    first = nrc_first_result(F.col("payload"))
+    url = F.coalesce(first["pdfUrl"], first["document"]["Url"])
+    return parsed.select("doc_id", url.alias("artifact_url"))
+
+
+@query(
+    "ing13_corrupt_quarantine",
+    oracle="""
+    SELECT source,
+           SUM(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+           SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)::BIGINT AS n_quarantined
+    FROM (
+        SELECT source,
+               CASE WHEN doc_id % 7 = 0
+                 THEN substr(printf('{"doc":{"id":%d,"lang":"x"}}', doc_id), 1, 9)
+                 ELSE printf('{"doc":{"id":%d,"lang":"x"}}', doc_id)
+               END AS payload
+        FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def ing13_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F10: corrupt payloads quarantine instead of failing — from_json
+    PERMISSIVE yields a null struct (the `_safe_json` → {} analog); the
+    null-branch count is the quarantine side-output."""
+    d = load_table(spark, sf_dir, "documents")
+    valid = F.format_string('{"doc":{"id":%d,"lang":"x"}}', F.col("doc_id"))
+    payload_str = F.when(F.col("doc_id") % 7 == 0, F.substring(valid, 1, 9)).otherwise(valid)
+    schema = T.StructType(
+        [
+            T.StructField(
+                "doc",
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("lang", T.StringType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    parsed = d.select(
+        "source", F.from_json(payload_str, schema, {"mode": "PERMISSIVE"}).alias("payload")
+    )
+    ok = F.col("payload").isNotNull() & F.col("payload.doc").isNotNull()
+    return parsed.groupBy("source").agg(
+        F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias("n_ok"),
+        F.sum(F.when(ok, 0).otherwise(1)).cast("bigint").alias("n_quarantined"),
+    )
+
+
+@query(
+    "ing14_canonical_json",
+    oracle="""
+    SELECT doc_id,
+           concat('{"doc_id":', doc_id::VARCHAR, ',"lang":"', lang,
+                  '","source":"', source, '"}') AS record_json
+    FROM documents
+    """,
+)
+def ing14_canonical_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/L2: canonical JSON serialization — to_json over a schema-ordered
+    struct gives the deterministic byte output the reference gets from
+    sort_keys=True (http_client.py:129 etc.)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct(F.col("doc_id"), F.col("lang"), F.col("source"))).alias(
+            "record_json"
+        ),
+    )

@@ -1,0 +1,61 @@
+"""Secret redaction projection (SURVEY.md F15; run_capture.py:11-22,229-244).
+
+The reference recursively walks dicts/lists replacing values whose key
+matches a sensitive set (exact names + substrings token/secret/pass).
+Spark-first there are two shapes:
+
+- a typed MapType headers column → `transform_values` with a key regex
+  (JVM-side, codegen'd);
+- a stringified-JSON column → parse to map, redact, re-serialize.
+
+Both keep the exact reference semantics: case-insensitive key match,
+value replaced with ***REDACTED***.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# exact names from run_capture.py:11-22 + the substring triggers :237-238
+SENSITIVE_EXACT = (
+    "authorization",
+    "proxy-authorization",
+    "x-api-key",
+    "api-key",
+    "apikey",
+    "ocp-apim-subscription-key",
+    "cookie",
+    "set-cookie",
+)
+_SUBSTRINGS = ("token", "secret", "pass")
+
+SENSITIVE_KEY_REGEX = (
+    "^(" + "|".join(SENSITIVE_EXACT) + ")$|" + "|".join(_SUBSTRINGS)
+)
+
+REDACTED = "***REDACTED***"
+
+
+def is_sensitive_key(key: Column) -> Column:
+    return F.lower(key).rlike(SENSITIVE_KEY_REGEX)
+
+
+def redact_map(headers: Column) -> Column:
+    """Redact a map<string,string> column (typed-headers view)."""
+    return F.transform_values(
+        headers, lambda k, v: F.when(is_sensitive_key(k), F.lit(REDACTED)).otherwise(v)
+    )
+
+
+def redact_headers_json(headers_json: Column) -> Column:
+    """Redact a stringified-JSON headers column: parse → redact → re-emit.
+
+    Key order is normalized via sorted map entries so output is
+    deterministic (the reference serializes sort_keys=True,
+    run_capture.py:127)."""
+    m = F.from_json(headers_json, T.MapType(T.StringType(), T.StringType()))
+    redacted = redact_map(m)
+    entries = F.array_sort(F.map_entries(redacted))
+    return F.to_json(F.map_from_entries(entries))

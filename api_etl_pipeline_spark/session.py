@@ -29,6 +29,10 @@ def get_spark(app_name: str = "api_etl_pipeline_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the NRC envelope schema carries both key casings (results/Results,
+        # Url/url — nrc_adams_aps.py:92-111); resolving them needs
+        # case-sensitive field lookup
+        .config("spark.sql.caseSensitive", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata events.parquet stores TIMESTAMP(NANOS,false), which the
         # vectorized reader rejects; read as long and convert in the loader
