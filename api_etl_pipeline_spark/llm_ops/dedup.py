@@ -1,0 +1,305 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
+(BASELINE.json north-star).
+
+Design for scale (the whole point of these at 100 TB):
+
+- exact dedup: one hash-shuffle on sha256 — linear.
+- MinHash+LSH: shingle → per-doc signature (explode + min aggregates, one
+  shuffle on doc_id) → band buckets → self-join per bucket. The band join
+  only pairs docs sharing a band key, so candidate generation is
+  output-bounded instead of O(n²); banding (b bands × r rows) tunes the
+  Jaccard threshold ~ (1/b)^(1/r).
+- SimHash: per-token bit votes aggregated per doc (one shuffle), 64→16
+  bit signature; near-dup = small Hamming distance — comparable via
+  bit_count(xor) on candidate pairs only.
+- verification: exact n-gram Jaccard on the candidate pairs.
+
+Cross-engine determinism: hashes are md5 hex strings (identical in Spark
+and DuckDB); minhash = lexicographic MIN over hex strings (a valid
+min-wise hash, order-independent); no float accumulation anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+N_MINHASH = 4  # 2 bands × 2 rows
+
+
+def _shingles(text: Column) -> Column:
+    """Token 3-gram shingles (empty when the doc has <3 tokens)."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_DUCK_SHINGLES = """
+    SELECT doc_id, tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2] AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         UNNEST(generate_series(1, len(tokens) - 2)) AS u(i)
+    WHERE len(tokens) >= 3
+"""
+
+_DUCK_SIGNATURES = f"""
+    SELECT doc_id,
+           MIN(md5(shingle || '|0')) AS mh0,
+           MIN(md5(shingle || '|1')) AS mh1,
+           MIN(md5(shingle || '|2')) AS mh2,
+           MIN(md5(shingle || '|3')) AS mh3
+    FROM ({_DUCK_SHINGLES})
+    GROUP BY doc_id
+"""
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → N_MINHASH minhash values: explode shingles once, take the
+    MIN of a seeded md5 per hash function. MIN is order-independent, so
+    the signature is partition-layout-invariant."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"|{i}")).cast("binary"))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@query(
+    "dd01_exact_dup_groups",
+    oracle="""
+    SELECT sha256(text) AS content_sha256,
+           COUNT(*)::BIGINT AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY sha256(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def dd01_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content sha256; groups >1 are the
+    duplicate clusters, min doc_id the canonical keeper."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("content_sha256"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "dd02_dedup_keep_first",
+    oracle="""
+    SELECT md5(array_to_string((string_split(text, ' '))[1:3], ' ')) AS prefix_key,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*)::BIGINT AS group_size
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dd02_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup on a fuzzy key (3-token prefix fingerprint):
+    deterministic keeper = MIN(doc_id) per group — the stable version of
+    dropDuplicates (whose survivor is partition-order-dependent)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 3), " ").cast("binary"))
+    return d.groupBy(key.alias("prefix_key")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("group_size")
+    )
+
+
+@query("dd03_minhash_signatures", oracle=_DUCK_SIGNATURES)
+def dd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over 3-gram shingles (4 hash functions = seeded
+    md5 variants; the signature approximates set identity under Jaccard)."""
+    return _signatures(spark, sf_dir)
+
+
+@query(
+    "dd04_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sig AS ({_DUCK_SIGNATURES}),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: 2 bands × 2 rows — docs agreeing on a whole band land
+    in the same bucket; the bucket self-join emits candidate pairs only
+    (never the full cross product). At scale the join shuffles on the
+    bucket key and skew-splits hot buckets via AQE."""
+    sig = _signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", F.lit(0).alias("band"), F.md5(F.concat("mh0", "mh1").cast("binary")).alias("bucket")
+    ).unionByName(
+        sig.select(
+            "doc_id",
+            F.lit(1).alias("band"),
+            F.md5(F.concat("mh2", "mh3").cast("binary")).alias("bucket"),
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dd05_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, len(tokens) - 1),
+                   i -> tokens[i] || ' ' || tokens[i + 1])) AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+        WHERE len(tokens) >= 2
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.bg AS bga, b.bg AS bgb
+        FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 50
+        WHERE a.doc_id < 50
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(bga, bgb))::BIGINT AS n_common,
+           (len(bga) + len(bgb) - len(list_intersect(bga, bgb)))::BIGINT AS n_union,
+           len(list_intersect(bga, bgb))
+             / (len(bga) + len(bgb) - len(list_intersect(bga, bgb))) AS jaccard
+    FROM pairs
+    """,
+)
+def dd05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-set Jaccard — the verification stage after LSH
+    candidate generation (here over a fixed pair lattice so the oracle is
+    closed-form). Set intersection via array_intersect keeps the work
+    per-pair and JVM-side; at scale pairs come from dd04's buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    grams = d.filter(F.size(toks) >= 2).select("doc_id", bigrams.alias("bg"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.bg"), F.col("b.bg"))).cast("bigint")
+    union = (F.size(F.col("a.bg")) + F.size(F.col("b.bg"))).cast("bigint") - inter
+    return (
+        a.filter(F.col("a.doc_id") < 50)
+        .join(b, F.col("b.doc_id") == F.col("a.doc_id") + 50)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("n_common"),
+            union.alias("n_union"),
+            (inter / union).alias("jaccard"),
+        )
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _duck_simhash() -> str:
+    bit_sums = ",\n           ".join(
+        f"CASE WHEN SUM(CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << j} ELSE 0 END AS b{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    total = " + ".join(f"b{j}" for j in range(_SIMHASH_BITS))
+    return f"""
+    SELECT doc_id, ({total})::BIGINT AS simhash
+    FROM (
+        SELECT doc_id,
+           {bit_sums}
+        FROM (
+            SELECT doc_id, md5(t) AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        )
+        GROUP BY doc_id
+    )
+    """
+
+
+@query("dd06_simhash", oracle=_duck_simhash())
+def dd06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: each token votes ±1 per bit position (bit j of md5 = hex
+    digit j ≥ '8'); the sign of the per-doc vote sum sets the bit. One
+    explode + one grouped aggregation — the signature is a 16-bit int."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    h = F.md5(F.col("t").cast("binary"))
+    votes = tok.select(
+        "doc_id",
+        *[
+            F.when(F.substring(h, j + 1, 1) >= "8", 1).otherwise(-1).alias(f"v{j}")
+            for j in range(_SIMHASH_BITS)
+        ],
+    )
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(_SIMHASH_BITS)]
+    )
+    simhash = sum(
+        [F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(_SIMHASH_BITS)],
+        start=F.lit(0),
+    )
+    return agg.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+@query(
+    "dd07_simhash_hamming",
+    oracle=f"""
+    WITH sh AS ({_duck_simhash()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming,
+           (bit_count(xor(a.simhash, b.simhash)) <= 3) AS near_dup
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 50
+    WHERE a.doc_id < 50
+    """,
+)
+def dd07_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup test: Hamming distance = popcount of XOR over the
+    fixed pair lattice; ≤3 differing bits flags a near-duplicate."""
+    sh = dd06_simhash(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("bigint")
+    return (
+        a.filter(F.col("a.doc_id") < 50)
+        .join(b, F.col("b.doc_id") == F.col("a.doc_id") + 50)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+            (ham <= 3).alias("near_dup"),
+        )
+    )

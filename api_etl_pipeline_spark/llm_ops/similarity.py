@@ -1,0 +1,179 @@
+"""Similarity search over the embeddings table (BASELINE.json north-star).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the scale path (candidates restricted to one hyperplane-sign
+bucket — at 100 TB the bucket key is the shuffle/partition key and each
+query touches 1/2^bits of the corpus instead of all of it; recall is
+tuned by bits and multi-probe).
+
+Cross-engine float determinism: embeddings are cast float→double
+element-wise (exact), the dot product is a *sequential left fold*
+(F.aggregate in Spark ≡ list_reduce in DuckDB — same operation order,
+bit-identical IEEE results), and no cross-row float aggregation exists —
+so cosine scores, and therefore rankings, hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+
+def _dvec(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product: 0.0 + a1*b1 + a2*b2 + ... —
+    the same order DuckDB's list_reduce uses, hence bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+_DUCK_DOT = "list_reduce(list_transform({a}, (x,i) -> x * ({b})[i]), (s,y) -> s + y)"
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b)
+    na = _DUCK_DOT.format(a=a, b=a)
+    nb = _DUCK_DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@query(
+    "sim01_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {_duck_cosine('qe', 'ce')} AS cosine
+        FROM q JOIN c ON neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+               )::BIGINT AS rn
+        FROM scored
+    )
+    WHERE rn <= 5
+    """,
+)
+def sim01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a query set: broadcast the (small)
+    query vectors against the full corpus — a single narrow pass over the
+    candidates, then a per-query top-k window. This is the ANN correctness
+    baseline; sim02 is the bucketed scale path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), _dvec("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+_DUCK_BUCKET = (
+    "concat(CASE WHEN ({e})[1] > 0 THEN '1' ELSE '0' END,"
+    " CASE WHEN ({e})[17] > 0 THEN '1' ELSE '0' END,"
+    " CASE WHEN ({e})[33] > 0 THEN '1' ELSE '0' END,"
+    " CASE WHEN ({e})[49] > 0 THEN '1' ELSE '0' END)"
+)
+
+
+def _bucket(col) -> Column:
+    bit = lambda i: F.when(F.element_at(col, i) > 0, "1").otherwise("0")  # noqa: E731
+    return F.concat(bit(1), bit(17), bit(33), bit(49))
+
+
+@query(
+    "sim02_lsh_bucket_ann",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               {_DUCK_BUCKET.format(e='embedding::DOUBLE[]')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_duck_cosine('q.qe', 'c.e')} AS cosine
+        FROM q JOIN v c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+               )::BIGINT AS rn
+        FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def sim02_lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: 4 sign-bit hyperplane hashes (dims 1/17/33/49) split
+    the corpus into 16 buckets; each query scores only its own bucket.
+    The equi-join on the bucket key replaces the cross join — this is the
+    shape that scales (bucket = shuffle key = storage partition key)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding").alias("e")).withColumn("bucket", _bucket(F.col("e")))
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, (v.bucket == q.bucket) & (v.vec_id != q.query_id))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                _cosine(F.col("qe"), F.col("e")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+@query(
+    "sim03_vector_norms",
+    oracle=f"""
+    SELECT vec_id, label,
+           len(embedding)::BIGINT AS n_dims,
+           sqrt({_DUCK_DOT.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS l2_norm,
+           {_DUCK_BUCKET.format(e='embedding::DOUBLE[]')} AS bucket
+    FROM embeddings
+    """,
+)
+def sim03_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm + dimensionality + LSH bucket — the embedding
+    hygiene scan (zero/degenerate vector detection) before any ANN build."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = _dvec("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        F.sqrt(_dot(d, d)).alias("l2_norm"),
+        _bucket(d).alias("bucket"),
+    )

@@ -1,0 +1,182 @@
+"""Text analysis operators over the documents corpus (BASELINE.json
+north-star: language-ID, quality scoring, token counting, fingerprinting).
+
+All JVM-side column expressions (split / higher-order array functions /
+md5) — no Python UDFs, so the whole pipeline stays inside whole-stage
+codegen and scales linearly with executors. Ratios are integer-over-
+integer double divisions (deterministic across engines; see
+ops/_compat.py for why float aggregation is avoided).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+EN_STOPWORDS = ("the", "a", "of", "and", "in")
+ES_STOPWORDS = ("el", "la", "de", "y", "en")
+
+
+def _tokens(col: Column = None) -> Column:
+    return F.split(col if col is not None else F.col("text"), " ")
+
+
+@query(
+    "tx01_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           length(text)::BIGINT AS n_chars_text,
+           length(replace(text, ' ', ''))::BIGINT AS n_chars_nospace,
+           length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+)
+def tx01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenization + char counts + mean token
+    length (int/int double division — order-free, hash-stable)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens()).cast("bigint")
+    nospace = F.length(F.regexp_replace("text", " ", "")).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_text"),
+        nospace.alias("n_chars_nospace"),
+        (nospace / n_tokens).alias("avg_token_len"),
+    )
+
+
+@query(
+    "tx02_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(tokens, t -> t IN {EN_STOPWORDS}))::BIGINT AS stop_hits,
+           (len(list_filter(tokens, t -> t IN {EN_STOPWORDS})) / len(tokens)) AS stop_ratio,
+           (len(list_distinct(tokens)) / len(tokens)) AS distinct_ratio,
+           CASE
+             WHEN len(tokens) < 8 THEN 'too_short'
+             WHEN (len(list_distinct(tokens)) / len(tokens)) < 0.3 THEN 'repetitive'
+             WHEN (len(list_filter(tokens, t -> t IN {EN_STOPWORDS})) / len(tokens)) > 0.5
+               THEN 'stopword_heavy'
+             ELSE 'ok'
+           END AS quality_bucket
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    """,
+)
+def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, lexical diversity, length gates —
+    the heuristics an LLM-data pipeline uses to drop junk documents."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    stop_ratio = stop_hits / n
+    bucket = (
+        F.when(n < 8, "too_short")
+        .when(distinct_ratio < 0.3, "repetitive")
+        .when(stop_ratio > 0.5, "stopword_heavy")
+        .otherwise("ok")
+    )
+    return d.select(
+        "doc_id",
+        stop_hits.cast("bigint").alias("stop_hits"),
+        stop_ratio.alias("stop_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+@query(
+    "tx03_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           en_hits, es_hits,
+           CASE WHEN en_hits > es_hits THEN 'en'
+                WHEN es_hits > en_hits THEN 'es'
+                ELSE 'und' END AS predicted_lang
+    FROM (
+        SELECT doc_id, lang,
+               len(list_filter(tokens, t -> t IN {EN_STOPWORDS}))::BIGINT AS en_hits,
+               len(list_filter(tokens, t -> t IN {ES_STOPWORDS}))::BIGINT AS es_hits
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents)
+    )
+    """,
+)
+def tx03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit voting per language (the n-gram
+    heuristic family; deterministic CASE arbitration)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    en = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))).cast("bigint")
+    es = F.size(F.filter(toks, lambda t: t.isin(*ES_STOPWORDS))).cast("bigint")
+    pred = (
+        F.when(F.col("en_hits") > F.col("es_hits"), "en")
+        .when(F.col("es_hits") > F.col("en_hits"), "es")
+        .otherwise("und")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+    ).select("doc_id", "labeled_lang", "en_hits", "es_hits", pred.alias("predicted_lang"))
+
+
+@query(
+    "tx04_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(text)) AS full_fingerprint,
+           md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS prefix_fingerprint
+    FROM documents
+    """,
+)
+def tx04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized whole-text hash + an 8-token
+    prefix hash (the cheap rolling-hash stand-in for shift-tolerant
+    near-dup candidate keys)."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(_tokens(), 1, 8), " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower("text").cast("binary")).alias("full_fingerprint"),
+        F.md5(prefix.cast("binary")).alias("prefix_fingerprint"),
+    )
+
+
+@query(
+    "tx05_bigram_freq",
+    oracle="""
+    SELECT bigram, COUNT(*)::BIGINT AS n
+    FROM (
+        SELECT tokens[i] || ' ' || tokens[i + 1] AS bigram
+        FROM (SELECT string_split(text, ' ') AS tokens FROM documents),
+             UNNEST(generate_series(1, len(tokens) - 1)) AS u(i)
+        WHERE len(tokens) >= 2
+    )
+    GROUP BY bigram
+    """,
+)
+def tx05_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency: token bigrams via a positional higher-order
+    transform (no self-join), exploded and counted. The explode fans out
+    ~L rows per doc but stays narrow (no shuffle until the final count)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )

@@ -58,7 +58,7 @@ def _load_all() -> None:
     from api_etl_pipeline_spark.ops import relational, scalar, windows  # noqa: F401
     from api_etl_pipeline_spark import ingest  # noqa: F401
     from api_etl_pipeline_spark.ingest import queries as ingest_queries  # noqa: F401
-    from api_etl_pipeline_spark.llm_ops import dedup, similarity, text  # noqa: F401
+    from api_etl_pipeline_spark.llm_ops import dedup, multimodal, similarity, text  # noqa: F401
     from api_etl_pipeline_spark.streaming import batch_windows  # noqa: F401
 
 

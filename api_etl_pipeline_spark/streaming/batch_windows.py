@@ -1,0 +1,195 @@
+"""Event-time window semantics, batch-checkable (SURVEY.md §2.9 T-rows).
+
+Structured Streaming's windowed operators have exact batch equivalents
+over a bounded event table — these queries pin those semantics against
+the DuckDB oracle, while streaming/stream_ops.py runs the SAME logical
+transformations as real streams (verified in tests with a memory sink;
+the driver gets rows-only checks there since an oracle can't drive a
+stream).
+
+Window alignment: Spark's window() buckets align to the unix epoch —
+identical to date_trunc for hour/day tumbling windows, and to the
+two-offset union for sliding windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+
+@query(
+    "st01_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: 1-hour tumbling window aggregation — groupBy(window(ts, '1 hour'))
+    is epoch-aligned, so window.start ≡ date_trunc('hour'). In streaming
+    the identical expression runs under a watermark (stream_ops.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "st02_sliding_window",
+    oracle="""
+    SELECT window_start, COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                 + (CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END)
+                 - (o.off * INTERVAL 30 MINUTE) AS window_start,
+               value
+        FROM events, (SELECT UNNEST([0, 1]) AS off) o
+    )
+    GROUP BY window_start
+    """,
+)
+def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: sliding window (1 h length, 30 min slide) — every event lands in
+    exactly 2 windows; the oracle reproduces that by unioning the two
+    30-minute-aligned starts ≤ ts. Spark emits the same assignment from
+    window(ts, '1 hour', '30 minutes')."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "st03_sessionization",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no::BIGINT AS session_no,
+           COUNT(*)::BIGINT AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def st03_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 session windows, batch form: the classic lag-gap + running-sum
+    sessionizer (30 min inactivity gap). The streaming twin uses
+    session_window(ts, '30 minutes') — same session boundaries
+    (stream_ops.py, pinned against this in tests)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "st04_dedup_within_watermark",
+    oracle="""
+    SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+    FROM (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def st04_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/J4: keep the earliest record per dedup key — the batch semantics
+    of dropDuplicatesWithinWatermark (dossier: re-fetch overlap window,
+    dedupe by accession). Deterministic keeper via full ordering."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
+
+
+@query(
+    "st05_watermark_sync_state",
+    oracle="""
+    WITH prev AS (
+        SELECT 'events' AS stream, TIMESTAMP '2024-01-10 00:00:00' AS watermark
+    ),
+    advanced AS (
+        SELECT event_type, MAX(ts) AS new_watermark, COUNT(*)::BIGINT AS n_since
+        FROM events, prev
+        WHERE ts > prev.watermark - INTERVAL 48 HOUR
+        GROUP BY event_type
+    )
+    SELECT event_type, new_watermark, n_since FROM advanced
+    """,
+)
+def st05_watermark_sync_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T5: incremental-sync state advance — re-read an overlap window
+    behind the stored watermark (48 h, the SEC overlap; dossier :230),
+    then advance to max(ts). The overlap re-read + st04's dedup together
+    are the reference's watermark sync protocol as batch MERGE."""
+    e = load_table(spark, sf_dir, "events")
+    prev_watermark = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    return (
+        e.filter(F.col("ts") > prev_watermark - F.expr("INTERVAL 48 HOURS"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("new_watermark"), F.count("*").alias("n_since"))
+    )

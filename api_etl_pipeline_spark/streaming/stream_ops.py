@@ -1,0 +1,71 @@
+"""True Structured Streaming transforms (SURVEY.md §2.9).
+
+Each function takes a *streaming* DataFrame (readStream) and returns the
+transformed stream — the same logical expressions as the batch twins in
+batch_windows.py, so correctness is pinned by (a) the batch oracle and
+(b) stream-vs-batch equivalence tests (tests/test_streaming.py) that
+drive these with a file source and a memory sink.
+
+Watermarks bound state: the tumbling/sliding aggregations emit finalized
+windows in append mode once the watermark passes window end; the dedup
+holds keys only within the watermark horizon (T2 — the dossier's
+overlap-window dedupe, docs/Golden_Record_API_Dossiers.md:228-241).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """T7: watermarked 1-hour tumbling aggregation (st01 twin)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """T7: watermarked sliding window (1 h / 30 min; st02 twin)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """T7: native session windows (st03 twin — same boundaries as the
+    lag-gap batch sessionizer)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """T2: streaming dedup bounded by the watermark horizon (st04 twin —
+    first arrival per (user_id, event_type) survives)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

@@ -51,6 +51,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """Streaming twin of load_table('events'): the file stream source reads
+    a directory; the TIMESTAMP(NANOS) column comes through as INT64 under
+    nanosAsLong and is rebuilt to a microsecond TimestampType (truncation,
+    matching both the batch loader and DuckDB)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = spark.readStream.schema(schema).format("parquet").load(directory)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

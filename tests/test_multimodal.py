@@ -1,0 +1,62 @@
+"""Multimodal plumbing: the mapInPandas decode stage is exercised with the
+deterministic fake decoder; values are pinned against a driver-side
+recomputation so the Arrow batch path is verified end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.llm_ops.multimodal import (
+    decode_image,
+    media_table,
+    mm01_multimodal_features,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_media_table_schema(spark):
+    m = media_table(spark, SF_SMOKE)
+    assert dict(m.dtypes)["content"] == "binary"
+    assert dict(m.dtypes)["meta"].startswith("struct<sha256:string,declared_bytes:bigint")
+    kinds = {r.media_type for r in m.select("media_type").distinct().collect()}
+    assert kinds == {"image/png", "audio/wav", "video/mp4"}
+
+
+def test_features_match_python_recompute(spark):
+    feats = mm01_multimodal_features(spark, SF_SMOKE)
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert len(rows) == 500
+    # every row: size from the UDF equals the metadata-declared size
+    assert all(r.size_matches for r in rows.values())
+
+    # pin a few docs against a pure-python recompute of the same features
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id") < 5)
+        .collect()
+    }
+    for doc_id, text in docs.items():
+        b = text.encode()
+        r = rows[doc_id]
+        assert r.n_bytes == len(b)
+        assert abs(r.byte_mean - sum(b) / len(b)) < 1e-12
+        assert r.byte_mode == max(set(b), key=lambda x: (b.count(x), -x))
+        assert r.header_hex == b[:4].hex()
+
+
+def test_feature_stage_partition_invariant(spark):
+    """Arrow batching must not change results: 1 partition vs many."""
+    media = media_table(spark, SF_SMOKE)
+    from api_etl_pipeline_spark.llm_ops.multimodal import FEATURE_SCHEMA, fake_decode_features
+
+    base = media.select("doc_id", "media_type", "content")
+    one = base.coalesce(1).mapInPandas(fake_decode_features, FEATURE_SCHEMA)
+    many = base.repartition(16).mapInPandas(fake_decode_features, FEATURE_SCHEMA)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))

@@ -1,0 +1,112 @@
+"""Structured Streaming verification: drive the stream_ops transforms with
+a file source over the events parquet and a memory sink, then check
+stream results equal the batch twins (the oracle-checked queries in
+streaming/batch_windows.py). processAllAvailable() drains the bounded
+source synchronously (complete/append modes as appropriate)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.streaming import stream_ops
+from api_etl_pipeline_spark.streaming.batch_windows import (
+    st01_tumbling_window,
+    st03_sessionization,
+)
+from api_etl_pipeline_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+_STREAM_DIR: str | None = None
+
+
+def _events_stream(spark):
+    # the file stream source requires a directory; stage the single parquet
+    # file into one (once per test run)
+    global _STREAM_DIR
+    if _STREAM_DIR is None:
+        import shutil
+        import tempfile
+
+        _STREAM_DIR = tempfile.mkdtemp(prefix="events_stream_")
+        shutil.copy(f"{SF_SMOKE}/events.parquet", f"{_STREAM_DIR}/events.parquet")
+    from api_etl_pipeline_spark.tables import load_events_stream
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    return load_events_stream(spark, _STREAM_DIR), batch
+
+
+def _run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+@pytest.fixture()
+def qname():
+    return "t" + uuid.uuid4().hex[:10]
+
+
+def test_stream_tumbling_equals_batch(spark, qname):
+    stream, _ = _events_stream(spark)
+    out = stream_ops.tumbling_counts(stream)
+    _run_to_memory(out, qname, "complete")
+    got = {tuple(r) for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+    want = {tuple(r) for r in st01_tumbling_window(spark, SF_SMOKE).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stream_sessions_match_batch_sessionizer(spark, qname):
+    stream, _ = _events_stream(spark)
+    out = stream_ops.session_counts(stream)
+    _run_to_memory(out, qname, "complete")
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in st03_sessionization(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_dedup_within_watermark(spark, qname):
+    stream, batch = _events_stream(spark)
+    out = stream_ops.dedup_within_watermark(stream)
+    _run_to_memory(out, qname, "append")
+    got = spark.sql(f"SELECT user_id, event_type FROM {qname}").collect()
+    keys = {(r.user_id, r.event_type) for r in got}
+    # one survivor per key, covering every key present in the batch
+    assert len(got) == len(keys)
+    want_keys = {
+        (r.user_id, r.event_type)
+        for r in batch.select("user_id", "event_type").distinct().collect()
+    }
+    assert keys == want_keys
+
+
+def test_stream_sliding_append_respects_watermark(spark, qname):
+    """Append mode emits only watermark-finalized windows — a stricter
+    structural check than row equality (late windows must be absent)."""
+    stream, batch = _events_stream(spark)
+    out = stream_ops.sliding_counts(stream, watermark="1 hour")
+    _run_to_memory(out, qname, "append")
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    # every emitted window is fully below the final watermark (max_ts - 1h)
+    import datetime as dt
+
+    horizon = max_ts - dt.timedelta(hours=1)
+    assert all(r.window_start + dt.timedelta(hours=1) <= horizon + dt.timedelta(hours=1)
+               for r in rows)
+    assert len(rows) > 0
