@@ -14,9 +14,10 @@ Design for scale (the whole point of these at 100 TB):
   bit_count(xor) on candidate pairs only.
 - verification: exact n-gram Jaccard on the candidate pairs.
 
-Cross-engine determinism: hashes are md5 hex strings (identical in Spark
-and DuckDB); minhash = lexicographic MIN over hex strings (a valid
-min-wise hash, order-independent); no float accumulation anywhere.
+Cross-engine determinism: hashes are md5 hex (identical in Spark and
+DuckDB); each minhash = integer MIN over a 32-bit slice of the shingle
+md5 (order-independent, and integer MIN keeps Spark on HashAggregate);
+no float accumulation anywhere.
 """
 
 from __future__ import annotations
@@ -30,9 +31,11 @@ from api_etl_pipeline_spark.tables import load_table
 N_MINHASH = 4  # 2 bands × 2 rows
 
 
-def _shingles(text: Column) -> Column:
-    """Token 3-gram shingles (empty when the doc has <3 tokens)."""
-    toks = F.split(text, " ")
+def _shingles(toks: Column) -> Column:
+    """Token 3-gram shingles from a *materialized* tokens column (empty
+    when the doc has <3 tokens). The tokens array must be projected in a
+    separate select first — inlining split() here would make Catalyst
+    re-evaluate the split for every element_at call (3 per shingle)."""
     n = F.size(toks)
     return F.when(
         n >= 3,
@@ -55,25 +58,33 @@ _DUCK_SHINGLES = """
     WHERE len(tokens) >= 3
 """
 
+# one md5 per shingle; the 4 hash functions are its disjoint 8-hex-char
+# slices converted to BIGINT — 4 independent 32-bit min-wise hashes for one
+# md5 call, and integer MINs keep Spark on HashAggregate (a string MIN
+# falls back to SortAggregate: sort-dominated, ~3x slower)
 _DUCK_SIGNATURES = f"""
     SELECT doc_id,
-           MIN(md5(shingle || '|0')) AS mh0,
-           MIN(md5(shingle || '|1')) AS mh1,
-           MIN(md5(shingle || '|2')) AS mh2,
-           MIN(md5(shingle || '|3')) AS mh3
-    FROM ({_DUCK_SHINGLES})
+           MIN(('0x' || substr(h, 1, 8))::BIGINT)  AS mh0,
+           MIN(('0x' || substr(h, 9, 8))::BIGINT)  AS mh1,
+           MIN(('0x' || substr(h, 17, 8))::BIGINT) AS mh2,
+           MIN(('0x' || substr(h, 25, 8))::BIGINT) AS mh3
+    FROM (SELECT doc_id, md5(shingle) AS h FROM ({_DUCK_SHINGLES}))
     GROUP BY doc_id
 """
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → N_MINHASH minhash values: explode shingles once, take the
-    MIN of a seeded md5 per hash function. MIN is order-independent, so
-    the signature is partition-layout-invariant."""
+    """doc_id → N_MINHASH minhash values: explode shingles once, hash each
+    shingle ONCE, and take per-doc MINs of the md5's four disjoint 32-bit
+    hex slices (4 independent min-wise hashes for 1 md5 call). MIN is
+    order-independent, so the signature is partition-layout-invariant."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    sh = toks.select("doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")).select(
+        "doc_id", F.md5(F.col("shingle").cast("binary")).alias("h")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"|{i}")).cast("binary"))).alias(f"mh{i}")
+        F.min(F.conv(F.substring("h", 1 + 8 * i, 8), 16, 10).cast("bigint")).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -134,9 +145,9 @@ def dd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sig AS ({_DUCK_SIGNATURES}),
     bands AS (
-        SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+        SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
         UNION ALL
-        SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+        SELECT doc_id, 1 AS band, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) AS bucket FROM sig
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
@@ -149,15 +160,23 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never the full cross product). At scale the join shuffles on the
     bucket key and skew-splits hot buckets via AQE."""
     sig = _signatures(spark, sf_dir)
-    bands = sig.select(
-        "doc_id", F.lit(0).alias("band"), F.md5(F.concat("mh0", "mh1").cast("binary")).alias("bucket")
-    ).unionByName(
-        sig.select(
-            "doc_id",
-            F.lit(1).alias("band"),
-            F.md5(F.concat("mh2", "mh3").cast("binary")).alias("bucket"),
+
+    def _bucket(lo: str, hi: str) -> Column:
+        return F.md5(
+            F.concat_ws("_", F.col(lo).cast("string"), F.col(hi).cast("string")).cast("binary")
         )
-    )
+
+    # both bands in ONE pass over the signatures (explode, not union — a
+    # union would recompute the whole shingle->signature subtree per band)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), _bucket("mh0", "mh1").alias("bucket")),
+                F.struct(F.lit(1).alias("band"), _bucket("mh2", "mh3").alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -200,8 +219,10 @@ def dd05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation (here over a fixed pair lattice so the oracle is
     closed-form). Set intersection via array_intersect keeps the work
     per-pair and JVM-side; at scale pairs come from dd04's buckets."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     bigrams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 1),

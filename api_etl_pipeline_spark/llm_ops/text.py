@@ -70,8 +70,10 @@ def tx01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, lexical diversity, length gates —
     the heuristics an LLM-data pipeline uses to drop junk documents."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
     distinct_ratio = F.size(F.array_distinct(toks)) / n
@@ -110,8 +112,10 @@ def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-hit voting per language (the n-gram
     heuristic family; deterministic CASE arbitration)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _tokens().alias("toks")
+    )
+    toks = F.col("toks")
     en = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))).cast("bigint")
     es = F.size(F.filter(toks, lambda t: t.isin(*ES_STOPWORDS))).cast("bigint")
     pred = (
@@ -166,8 +170,8 @@ def tx05_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram frequency: token bigrams via a positional higher-order
     transform (no self-join), exploded and counted. The explode fans out
     ~L rows per doc but stays narrow (no shuffle until the final count)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    d = load_table(spark, sf_dir, "documents").select(_tokens().alias("toks"))
+    toks = F.col("toks")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(

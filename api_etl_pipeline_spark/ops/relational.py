@@ -262,18 +262,29 @@ def q15_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q02_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship spine (SURVEY §7.2): fact-fact join on the shuffle key plus a
     broadcast-able dimension join (J1 analog), grouped revenue rollup.
-    customer is tiny relative to lineitem at every SF — broadcast it."""
+
+    Plan shape: lineitem is pre-aggregated per orderkey BEFORE the join
+    (partial-agg-below-join): the join input shrinks ~4x, the
+    COUNT(DISTINCT orderkey) becomes a plain count (no Expand pass), and
+    the exact-decimal revenue sum is associative so the two-level sum is
+    byte-identical. customer is tiny at every SF — broadcast it."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("_lines"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        ).alias("_rev"),
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
-            F.count("*").alias("n_lines"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.sum("_lines").alias("n_lines"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum("_rev").cast("double").alias("revenue"),
         )
     )
 
