@@ -459,3 +459,168 @@ def ing14_canonical_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             "record_json"
         ),
     )
+
+
+@query(
+    "ing15_header_dispatch",
+    oracle="""
+    SELECT url,
+           CASE
+             WHEN contains(host, 'sec.gov') THEN
+               '{"accept":"application/json","user-agent":"engine/1.0 ops@example.com"}'
+             WHEN host = 'adams-api.nrc.gov' THEN
+               '{"accept":"application/json","content-type":"application/json",'
+               || '"ocp-apim-subscription-key":"***REDACTED***"}'
+             ELSE '{"accept":"*/*"}'
+           END AS headers_json,
+           (lower(url) LIKE '%.pdf' OR contains(lower(url), 'www.nrc.gov/docs/')) AS long_timeout
+    FROM (
+        SELECT url, split_part(replace(url, 'https://', ''), '/', 1) AS host
+        FROM (
+            SELECT CASE doc_id % 3
+                     WHEN 0 THEN printf('https://data.sec.gov/submissions/CIK%010d.json', doc_id)
+                     WHEN 1 THEN printf('https://adams-api.nrc.gov/search?q=%d', doc_id)
+                     ELSE printf('https://www.nrc.gov/docs/ML%d.pdf', doc_id)
+                   END AS url
+            FROM documents
+        )
+    )
+    """,
+)
+def ing15_header_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: host-based header dispatch (http_client.py:85-105) — per-host
+    required headers (UA for sec.gov, subscription key for the APS host)
+    plus the differential-timeout classifier (F8), as one projection.
+    Secrets emit pre-redacted (F15 composed at the source)."""
+    d = load_table(spark, sf_dir, "documents")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.format_string("https://data.sec.gov/submissions/CIK%010d.json", F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.format_string("https://adams-api.nrc.gov/search?q=%d", F.col("doc_id")),
+        )
+        .otherwise(F.format_string("https://www.nrc.gov/docs/ML%d.pdf", F.col("doc_id")))
+    )
+    with_host = d.select(
+        url.alias("url"),
+        F.split_part(F.regexp_replace(url, "https://", ""), F.lit("/"), F.lit(1)).alias("host"),
+    )
+    headers = (
+        F.when(
+            F.col("host").contains("sec.gov"),
+            F.lit('{"accept":"application/json","user-agent":"engine/1.0 ops@example.com"}'),
+        )
+        .when(
+            F.col("host") == "adams-api.nrc.gov",
+            F.lit(
+                '{"accept":"application/json","content-type":"application/json",'
+                '"ocp-apim-subscription-key":"***REDACTED***"}'
+            ),
+        )
+        .otherwise(F.lit('{"accept":"*/*"}'))
+    )
+    lurl = F.lower("url")
+    return with_host.select(
+        "url",
+        headers.alias("headers_json"),
+        (lurl.endswith(".pdf") | lurl.contains("www.nrc.gov/docs/")).alias("long_timeout"),
+    )
+
+
+@query(
+    "ing16_json_or_text_fallback",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN json_valid(payload) THEN json_extract_string(payload, '$.q')
+                ELSE payload END AS parsed_or_raw,
+           json_valid(payload) AS was_json
+    FROM (
+        SELECT event_id,
+               CASE WHEN event_id % 2 = 0
+                 THEN printf('{"q":"query-%d"}', event_id)
+                 ELSE printf('plain text payload %d', event_id)
+               END AS payload
+        FROM events
+    )
+    """,
+)
+def ing16_json_or_text_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: JSON-or-text fallback parse (run_capture.py:220-227) — try the
+    typed parse, fall back to the raw string: coalesce(from_json, col)."""
+    e = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 2 == 0, F.format_string('{"q":"query-%d"}', F.col("event_id"))
+    ).otherwise(F.format_string("plain text payload %d", F.col("event_id")))
+    parsed = F.from_json(payload, "struct<q:string>")
+    # from_json yields an all-null-fields struct (not NULL) on malformed
+    # input, so JSON-ness is tested on the extracted field
+    return e.select(
+        "event_id",
+        F.coalesce(parsed["q"], payload).alias("parsed_or_raw"),
+        parsed["q"].isNotNull().alias("was_json"),
+    )
+
+
+@query(
+    "ing17_request_mapper",
+    oracle="""
+    SELECT event_id,
+           CASE raw_op WHEN 'eq' THEN 'equals' WHEN 'gt' THEN 'ge'
+                       WHEN 'lt' THEN 'le' ELSE raw_op END AS op,
+           CASE WHEN sort_spec LIKE '-%' THEN substr(sort_spec, 2) ELSE sort_spec END AS sort_field,
+           (CASE WHEN sort_spec LIKE '-%' THEN 1 ELSE 0 END)::BIGINT AS sort_direction,
+           docket AS docket_number
+    FROM (
+        SELECT event_id,
+               ['eq','gt','lt','contains'][(event_id % 4 + 1)::INT] AS raw_op,
+               CASE WHEN event_id % 2 = 0 THEN '-DocumentDate' ELSE 'DocumentDate' END AS sort_spec,
+               unnest(string_split(printf('%d,%d', event_id % 97, event_id % 89), ',')) AS docket
+        FROM events
+    )
+    """,
+)
+def ing17_request_mapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: the compatibility request mapper (dossier :528-594) — draft
+    request shapes to canonical: X16 operator-name normalization via a
+    map literal, L4 +/- sort-prefix parsing into (field, direction), and
+    X15 comma-separated docket fan-out via split+explode. Pure column
+    projections; no UDF."""
+    e = load_table(spark, sf_dir, "events")
+    op_map = F.create_map(
+        F.lit("eq"), F.lit("equals"), F.lit("gt"), F.lit("ge"), F.lit("lt"), F.lit("le")
+    )
+    raw_op = F.try_element_at(
+        F.array(F.lit("eq"), F.lit("gt"), F.lit("lt"), F.lit("contains")),
+        ((F.col("event_id") % 4) + 1).cast("int"),
+    )
+    sort_spec = F.when(F.col("event_id") % 2 == 0, F.lit("-DocumentDate")).otherwise(
+        F.lit("DocumentDate")
+    )
+    dockets = F.split(
+        F.format_string("%d,%d", F.col("event_id") % 97, F.col("event_id") % 89), ","
+    )
+    return (
+        e.select(
+            "event_id",
+            raw_op.alias("raw_op"),
+            sort_spec.alias("sort_spec"),
+            F.explode(dockets).alias("docket_number"),
+        )
+        .select(
+            "event_id",
+            F.coalesce(F.try_element_at(op_map, F.col("raw_op")), F.col("raw_op")).alias("op"),
+            F.when(
+                F.col("sort_spec").startswith("-"), F.expr("substring(sort_spec, 2)")
+            )
+            .otherwise(F.col("sort_spec"))
+            .alias("sort_field"),
+            F.when(F.col("sort_spec").startswith("-"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("sort_direction"),
+            "docket_number",
+        )
+    )

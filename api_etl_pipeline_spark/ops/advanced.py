@@ -1,0 +1,300 @@
+"""Advanced relational operators: as-of / range joins, grouping sets,
+pivot/unpivot, percentiles, approximate aggregates.
+
+SURVEY.md §2.3 lists these as absent from the reference ("Not present:
+theta/range/as-of/interval joins") — they're table stakes for an
+analytics engine, so the engine provides them Spark-first:
+
+- **as-of join**: Spark has no native one. Implemented as the union-tag-
+  window composition: tag both sides, union, and take the last right-side
+  value over a (key, time)-ordered window. ONE shuffle on the key, no
+  row explosion, no per-group Python — this is the scale path (the
+  mapInPandas merge_asof fallback exists for exotic tolerance semantics,
+  tests/test_asof.py).
+- **range join**: equi-key join + range predicate; Catalyst executes the
+  equi part as the join key and the range as a post-filter, so the
+  shuffle stays key-bounded.
+- grouping sets / pivot / unpivot / percentiles: Spark built-ins the
+  driver oracle can check exactly (percentile interpolation at binary-
+  exact fractions is deterministic across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+
+def asof_join_last(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts for the same key (inclusive, like DuckDB's
+    ASOF JOIN / pandas merge_asof 'backward').
+
+    Composition: union both sides with a tag ordering right rows before
+    left rows at equal timestamps, then `last(value, ignoreNulls)` over a
+    per-key time-ordered running window. One shuffle, linear state."""
+    lt = left.select(
+        F.col(key), F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
+    )
+    l_struct_type = lt.schema["_l"].dataType
+    rt = right.select(
+        F.col(key), F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
+        F.lit(None).cast(l_struct_type.simpleString()).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "_side",
+        "_l",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}") for c in value_cols],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        F.col("_l.*"), *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols]
+    )
+    return out
+
+
+@query(
+    "q21_asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+           ) AS asof_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q21_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    preceding click (NULL when none). The oracle states the semantics as
+    a correlated MAX; the engine runs the union-tag-window composition."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join_last(
+        purchases, clicks, key="user_id", left_ts="purchase_ts", right_ts="ts",
+        value_cols=["ts"],
+    )
+    return joined.select(
+        "purchase_id", "user_id", "purchase_ts", F.col("asof_ts").alias("asof_click_ts")
+    )
+
+
+@query(
+    "q22_range_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(c.event_id)::BIGINT AS clicks_last_hour,
+           CAST(SUM(CAST(COALESCE(c.value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q22_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks within the hour preceding each
+    purchase, per user. The user_id equi-key carries the shuffle; the
+    range predicate filters within each key group — at scale add a
+    time-bucket key to also bound the per-key scan."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    c = e.filter(F.col("event_type") == "click").alias("c")
+    joined = p.join(
+        c,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.ts") > F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") <= F.col("p.ts")),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("p.event_id").alias("purchase_id"), F.col("p.user_id").alias("user_id")
+    ).agg(
+        F.count("c.event_id").alias("clicks_last_hour"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("c.value"), F.lit(0.0)).cast("decimal(18,2)")),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("click_value"),
+    )
+
+
+@query(
+    "q23_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           SUM(l_quantity) AS sum_qty,
+           COUNT(*)::BIGINT AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q23_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status,
+    and grand-total — via the SQL surface (same Catalyst plan as the
+    DataFrame cube/rollup variants)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               SUM(l_quantity) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q24_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS qty_O,
+           SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS qty_F,
+           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)::BIGINT  AS n_O,
+           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::BIGINT  AS n_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q24_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus values become columns (quantities are integer-
+    valued doubles, so plain SUM is exact). The oracle states the
+    equivalent conditional aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce("O_qty", F.lit(0.0)).alias("qty_O"),
+        F.coalesce("F_qty", F.lit(0.0)).alias("qty_F"),
+        F.coalesce("O_n", F.lit(0)).alias("n_O"),
+        F.coalesce("F_n", F.lit(0)).alias("n_F"),
+    )
+
+
+@query(
+    "q25_unpivot",
+    oracle="""
+    SELECT s_suppkey, metric, ROUND(val, 2) AS val
+    FROM (
+        SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+        UNION ALL
+        SELECT s_suppkey, 'nationkey' AS metric, s_nationkey::DOUBLE AS val FROM supplier
+    )
+    """,
+)
+def q25_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide columns to (metric, value) rows via the native
+    unpivot operator (generates an Expand, not a self-union — one scan)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.select(
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.col("s_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("s_suppkey", ["acctbal", "nationkey"], "metric", "val")
+    )
+
+
+@query(
+    "q26_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (quartile fractions are
+    binary-exact, so Spark percentile ≡ DuckDB quantile_cont)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.75).alias("p75"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@query("q27_approx_aggregates", oracle=None)  # approximate by nature: rows-only check
+def q27_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct + t-digest quantiles) — the
+    constant-memory path for 100 TB cardinality/quantile estimation.
+    Sketch values are engine-specific, so no SQL oracle; the pytest
+    bound-check pins them within tolerance of the exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q28_exists_sql",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q28_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL surface (TPC-H Q4 shape) —
+    Catalyst rewrites it to the same left-semi hash join the DataFrame
+    API would produce (q04)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q28")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q28")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders_q28
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem_q28
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        """
+    )

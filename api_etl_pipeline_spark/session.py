@@ -46,6 +46,10 @@ def get_spark(app_name: str = "api_etl_pipeline_spark") -> SparkSession:
         # vectorized reader rejects; read as long and convert in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # managed-table support (bucketing tests): keep the warehouse and
+        # the derby metastore out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/derby")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     spark = builder.getOrCreate()

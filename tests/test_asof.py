@@ -1,0 +1,69 @@
+"""As-of join: the scalable union-tag-window composition vs a per-group
+pandas merge_asof fallback (the §2.10 applyInPandas surface) must agree.
+Also pins the inclusive-match and no-match edge semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.ops.advanced import asof_join_last, q21_asof_join
+from api_etl_pipeline_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    e = load_table(spark, SF_SMOKE, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    got = {
+        (r.purchase_id, r.asof_ts)
+        for r in asof_join_last(
+            purchases, clicks, "user_id", "purchase_ts", "ts", ["ts"]
+        ).collect()
+    }
+
+    pdf_p = purchases.toPandas().sort_values("purchase_ts")
+    pdf_c = clicks.toPandas().sort_values("ts")
+    merged = pd.merge_asof(
+        pdf_p,
+        pdf_c.rename(columns={"ts": "click_ts"}),
+        left_on="purchase_ts",
+        right_on="click_ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        (int(r.purchase_id), None if pd.isna(r.click_ts) else r.click_ts.to_pydatetime())
+        for r in merged.itertuples()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_asof_edge_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 50, "c")], "k int, t int, lbl string"
+    ).select("k", "t", "lbl", F.timestamp_seconds("t").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 150, 20.0), (2, 60, 30.0)], "k int, t int, v double"
+    ).select("k", F.timestamp_seconds("t").alias("rts"), "v")
+    out = {
+        r.lbl: r.asof_v
+        for r in asof_join_last(
+            left.select("k", "lbl", "lts"), right, "k", "lts", "rts", ["v"]
+        ).collect()
+    }
+    assert out["a"] == 10.0  # exact-timestamp match is inclusive
+    assert out["b"] == 20.0  # latest preceding wins
+    assert out["c"] is None  # no right row at-or-before → null
+
+
+def test_q21_has_both_matched_and_unmatched(spark):
+    rows = q21_asof_join(spark, SF_SMOKE).collect()
+    matched = [r for r in rows if r.asof_click_ts is not None]
+    assert len(rows) > 0 and len(matched) > 0
+    assert all(r.asof_click_ts <= r.purchase_ts for r in matched)
