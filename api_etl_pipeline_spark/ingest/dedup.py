@@ -61,3 +61,37 @@ def write_blobs(df: DataFrame, blob_root: str) -> None:
         .partitionBy("bucket")
         .parquet(blob_root)
     )
+
+
+def merge_upsert(existing: DataFrame | None, updates: DataFrame, keys=DEDUP_KEYS) -> DataFrame:
+    """T5 reconciliation MERGE (batch upsert): rows of `existing` whose key
+    appears in `updates` are replaced; everything else is kept. This is
+    `MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT` emulated
+    on plain parquet (delete-and-insert; non-transactional — swap for a
+    table format's MERGE where available, SURVEY §7.4)."""
+    deduped_updates = updates.dropDuplicates(list(keys))
+    if existing is None:
+        return deduped_updates
+    kept = existing.join(deduped_updates.select(*keys), on=list(keys), how="left_anti")
+    return kept.unionByName(deduped_updates)
+
+
+def reconcile_by_hash(
+    existing: DataFrame | None, fresh: DataFrame, keys=("source_url",), hash_col: str = "sha256"
+) -> DataFrame:
+    """T5: the weekly-archive-rebuild reconciliation (dossier :245-252):
+    re-read a window, compare content hashes, and upsert only the rows
+    whose hash changed or whose key is new — the idempotent re-ingest
+    pattern. Returns the merged table; the changed-row subset is what a
+    production job would write."""
+    if existing is None:
+        return fresh.dropDuplicates(list(keys))
+    ex = existing.select(*keys, F.col(hash_col).alias("_existing_hash"))
+    changed = (
+        fresh.join(ex, on=list(keys), how="left")
+        .filter(
+            F.col("_existing_hash").isNull() | (F.col(hash_col) != F.col("_existing_hash"))
+        )
+        .drop("_existing_hash")
+    )
+    return merge_upsert(existing, changed, keys=keys)

@@ -1,0 +1,198 @@
+"""Live HTTP source architecture (SURVEY.md §2.1 S2/S3, §2.9 T6, §3.2).
+
+Spark has no HTTP data source; the reference's rate-limited, retried,
+capture-everything GET/POST client (http_client.py:121-313) maps to a
+`mapInPandas` stage: each partition of the plan table drives its own
+client loop and EMITS THE ATTEMPT LOG AS ROWS (the reference's observer
+callback, U2, becomes a first-class output — the `attempts` DataFrame is
+the provenance grain from which `responses` derives).
+
+Faithfully mirrored semantics:
+- bounded retry: exactly `max_attempts` (default 3), immediate re-try
+  (http_client.py:163,260); retryable = 429/403/5xx (F7, :111-112);
+  transport errors emit status-0 attempts with error_type and retry;
+- exponential backoff with jitter is available (X10, retry_policy.py:13 —
+  declared-but-unused in the reference; here it's wired but defaults to
+  the reference's no-backoff behavior);
+- size cap: body > max_artifact_bytes → error attempt, no retry (F9);
+- rate limiting: token buckets per host (10 rps sec.gov, 5 rps default)
+  and per (subscription_key, host) (3 rps) — rate_limiter.py:6-58.
+
+Scale note: buckets live per partition (executors share no memory). For
+a global limit of R rps across P concurrent partitions, configure each
+bucket at R/P — or front the fetch with a single-partition repartition
+when the API, not the cluster, is the bottleneck. Live transports (httpx)
+are injected; tests use deterministic fake transports, keeping this
+module fully exercised without network.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+# transport: (method, url, headers) -> (status_code, headers, body)
+Transport = Callable[[str, str, dict], tuple[int, dict, bytes]]
+
+SEC_HOST_RPS = 10.0  # http_client.py:158
+DEFAULT_HOST_RPS = 5.0  # http_client.py:255
+APS_KEY_RPS = 3.0  # http_client.py:96-100
+MAX_ARTIFACT_BYTES = 50 * 1024 * 1024  # http_client.py:57-58
+MAX_ATTEMPTS = 3  # http_client.py:163,260
+
+ATTEMPT_SCHEMA = (
+    "item_index bigint, provider string, method string, url string, "
+    "attempt_number int, status_code int, error_type string, "
+    "error_message string, body binary"
+)
+
+
+def is_retryable_status(status: int) -> bool:
+    """F7 (http_client.py:111-112)."""
+    return status in (429, 403) or status >= 500
+
+
+class TokenBucket:
+    """Token-bucket limiter (rate_limiter.py:6-24): capacity `burst`,
+    refill `rate`/s; acquire blocks until a token is available."""
+
+    def __init__(self, rate: float, burst: float = 1.0, clock=time.monotonic,
+                 sleep=time.sleep):
+        self.rate = rate
+        self.burst = burst
+        self.tokens = burst
+        self._clock = clock
+        self._sleep = sleep
+        self._last = clock()
+
+    def acquire(self) -> float:
+        now = self._clock()
+        self.tokens = min(self.burst, self.tokens + (now - self._last) * self.rate)
+        self._last = now
+        waited = 0.0
+        if self.tokens < 1.0:
+            waited = (1.0 - self.tokens) / self.rate
+            self._sleep(waited)
+            self._last = self._clock()
+            self.tokens = 1.0
+        self.tokens -= 1.0
+        return waited
+
+
+@dataclass
+class RateLimiter:
+    """Host-scoped + key-scoped buckets (rate_limiter.py:27-58)."""
+
+    clock: Callable[[], float] = time.monotonic
+    sleep: Callable[[float], None] = time.sleep
+    _host_buckets: dict = field(default_factory=dict)
+    _key_buckets: dict = field(default_factory=dict)
+
+    def acquire_host(self, host: str) -> float:
+        rps = SEC_HOST_RPS if "sec.gov" in host else DEFAULT_HOST_RPS
+        b = self._host_buckets.setdefault(
+            host, TokenBucket(rps, clock=self.clock, sleep=self.sleep)
+        )
+        return b.acquire()
+
+    def acquire_key(self, key: str, host: str) -> float:
+        b = self._key_buckets.setdefault(
+            (key, host), TokenBucket(APS_KEY_RPS, clock=self.clock, sleep=self.sleep)
+        )
+        return b.acquire()
+
+
+def backoff_delays(attempts: int, initial: float = 0.2, maximum: float = 5.0,
+                   jitter: Callable[[int], float] | None = None) -> list[float]:
+    """X10 (retry_policy.py:13): exponential backoff schedule with optional
+    deterministic jitter. The reference declares this and never applies it
+    (SURVEY §3.2); fetch_items defaults to no backoff for parity."""
+    out = []
+    for i in range(attempts):
+        base = min(maximum, initial * (2**i))
+        out.append(base + (jitter(i) if jitter else 0.0))
+    return out
+
+
+def fetch_items(
+    items: Iterator[dict],
+    transport: Transport,
+    *,
+    limiter: RateLimiter | None = None,
+    max_attempts: int = MAX_ATTEMPTS,
+    max_bytes: int = MAX_ARTIFACT_BYTES,
+    backoff: list[float] | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+    subscription_key: str | None = None,
+) -> Iterator[dict]:
+    """The per-partition client loop: for each plan item emit one row per
+    HTTP attempt (successful final attempts carry the body)."""
+    limiter = limiter or RateLimiter()
+    for item in items:
+        method, url = item.get("method", "GET"), item["url"]
+        host = url.split("://", 1)[-1].split("/", 1)[0]
+        for attempt in range(1, max_attempts + 1):
+            limiter.acquire_host(host)
+            if subscription_key and host == "adams-api.nrc.gov":
+                limiter.acquire_key(subscription_key, host)
+            base = {
+                "item_index": item.get("item_index", -1),
+                "provider": item.get("provider", ""),
+                "method": method,
+                "url": url,
+                "attempt_number": attempt,
+            }
+            try:
+                status, headers, body = transport(method, url, item.get("headers") or {})
+            except Exception as exc:  # transport error: status-0 attempt, retry
+                yield {**base, "status_code": 0, "error_type": type(exc).__name__,
+                       "error_message": str(exc)[:400], "body": None}
+                if attempt < max_attempts and backoff:
+                    sleep(backoff[attempt - 1])
+                continue
+            if len(body) > max_bytes:  # F9: cap breach — no retry
+                yield {**base, "status_code": status, "error_type": "ArtifactTooLarge",
+                       "error_message": f"{len(body)} > {max_bytes}", "body": None}
+                break
+            if is_retryable_status(status):
+                yield {**base, "status_code": status, "error_type": "RetryableStatus",
+                       "error_message": f"HTTP {status}", "body": None}
+                if attempt < max_attempts and backoff:
+                    sleep(backoff[attempt - 1])
+                continue
+            if status >= 400:  # non-retryable client error — one attempt
+                yield {**base, "status_code": status, "error_type": "HttpStatusError",
+                       "error_message": f"HTTP {status}", "body": None}
+                break
+            yield {**base, "status_code": status, "error_type": None,
+                   "error_message": None, "body": bytes(body)}
+            break
+
+
+def http_source(plan_df, transport_factory: Callable[[], Transport], **kwargs):
+    """Distributed attempts source: mapInPandas over the plan table. The
+    transport factory is called once per partition (connection reuse);
+    everything is closure-serialized (no repo install on executors)."""
+    import pandas as pd
+
+    def run(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        transport = transport_factory()
+        for pdf in pdfs:
+            rows = list(fetch_items(pdf.to_dict("records"), transport, **kwargs))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return plan_df.mapInPandas(run, schema=ATTEMPT_SCHEMA)
+
+
+def responses_from_attempts(attempts):
+    """Derive the responses table (successful capture grain) from the
+    attempts log — the reference's CapturedResponse is exactly the
+    error-free attempt (http_client.py:147-154)."""
+    from pyspark.sql import functions as F
+
+    return attempts.filter(
+        F.col("error_type").isNull() & (F.col("status_code") >= 200)
+        & (F.col("status_code") < 400)
+    )

@@ -131,12 +131,18 @@ def split_quarantine(df: DataFrame, stage: str, condition: Column):
     structured parse_error records (the reference's quarantine dicts,
     pipeline.py:27-30), rows passing continue. Both branches stay lazy."""
     ok = df.filter(condition)
+    # J3: the parse_error record carries the id of the response that
+    # produced it (pipeline.py:27-30) — no join needed, the id column is
+    # simply carried through the DataFrame
+    rid = (
+        F.col("response_id") if "response_id" in df.columns else F.lit(None).cast("long")
+    )
     errors = df.filter(~condition | condition.isNull()).select(
         F.col("provider"),
         F.lit(stage).alias("stage"),
         F.lit(f"validation failed at stage {stage}").alias("message"),
         F.col("url"),
         F.col("item_index"),
-        F.lit(None).cast("long").alias("response_id"),
+        rid.alias("response_id"),
     )
     return ok, errors

@@ -54,6 +54,9 @@ def fetch_offline(plan: DataFrame, fixtures: DataFrame, provider: str) -> DataFr
     return joined.select(
         "item_index",
         "item_key",
+        # deterministic surrogate response id (replaces SQLite AUTOINCREMENT,
+        # SURVEY §1.1 #3): stable across reruns and partitionings
+        F.xxhash64(F.lit(provider), F.col("url"), F.col("item_index")).alias("response_id"),
         F.lit(provider).alias("provider"),
         F.lit("GET").alias("method"),
         "url",

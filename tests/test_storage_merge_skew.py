@@ -1,0 +1,105 @@
+"""S8 bootstrap idempotency, T5 reconciliation merge, J3 backfill, X14
+settings parsing, and salted aggregation equivalence."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.ingest.dedup import merge_upsert, reconcile_by_hash
+from api_etl_pipeline_spark.ingest.settings import env_bool, env_float, env_int, load_settings
+from api_etl_pipeline_spark.ingest.storage import bootstrap_tables
+from api_etl_pipeline_spark.ops.skew import salted_agg
+from api_etl_pipeline_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_bootstrap_idempotent(spark):
+    r, a = f"resp_{uuid.uuid4().hex[:8]}", f"art_{uuid.uuid4().hex[:8]}"
+    bootstrap_tables(spark, r, a)
+    bootstrap_tables(spark, r, a)  # second call must be a no-op
+    assert spark.table(r).columns[:3] == ["provider", "method", "url"]
+    assert "sha256" in spark.table(a).columns
+    spark.sql(f"DROP TABLE {r}")
+    spark.sql(f"DROP TABLE {a}")
+
+
+def test_merge_upsert_replaces_matched(spark):
+    existing = spark.createDataFrame(
+        [("u1", "h1", "old1"), ("u2", "h2", "old2")], "source_url string, sha256 string, v string"
+    )
+    updates = spark.createDataFrame(
+        [("u2", "h2b", "new2"), ("u3", "h3", "new3")], "source_url string, sha256 string, v string"
+    )
+    out = {r.source_url: (r.sha256, r.v) for r in
+           merge_upsert(existing, updates, keys=("source_url",)).collect()}
+    assert out == {"u1": ("h1", "old1"), "u2": ("h2b", "new2"), "u3": ("h3", "new3")}
+
+
+def test_reconcile_by_hash_only_changed(spark):
+    existing = spark.createDataFrame(
+        [("u1", "h1", 1), ("u2", "h2", 1)], "source_url string, sha256 string, version int"
+    )
+    fresh = spark.createDataFrame(
+        [("u1", "h1", 2),   # same hash: must NOT be upserted (version stays 1)
+         ("u2", "h2x", 2),  # changed hash: replaced
+         ("u3", "h3", 2)],  # new key: inserted
+        "source_url string, sha256 string, version int",
+    )
+    out = {r.source_url: (r.sha256, r.version)
+           for r in reconcile_by_hash(existing, fresh).collect()}
+    assert out == {"u1": ("h1", 1), "u2": ("h2x", 2), "u3": ("h3", 2)}
+
+
+def test_quarantine_backfills_response_id(spark, tmp_path):
+    import shutil
+    from pathlib import Path
+
+    from api_etl_pipeline_spark.ingest.pipeline import run_offline_ingest
+
+    root = tmp_path / "fixtures"
+    shutil.copytree(Path(__file__).parent / "fixtures", root)
+    (root / "sec_edgar" / "submissions.json").write_text("{}")
+    res = run_offline_ingest(spark, "sec_edgar", str(root))
+    err = res.errors_df.collect()[0]
+    assert err.response_id is not None  # J3: id of the metadata response
+
+
+def test_settings_env_parsing(monkeypatch):
+    monkeypatch.setenv("APP_MAX_ARTIFACT_BYTES", "1024")
+    monkeypatch.setenv("APP_PDF_READ_TIMEOUT_SECONDS", "12.5")
+    monkeypatch.setenv("APP_LIVE", "TRUE")
+    monkeypatch.setenv("APP_CAPTURE_GZIP_MIN_BYTES", "not-a-number")  # tolerant
+    s = load_settings()
+    assert s.max_artifact_bytes == 1024
+    assert s.pdf_read_timeout_seconds == 12.5
+    assert s.live is True
+    assert s.capture_gzip_min_bytes == 5_000_000  # default on bad value
+    assert env_bool("NOPE_MISSING", default=False) is False
+    assert env_int("NOPE_MISSING", 7) == 7
+    assert env_float("NOPE_MISSING", 1.5) == 1.5
+
+
+def test_salted_agg_equals_direct(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    direct = {
+        r.l_returnflag: (r.n, r.qty)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (r.n, r.qty)
+        for r in salted_agg(
+            li,
+            key="l_returnflag",
+            spread_col="l_orderkey",
+            aggs={
+                "n": (F.count("*"), F.sum),
+                "qty": (F.sum("l_quantity"), F.sum),  # integer-valued: exact
+            },
+            buckets=8,
+        ).collect()
+    }
+    assert salted == direct
