@@ -67,3 +67,58 @@ def run_summary(
             "parse_errors",
         )
     )
+
+
+def write_run_tree(
+    attempts: DataFrame,
+    responses: DataFrame,
+    artifacts: DataFrame,
+    parse_errors: DataFrame,
+    capture_root: str,
+    run_id: str,
+    status: str = "succeeded",
+) -> None:
+    """S9/S10: the per-run provenance tree as partitioned JSON datasets —
+    the DataFrame-native equivalent of the reference's file tree
+    (run_capture.py: requests/NNNN_*.json, responses/*.meta.json,
+    artifacts.json, run.json):
+
+        <root>/attempts/run_id=<id>/   per-attempt capture records
+                                       (redacted headers, sha256, gates)
+        <root>/gzip_bodies/run_id=<id>/ gzip-coded copies of large bodies
+                                       (F13: the size gate selects rows,
+                                        the writer codec does the gzip)
+        <root>/artifacts/run_id=<id>/  the artifacts manifest
+        <root>/runs/run_id=<id>/       the single-row run summary
+
+    Everything is append-only and partitioned by run_id, so N runs
+    coexist exactly like the reference's timestamped run dirs."""
+    from pyspark.sql import functions as F
+
+    cap = capture_projection(attempts).withColumn("run_id", F.lit(run_id))
+    (
+        cap.drop("body")  # bodies go to the blob store, not the capture rows
+        .write.mode("append")
+        .partitionBy("run_id")
+        .json(f"{capture_root}/attempts")
+    )
+    (
+        cap.filter(F.col("gzip_copy"))
+        .select("run_id", "url", F.base64("body").alias("body_b64"))
+        .write.mode("append")
+        .partitionBy("run_id")
+        .option("compression", "gzip")
+        .json(f"{capture_root}/gzip_bodies")
+    )
+    (
+        artifacts.withColumn("run_id", F.lit(run_id))
+        .write.mode("append")
+        .partitionBy("run_id")
+        .json(f"{capture_root}/artifacts")
+    )
+    (
+        run_summary(responses, artifacts, parse_errors, run_id, status)
+        .write.mode("append")
+        .partitionBy("run_id")
+        .json(f"{capture_root}/runs")
+    )

@@ -177,3 +177,86 @@ def sim03_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot(d, d)).alias("l2_norm"),
         _bucket(d).alias("bucket"),
     )
+
+
+_DUCK_IVF_CENTROIDS = "SELECT vec_id AS cent_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8"
+
+
+@query(
+    "sim04_ivf_assign",
+    oracle=f"""
+    WITH cents AS ({_DUCK_IVF_CENTROIDS}),
+    v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+        SELECT v.vec_id, v.label, c.cent_id,
+               {_duck_cosine('v.e', 'c.ce')} AS cos_to_cent
+        FROM v CROSS JOIN cents c
+    )
+    SELECT vec_id, label, cent_id AS ivf_cell, cos_to_cent
+    FROM (
+        SELECT vec_id, label, cent_id, cos_to_cent,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cos_to_cent DESC, cent_id ASC
+               ) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+    """,
+)
+def sim04_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) coarse quantization: every vector is assigned to
+    its nearest centroid (here: the first 8 vectors as deterministic
+    seeds; production would k-means them). The cell id becomes the
+    partition key of the ANN index — queries then probe 1..n_probe cells
+    instead of the corpus. Centroids broadcast; assignment is one narrow
+    pass + a per-vector top-1 window."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("ce")
+    )
+    v = e.select("vec_id", "label", _dvec("embedding").alias("e"))
+    scored = F.broadcast(cents).crossJoin(v).select(
+        "vec_id", "label", "cent_id", _cosine(F.col("e"), F.col("ce")).alias("cos_to_cent")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_to_cent").desc(), F.col("cent_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("cent_id").alias("ivf_cell"), "cos_to_cent")
+    )
+
+
+@query(
+    "dd08_embedding_near_dup",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               {_DUCK_BUCKET.format(e='embedding::DOUBLE[]')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_duck_cosine('a.e', 'b.e')} AS cosine
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_duck_cosine('a.e', 'b.e')} >= 0.3
+    """,
+)
+def dd08_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: LSH-bucketed candidate
+    pairs (sign-bit buckets bound the self-join) filtered to a cosine
+    threshold (0.3 here — the synthetic vectors are near-orthogonal; real
+    paraphrase embeddings would use ~0.9)
+    — the semantic-dedup stage of an LLM-data pipeline (exact/minhash
+    dedup catches lexical dups; this catches paraphrases). Registered in
+    llm_ops/dedup.py's family but lives here with the vector machinery."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding").alias("e")).withColumn(
+        "bucket", _bucket(F.col("e"))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = _cosine(F.col("a.e"), F.col("b.e"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )

@@ -41,9 +41,16 @@ HEADLINE = [
 OPTIONAL = [
     "dd01_exact_dup_groups",
     "dd04_minhash_lsh_pairs",
+    "dd06_simhash",
     "sim01_cosine_topk",
+    "sim04_ivf_assign",
     "tx02_quality_score",
+    "tx05_bigram_freq",
     "st01_tumbling_window",
+    "st03_sessionization",
+    "q21_asof_join",
+    "q22_range_join",
+    "ing01_dedup_insert",
 ]
 
 

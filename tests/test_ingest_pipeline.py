@@ -168,3 +168,46 @@ def test_plan_limit_min_one(spark):
              {"cik10": "2", "fixture_name": "b", "url": "u2"}]
     assert plan_source(spark, items, limit=0).count() == 1  # F11 floor
     assert plan_source(spark, items, limit=2).count() == 2
+
+
+def test_run_capture_tree(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.ingest.capture import write_run_tree
+
+    attempts = spark.createDataFrame(
+        [
+            ("p", "GET", "https://x/1", None, 200,
+             '{"authorization":"Bearer s3cret","content-type":"application/json"}',
+             b"tiny", 1),
+            ("p", "GET", "https://x/2", None, 200,
+             '{"content-type":"application/json"}', b"B" * 6_000_000, 2),
+        ],
+        "provider string, method string, url string, params_json string, "
+        "status_code int, headers_json string, body binary, item_index int",
+    ).withColumn("run_id", F.lit("r1"))
+    responses = attempts
+    artifacts = spark.createDataFrame(
+        [("p", "https://x/2", "ab" * 32, 6_000_000, "blobs/ab/x", 2)],
+        "provider string, source_url string, sha256 string, bytes long, "
+        "blob_path string, response_id long",
+    )
+    errors = spark.createDataFrame([], "provider string, stage string")
+    root = str(tmp_path / "capture")
+    write_run_tree(attempts, responses, artifacts, errors, root, "run-42")
+
+    caps = spark.read.json(f"{root}/attempts").collect()
+    assert len(caps) == 2
+    by_url = {r.url: r for r in caps}
+    assert '"authorization":"***REDACTED***"' in by_url["https://x/1"].headers_redacted
+    assert by_url["https://x/1"].pretty_view and not by_url["https://x/1"].gzip_copy
+    assert by_url["https://x/2"].gzip_copy and not by_url["https://x/2"].pretty_view
+
+    import glob
+    gz = glob.glob(f"{root}/gzip_bodies/run_id=run-42/*.json.gz")
+    assert gz, "large body must be written with the gzip codec"
+    assert spark.read.json(f"{root}/gzip_bodies").count() == 1
+
+    run = spark.read.json(f"{root}/runs").collect()[0]
+    assert run.status == "succeeded" and run.responses == 2 and run.artifacts == 1
+    assert spark.read.json(f"{root}/artifacts").collect()[0].sha256 == "ab" * 32
