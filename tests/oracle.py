@@ -32,7 +32,34 @@ def _norm(v):
     return v
 
 
+# normalize engine type names to a common vocabulary so schema drift is
+# caught locally before the driver's stricter compare sees it
+_SPARK_TYPES = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int64",
+    "float": "float", "double": "float64", "string": "string",
+    "boolean": "bool", "date": "date", "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp", "binary": "binary",
+}
+_DUCK_TYPES = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int64",
+    "HUGEINT": "int128", "FLOAT": "float", "DOUBLE": "float64",
+    "VARCHAR": "string", "BOOLEAN": "bool", "DATE": "date",
+    "TIMESTAMP": "timestamp", "TIMESTAMP_NS": "timestamp", "BLOB": "binary",
+}
+
+
+def _norm_type(name: str, table: dict) -> str:
+    base = name.split("(")[0].strip()
+    return table.get(base, base.lower())
+
+
 def compare(spark_df, duck_con, oracle_sql: str) -> None:
+    duck_types = {
+        name: _norm_type(typ, _DUCK_TYPES)
+        for name, typ in duck_con.execute(
+            f"SELECT column_name, column_type FROM (DESCRIBE {oracle_sql})"
+        ).fetchall()
+    }
     duck_rel = duck_con.execute(oracle_sql)
     duck_cols = [d[0] for d in duck_rel.description]
     duck_rows = duck_rel.fetchall()
@@ -41,6 +68,13 @@ def compare(spark_df, duck_con, oracle_sql: str) -> None:
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
     )
+    spark_types = {f: _norm_type(t, _SPARK_TYPES) for f, t in spark_df.dtypes}
+    type_mismatch = {
+        c: (spark_types[c], duck_types[c])
+        for c in spark_cols
+        if spark_types[c] != duck_types[c]
+    }
+    assert not type_mismatch, f"type mismatch (spark, duck): {type_mismatch}"
     # align duck column order to spark's, then sort columns by name like the driver
     order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     duck_idx = {c: i for i, c in enumerate(duck_cols)}

