@@ -1,0 +1,105 @@
+"""CLI entry point (SURVEY.md §3.1 — the reference's production surface,
+cli.py:26-31: `run --provider X [--limit N]`, rebuilt Spark-first).
+
+    python -m api_etl_pipeline_spark.cli run --provider sec_edgar \
+        --fixture-root tests/fixtures --warehouse /tmp/wh [--limit 1]
+    python -m api_etl_pipeline_spark.cli query q01_pricing_summary \
+        [--sf-dir /root/testdata/sf0.01] [--show 10]
+    python -m api_etl_pipeline_spark.cli list
+
+Exit codes mirror the reference: 0 on success, 1 on failure (with the
+error written to <warehouse>/error.txt when a warehouse is given —
+run_capture.py:186-187 parity).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import traceback
+from pathlib import Path
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="api_etl_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="offline ingest run (reference parity)")
+    run.add_argument("--provider", required=True)
+    run.add_argument("--fixture-root", required=True)
+    run.add_argument("--warehouse", default=None)
+    run.add_argument("--limit", type=int, default=1)
+    run.add_argument("--run-id", default="run-0001")
+
+    q = sub.add_parser("query", help="run a registered engine query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--show", type=int, default=20)
+
+    sub.add_parser("list", help="list registered queries")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from api_etl_pipeline_spark.registry import all_queries
+
+    if args.cmd == "list":
+        for name, spec in sorted(all_queries().items()):
+            kind = "oracle" if spec.oracle else "rows-only"
+            doc = " ".join(spec.doc.split())[:70]
+            print(f"{name:32s} [{kind}] {doc}")
+        return 0
+
+    from api_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("cli")
+    if args.cmd == "query":
+        specs = all_queries()
+        if args.name not in specs:
+            print(f"unknown query {args.name!r}; `list` shows all", file=sys.stderr)
+            return 1
+        df = specs[args.name].fn(spark, args.sf_dir)
+        df.show(args.show, truncate=False)
+        print(f"rows: {df.count()}")
+        return 0
+
+    # cmd == run
+    from api_etl_pipeline_spark.ingest.pipeline import run_offline_ingest
+
+    try:
+        res = run_offline_ingest(
+            spark,
+            args.provider,
+            args.fixture_root,
+            warehouse=args.warehouse,
+            limit=args.limit,
+            run_id=args.run_id,
+        )
+    except Exception as exc:
+        if args.warehouse:
+            Path(args.warehouse).mkdir(parents=True, exist_ok=True)
+            (Path(args.warehouse) / "error.txt").write_text(
+                f"{exc}\n\n{traceback.format_exc()}"
+            )
+        print(f"run failed: {exc}", file=sys.stderr)
+        return 1
+    print(
+        json.dumps(
+            {
+                "run_id": args.run_id,
+                "provider": args.provider,
+                "status": "succeeded",
+                "responses": res.responses,
+                "artifacts": res.artifacts,
+                "parse_errors": res.parse_errors,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -531,3 +531,118 @@ def q14_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("kind"),
     )
     return c.unionByName(s).groupBy("nationkey", "kind").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q20_min_cost_supplier",
+    oracle="""
+    WITH cheapest AS (
+        SELECT l_partkey, MIN(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, l.l_suppkey,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+    FROM lineitem l
+    JOIN cheapest c ON l.l_partkey = c.l_partkey AND l.l_extendedprice = c.min_price
+    """,
+)
+def q20_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated 'rows equal to the per-group minimum'
+    subquery decorrelated into an aggregate + self-join — the plan Catalyst
+    produces for the correlated form as well. (Float equality is safe:
+    both sides compare the same stored doubles, no arithmetic.)"""
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    cheapest = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("c_partkey"))
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    return (
+        li.join(
+            cheapest,
+            (F.col("l.l_partkey") == F.col("c_partkey"))
+            & (F.col("l.l_extendedprice") == F.col("min_price")),
+        )
+        .select(
+            F.col("l.l_partkey").alias("l_partkey"),
+            "l_suppkey",
+            F.col("l.l_extendedprice").cast("decimal(18,2)").cast("double").alias("price"),
+        )
+    )
+
+
+@query(
+    "q29_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q29_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate → scalar-subquery max → equality filter.
+    The exact-decimal revenue makes the max comparison deterministic (no
+    float-equality hazard across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q30_promo_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS promo_share,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def q30_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio per month (promo revenue
+    share). Both sums are exact decimals; the single final division is the
+    only float op — deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            (F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias("promo_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )

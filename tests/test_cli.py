@@ -1,0 +1,44 @@
+"""CLI surface (SURVEY §3.1 parity): run/list/query subcommands, exit
+codes, and the error.txt failure capture — in-process via cli.main."""
+
+from __future__ import annotations
+
+import json
+
+from api_etl_pipeline_spark.cli import main
+
+
+def test_cli_run_happy_path(spark, tmp_path, capsys):
+    rc = main([
+        "run", "--provider", "sec_edgar", "--fixture-root", "tests/fixtures",
+        "--warehouse", str(tmp_path / "wh"), "--run-id", "run-cli",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {
+        "run_id": "run-cli", "provider": "sec_edgar", "status": "succeeded",
+        "responses": 2, "artifacts": 1, "parse_errors": 0,
+    }
+
+
+def test_cli_run_failure_writes_error_txt(spark, tmp_path):
+    wh = tmp_path / "wh"
+    rc = main([
+        "run", "--provider", "nope", "--fixture-root", "tests/fixtures",
+        "--warehouse", str(wh),
+    ])
+    assert rc == 1
+    assert "unknown provider" in (wh / "error.txt").read_text()
+
+
+def test_cli_list_and_query(spark, capsys):
+    assert main(["list"]) == 0
+    listing = capsys.readouterr().out
+    assert "q01_pricing_summary" in listing and "[oracle]" in listing
+    assert "mm01_multimodal_features" in listing and "[rows-only]" in listing
+
+    rc = main(["query", "q19_limit_min_one", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    assert "rows: 1" in capsys.readouterr().out
+
+    assert main(["query", "definitely_not_a_query"]) == 1
