@@ -109,7 +109,8 @@ def w03_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+                        l_extendedprice ASC, l_discount ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_revenue
     FROM lineitem
@@ -121,7 +122,17 @@ def w04_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy(F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        # the testdata has duplicate (orderkey, linenumber) rows at some
+        # SFs — extend the ordering to a TOTAL order over the contributing
+        # columns so prefix sums are engine-independent (fully identical
+        # rows are interchangeable: same output multiset either way)
+        .orderBy(
+            F.col("l_shipdate").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+            F.col("l_extendedprice").asc(),
+            F.col("l_discount").asc(),
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return li.select(
