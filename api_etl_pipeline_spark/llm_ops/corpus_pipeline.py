@@ -1,0 +1,154 @@
+"""End-to-end training-corpus cleaning pipeline — the composite workload
+this engine exists for at 100 TB: ingest-grade documents go in, a
+deduplicated, quality-filtered, fingerprinted corpus comes out.
+
+Stage chain (each stage is a pure DataFrame transformation; the whole
+chain is ONE lazy plan — Catalyst fuses the filters and the dedup
+shuffles are the only exchanges):
+
+1. quality gate   — tx02 rules: length ≥ 8 tokens, lexical diversity,
+                    stopword ratio (junk drops here, cheapest first);
+2. exact dedup    — keeper = min(doc_id) per content sha256;
+3. near dedup     — keeper = min(doc_id) per MinHash band bucket: docs
+                    agreeing on ANY band collapse to the bucket keeper
+                    (transitively resolved per band pass — one pass is
+                    the standard large-scale approximation);
+4. emission       — canonical record: fingerprint, token stats, language.
+
+Every stage is SQL-expressible, so the WHOLE pipeline is verified by the
+DuckDB differential oracle (llm01) — rare for a multi-stage pipeline and
+exactly the point of building it declaratively. llm02 reports the
+per-stage funnel counts (the data-loss audit every corpus build needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.llm_ops.dedup import _DUCK_SIGNATURES, _signatures
+from api_etl_pipeline_spark.llm_ops.text import EN_STOPWORDS
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+_DUCK_QUALITY = f"""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM (
+        SELECT *, string_split(text, ' ') AS toks FROM documents
+    )
+    WHERE len(toks) >= 8
+      AND (len(list_distinct(toks)) / len(toks)) >= 0.3
+      AND (len(list_filter(toks, t -> t IN {EN_STOPWORDS})) / len(toks)) <= 0.5
+"""
+
+# exact-dedup keepers among quality survivors
+_DUCK_EXACT = f"""
+    SELECT q.* FROM ({_DUCK_QUALITY}) q
+    JOIN (
+        SELECT MIN(doc_id) AS keeper FROM ({_DUCK_QUALITY}) GROUP BY sha256(text)
+    ) k ON q.doc_id = k.keeper
+"""
+
+# near-dedup: smallest doc_id within any shared MinHash band bucket wins
+_DUCK_NEAR = f"""
+    WITH sig AS ({_DUCK_SIGNATURES}),
+    bands AS (
+        SELECT doc_id, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) AS bucket FROM sig
+    ),
+    exact AS ({_DUCK_EXACT}),
+    demoted AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands a
+        JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE a.doc_id IN (SELECT doc_id FROM exact)
+          AND b.doc_id IN (SELECT doc_id FROM exact)
+    )
+    SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM demoted)
+"""
+
+
+def quality_gate(d: DataFrame) -> DataFrame:
+    toks = F.col("toks")
+    return (
+        d.withColumn("toks", F.split("text", " "))
+        .filter(
+            (F.size(toks) >= 8)
+            & ((F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.3)
+            & (
+                (F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / F.size(toks))
+                <= 0.5
+            )
+        )
+        .drop("toks")
+    )
+
+
+def exact_dedup_keep_min(d: DataFrame) -> DataFrame:
+    keepers = (
+        d.groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("_h"))
+        .agg(F.min("doc_id").alias("keeper"))
+        .select("keeper")
+    )
+    return d.join(keepers, d.doc_id == keepers.keeper, "left_semi")
+
+
+def near_dedup_keep_min(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataFrame:
+    sig = _signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.md5(F.concat_ws("_", F.col("mh0").cast("string"), F.col("mh1").cast("string")).cast("binary")),
+                F.md5(F.concat_ws("_", F.col("mh2").cast("string"), F.col("mh3").cast("string")).cast("binary")),
+            )
+        ).alias("bucket"),
+    )
+    survivors = d.select("doc_id")
+    live_bands = bands.join(survivors, "doc_id", "left_semi")
+    a, b = live_bands.alias("a"), live_bands.alias("b")
+    demoted = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return d.join(demoted, "doc_id", "left_anti")
+
+
+@query("llm01_clean_corpus", oracle=_DUCK_NEAR)
+def llm01_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned corpus: quality gate → exact dedup → MinHash near-dedup,
+    keeper = min doc_id at every stage (deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_gate(d)
+    e = exact_dedup_keep_min(q)
+    return near_dedup_keep_min(spark, sf_dir, e).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "llm02_corpus_funnel",
+    oracle=f"""
+    SELECT (SELECT COUNT(*) FROM documents)::BIGINT        AS n_input,
+           (SELECT COUNT(*) FROM ({_DUCK_QUALITY}))::BIGINT AS n_quality,
+           (SELECT COUNT(*) FROM ({_DUCK_EXACT}))::BIGINT   AS n_exact_unique,
+           (SELECT COUNT(*) FROM ({_DUCK_NEAR}))::BIGINT    AS n_clean
+    """,
+)
+def llm02_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage funnel counts — the survival audit of the corpus build."""
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_gate(d)
+    e = exact_dedup_keep_min(q)
+    n = near_dedup_keep_min(spark, sf_dir, e)
+    return (
+        d.agg(F.count("*").alias("n_input"))
+        .crossJoin(q.agg(F.count("*").alias("n_quality")))
+        .crossJoin(e.agg(F.count("*").alias("n_exact_unique")))
+        .crossJoin(n.agg(F.count("*").alias("n_clean")))
+    )

@@ -646,3 +646,38 @@ def q30_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "q31_small_qty_revenue",
+    oracle="""
+    WITH avg_qty AS (
+        SELECT l_partkey AS ap_partkey,
+               SUM(l_quantity) / COUNT(l_quantity) AS part_avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem l
+    JOIN avg_qty a ON l.l_partkey = a.ap_partkey
+    WHERE l.l_quantity < 0.5 * a.part_avg_qty
+    """,
+)
+def q31_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average decorrelated into an
+    aggregate + join; the threshold comparison is deterministic because
+    the per-part average is an exact-integer sum divided once."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("part_avg_qty")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("part_avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -58,7 +58,13 @@ def _load_all() -> None:
     from api_etl_pipeline_spark.ops import advanced, relational, scalar, windows  # noqa: F401
     from api_etl_pipeline_spark import ingest  # noqa: F401
     from api_etl_pipeline_spark.ingest import queries as ingest_queries  # noqa: F401
-    from api_etl_pipeline_spark.llm_ops import dedup, multimodal, similarity, text  # noqa: F401
+    from api_etl_pipeline_spark.llm_ops import (  # noqa: F401
+        corpus_pipeline,
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
     from api_etl_pipeline_spark.streaming import batch_windows  # noqa: F401
 
 

@@ -69,3 +69,16 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def write_with_foreach_batch(stream: DataFrame, out_dir: str) -> "object":
+    """Exactly-once-style file sink via foreachBatch (SURVEY guide: 'for
+    exactly-once sinks: foreachBatch'): each micro-batch lands in an
+    epoch-suffixed directory, so replays of an epoch overwrite rather
+    than duplicate — idempotent against micro-batch retries. Returns the
+    started query (caller drives/stops it)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return stream.writeStream.foreachBatch(sink).start()

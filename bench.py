@@ -51,6 +51,8 @@ OPTIONAL = [
     "q21_asof_join",
     "q22_range_join",
     "ing01_dedup_insert",
+    "llm01_clean_corpus",
+    "llm02_corpus_funnel",
 ]
 
 

@@ -110,3 +110,17 @@ def test_stream_sliding_append_respects_watermark(spark, qname):
     assert all(r.window_start + dt.timedelta(hours=1) <= horizon + dt.timedelta(hours=1)
                for r in rows)
     assert len(rows) > 0
+
+
+def test_foreach_batch_sink_idempotent_epochs(spark, tmp_path):
+    from api_etl_pipeline_spark.streaming.stream_ops import write_with_foreach_batch
+
+    stream, batch = _events_stream(spark)
+    out = str(tmp_path / "sink")
+    q = write_with_foreach_batch(stream.select("event_id", "user_id", "ts"), out)
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.parquet(out)
+    assert written.count() == batch.count()
+    # exactly the source rows, no duplicates
+    assert written.select("event_id").distinct().count() == batch.count()
