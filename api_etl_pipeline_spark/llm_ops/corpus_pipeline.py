@@ -106,7 +106,11 @@ def near_dedup_keep_min(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataF
         ).alias("bucket"),
     )
     survivors = d.select("doc_id")
-    live_bands = bands.join(survivors, "doc_id", "left_semi")
+    # the band table is tiny (2 rows per doc) but sits on BOTH sides of the
+    # self-join — materialize it once instead of recomputing the whole
+    # shingle->signature subtree per side (localCheckpoint truncates the
+    # lineage; at cluster scale use a reliable checkpoint dir)
+    live_bands = bands.join(survivors, "doc_id", "left_semi").localCheckpoint(eager=False)
     a, b = live_bands.alias("a"), live_bands.alias("b")
     demoted = (
         a.join(
