@@ -50,13 +50,19 @@ def dedup_insert(new_rows: DataFrame, existing: DataFrame | None, keys=DEDUP_KEY
 
 def write_blobs(df: DataFrame, blob_root: str) -> None:
     """S7: content-addressed blob sink — bytes partitioned by hash prefix.
-    Write-once semantics come from deduping by sha256 before the append;
-    the 2-char prefix keeps directory fan-out bounded (256 dirs) and
-    aligns file layout with the dedup shuffle partitioning."""
+    Write-once semantics (blob_store.py:12-13: skip existing paths) =
+    dedupe within the batch AND against the existing sink before the
+    append; the 2-char prefix keeps directory fan-out bounded (256 dirs)
+    and aligns file layout with the dedup shuffle partitioning."""
+    new = df.select(F.col("sha256"), F.col("body")).dropDuplicates(["sha256"])
+    try:
+        existing = new.sparkSession.read.parquet(blob_root).select("sha256")
+    except Exception:
+        existing = None
+    if existing is not None:
+        new = new.join(existing, "sha256", "left_anti")
     (
-        df.select(F.col("sha256"), F.col("body"))
-        .dropDuplicates(["sha256"])
-        .withColumn("bucket", blob_bucket(F.col("sha256")))
+        new.withColumn("bucket", blob_bucket(F.col("sha256")))
         .write.mode("append")
         .partitionBy("bucket")
         .parquet(blob_root)

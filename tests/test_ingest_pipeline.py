@@ -211,3 +211,13 @@ def test_run_capture_tree(spark, tmp_path):
     run = spark.read.json(f"{root}/runs").collect()[0]
     assert run.status == "succeeded" and run.responses == 2 and run.artifacts == 1
     assert spark.read.json(f"{root}/artifacts").collect()[0].sha256 == "ab" * 32
+
+
+def test_blob_store_write_once(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    run_offline_ingest(spark, "sec_edgar", FIXTURES, warehouse=wh)
+    run_offline_ingest(spark, "sec_edgar", FIXTURES, warehouse=wh)
+    blobs = spark.read.parquet(f"{wh}/blobs")
+    # write-once (blob_store.py:12-13): the rerun must not duplicate bytes
+    assert blobs.count() == 1
+    assert blobs.select("sha256").distinct().count() == 1
