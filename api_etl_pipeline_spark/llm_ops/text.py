@@ -184,3 +184,36 @@ def tx05_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "tx06_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT          AS n_words,
+           len(regexp_extract_all(text, '[0-9]+'))::BIGINT             AS n_numbers,
+           len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::BIGINT      AS n_punct,
+           (len(regexp_extract_all(text, '[A-Za-z]+'))
+            + len(regexp_extract_all(text, '[0-9]+'))
+            + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')))::BIGINT  AS n_bpe_tokens,
+           len(string_split(text, ' '))::BIGINT                        AS n_ws_tokens
+    FROM documents
+    """,
+)
+def tx06_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: the classic pre-tokenizer split (letter
+    runs | digit runs | single punctuation) that approximates BPE token
+    counts, next to the plain whitespace count. The regex classes are
+    engine-portable (same semantics in Java regex and RE2)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0))
+    numbers = F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))
+    punct = F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(numbers).cast("bigint").alias("n_numbers"),
+        F.size(punct).cast("bigint").alias("n_punct"),
+        (F.size(words) + F.size(numbers) + F.size(punct)).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+    )

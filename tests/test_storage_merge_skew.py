@@ -103,3 +103,19 @@ def test_salted_agg_equals_direct(spark):
         ).collect()
     }
     assert salted == direct
+
+
+def test_bloom_dedup_equals_plain(spark):
+    from api_etl_pipeline_spark.ingest.dedup import dedup_insert, dedup_insert_bloom
+    from api_etl_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        F.format_string("u-%d", F.col("doc_id")).alias("source_url"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256"),
+        "doc_id",
+    )
+    existing = d.filter(F.col("doc_id") % 3 == 0)
+    plain = {r.doc_id for r in dedup_insert(d, existing).collect()}
+    bloom = {r.doc_id for r in dedup_insert_bloom(d, existing, expected_items=10_000).collect()}
+    assert bloom == plain and len(plain) > 0
