@@ -217,3 +217,34 @@ def tx06_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(words) + F.size(numbers) + F.size(punct)).cast("bigint").alias("n_bpe_tokens"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
     )
+
+
+@query(
+    "tx07_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.prefix, b.prefix)::BIGINT AS edit_distance,
+           (levenshtein(a.prefix, b.prefix) <= 10) AS fuzzy_match
+    FROM (SELECT doc_id, substr(text, 1, 40) AS prefix FROM documents WHERE doc_id < 50) a
+    JOIN (SELECT doc_id, substr(text, 1, 40) AS prefix FROM documents) b
+      ON b.doc_id = a.doc_id + 50
+    """,
+)
+def tx07_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching by edit distance over document prefixes (the
+    verification-grade companion to hash-based near-dup: O(L²) per pair,
+    so only ever run on candidate pairs — here the fixed pair lattice)."""
+    d = load_table(spark, sf_dir, "documents")
+    pref = d.select("doc_id", F.substring("text", 1, 40).alias("prefix"))
+    a = pref.filter(F.col("doc_id") < 50).alias("a")
+    b = pref.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).cast("bigint")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 50)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_distance"),
+            (dist <= 10).alias("fuzzy_match"),
+        )
+    )

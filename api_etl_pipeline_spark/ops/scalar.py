@@ -307,3 +307,34 @@ def x11_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("date_str"),
     )
+
+
+@query(
+    "x12_array_functions",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct((string_split(text, ' '))[1:6]))        AS first_tokens,
+           len(list_distinct((string_split(text, ' '))[1:6]))::BIGINT      AS n_distinct_first,
+           list_contains(string_split(text, ' '), 'the')                   AS has_the,
+           list_position(string_split(text, ' '), 'the')::BIGINT           AS the_pos,
+           array_to_string(list_sort(list_distinct((string_split(text, ' '))[1:3])), '|')
+                                                                           AS key3
+    FROM documents
+    """,
+)
+def x12_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function suite (X12 extended): slice, distinct, sort,
+    contains, position, join — the building blocks the shingle/dedup
+    operators compose. list_position/array_position agree cross-engine:
+    1-based, 0 for missing (exercised — ~20% of docs lack 'the')."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    first6 = F.array_distinct(F.slice(toks, 1, 6))
+    return d.select(
+        "doc_id",
+        F.array_sort(first6).alias("first_tokens"),
+        F.size(first6).cast("bigint").alias("n_distinct_first"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_position(toks, "the").cast("bigint").alias("the_pos"),
+        F.array_join(F.array_sort(F.array_distinct(F.slice(toks, 1, 3))), "|").alias("key3"),
+    )

@@ -82,3 +82,28 @@ def write_with_foreach_batch(stream: DataFrame, out_dir: str) -> "object":
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
     return stream.writeStream.foreachBatch(sink).start()
+
+
+def purchase_click_stream_join(purchases: DataFrame, clicks: DataFrame,
+                               watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join (the q22 range-join semantics as two
+    live streams): each purchase joins clicks of the same user within the
+    preceding hour. Both sides carry watermarks + the time-range
+    predicate, so Spark can bound the join state buffers on each side —
+    without them the state would grow forever."""
+    from pyspark.sql import functions as F
+
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    return p.join(
+        c,
+        F.expr("c_user = p_user AND c_ts > p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"),
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id", "c_ts")

@@ -49,6 +49,11 @@ _DUCK_TYPES = {
 
 
 def _norm_type(name: str, table: dict) -> str:
+    name = name.strip()
+    if name.endswith("[]"):  # duckdb list type
+        return f"array<{_norm_type(name[:-2], table)}>"
+    if name.lower().startswith("array<") and name.endswith(">"):
+        return f"array<{_norm_type(name[6:-1], table)}>"
     base = name.split("(")[0].strip()
     return table.get(base, base.lower())
 

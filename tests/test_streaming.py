@@ -124,3 +124,26 @@ def test_foreach_batch_sink_idempotent_epochs(spark, tmp_path):
     assert written.count() == batch.count()
     # exactly the source rows, no duplicates
     assert written.select("event_id").distinct().count() == batch.count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, qname):
+    from api_etl_pipeline_spark.streaming.stream_ops import purchase_click_stream_join
+
+    stream, batch = _events_stream(spark)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    out = purchase_click_stream_join(purchases, clicks)
+    _run_to_memory(out, qname, "append")
+    got = {(r.purchase_id, r.click_id)
+           for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+
+    bp = batch.filter(F.col("event_type") == "purchase").alias("p")
+    bc = batch.filter(F.col("event_type") == "click").alias("c")
+    want_df = bp.join(
+        bc,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.ts") > F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") <= F.col("p.ts")),
+    ).select(F.col("p.event_id").alias("purchase_id"), F.col("c.event_id").alias("click_id"))
+    want = {(r.purchase_id, r.click_id) for r in want_df.collect()}
+    assert got == want and len(got) > 0
