@@ -179,7 +179,7 @@ def ing05_normalized_emission(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.lit("2025-01-01").cast("date"), (F.col("doc_id") % 365).cast("int")).alias(
             "document_date"
         ),
-        F.timestamp_millis(F.lit(1735689600000) + F.col("doc_id") * 60000).alias(
+        F.expr("cast(timestamp_millis(1735689600000 + doc_id * 60000) as timestamp_ntz)").alias(
             "date_added_timestamp"
         ),
         F.format_string(

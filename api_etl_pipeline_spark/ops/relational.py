@@ -640,7 +640,7 @@ def q30_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("timestamp_ntz").alias("ship_month"))
         .agg(
             (F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias("promo_share"),
             F.count("*").alias("n_lines"),

@@ -142,7 +142,10 @@ def x05_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy(
-            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            # date_trunc returns a zoned timestamp even for NTZ input; cast
+            # back so collection is timezone-independent (session tz is
+            # pinned UTC by ensure_engine_confs, making the cast exact)
+            F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("order_month"),
             F.year("o_orderdate").cast("bigint").alias("order_year"),
             F.month("o_orderdate").cast("bigint").alias("order_mon"),
         )

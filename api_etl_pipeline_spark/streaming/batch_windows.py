@@ -116,10 +116,12 @@ def st03_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stream_ops.py, pinned against this in tests)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    prev_ts = F.lag("ts").over(w)
     marked = e.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(
+            prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+        ).otherwise(0),
     )
     sessions = marked.withColumn(
         "session_no",
@@ -187,7 +189,7 @@ def st05_watermark_sync_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     then advance to max(ts). The overlap re-read + st04's dedup together
     are the reference's watermark sync protocol as batch MERGE."""
     e = load_table(spark, sf_dir, "events")
-    prev_watermark = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    prev_watermark = F.lit("2024-01-10 00:00:00").cast("timestamp_ntz")
     return (
         e.filter(F.col("ts") > prev_watermark - F.expr("INTERVAL 48 HOURS"))
         .groupBy("event_type")

@@ -37,17 +37,41 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Engine-required runtime SQL confs, applied defensively to WHATEVER
+    session the caller provides (the driver harness passes its own
+    vanilla SparkSession to entry()/queries() — without these, events
+    reads throw PARQUET_TYPE_ILLEGAL, the NRC dual-casing schema fails to
+    resolve, and non-UTC sessions shift collected timestamps vs the
+    DuckDB oracle). All three are runtime-settable and idempotent."""
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.caseSensitive", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            if spark.conf.get(key, None) != val:
+                spark.conf.set(key, val)
+        except Exception:
+            pass  # conf not settable in this deployment — queries may still work
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # parquet TIMESTAMP(NANOS) read via nanosAsLong: truncate ns → µs with
-        # integer division (matches DuckDB's ns→µs truncation), then rebuild
-        # a proper TimestampType column.
+        # parquet TIMESTAMP(NANOS) read via nanosAsLong: truncate ns → µs
+        # (matches DuckDB's truncation) and rebuild as TIMESTAMP_NTZ — the
+        # same naive type the other tables read as. NTZ collects without
+        # any timezone conversion, so results are identical no matter what
+        # timezone the caller's session or Python process runs in.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
     return df
 
 
@@ -69,6 +93,9 @@ def load_events_stream(spark: SparkSession, directory: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
+    # streaming watermarks require TimestampType (not NTZ) — the batch
+    # loader's NTZ choice is for timezone-proof collection; streams keep
+    # the zoned type the watermark machinery expects
     raw = spark.readStream.schema(schema).format("parquet").load(directory)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
