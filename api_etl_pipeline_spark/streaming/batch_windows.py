@@ -195,3 +195,38 @@ def st05_watermark_sync_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("ts").alias("new_watermark"), F.count("*").alias("n_since"))
     )
+
+
+@query("st06_streaming_tumbling_live", oracle=None)  # live stream: rows-only
+def st06_streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 as an ACTUAL Structured Streaming run, surfaced to the driver's
+    rows-only check: stage the events parquet as a file stream, run the
+    watermarked tumbling aggregation (stream_ops.tumbling_counts) to a
+    memory sink, drain it synchronously, and return the materialized
+    result. Equality with the batch twin (st01) is pinned in
+    tests/test_streaming.py; here the driver sees that the streaming
+    path executes and yields a stable schema."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from api_etl_pipeline_spark.streaming.stream_ops import tumbling_counts
+    from api_etl_pipeline_spark.tables import load_events_stream
+
+    stage_dir = tempfile.mkdtemp(prefix="st06_events_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    stream = load_events_stream(spark, stage_dir)
+    name = "st06_" + uuid.uuid4().hex[:10]
+    q = (
+        tumbling_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # zoned window_start -> NTZ for timezone-independent collection
+    return spark.table(name).withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
