@@ -341,3 +341,57 @@ def x12_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position(toks, "the").cast("bigint").alias("the_pos"),
         F.array_join(F.array_sort(F.array_distinct(F.slice(toks, 1, 3))), "|").alias("key3"),
     )
+
+
+@query(
+    "x13_pattern_matching",
+    oracle="""
+    SELECT p_partkey,
+           (p_name LIKE '%green%')                   AS has_green,
+           (p_name LIKE 'a%')                        AS starts_a,
+           (lower(p_type) LIKE '%anodized%')         AS anodized,
+           regexp_matches(p_name, '^[a-z]+ [a-z]+')  AS two_words,
+           (p_brand LIKE 'Brand#_3')                 AS brand_x3
+    FROM part
+    """,
+)
+def x13_pattern_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-matching surface: LIKE with %/_ wildcards and RLIKE regex
+    (the host/URL classification family, X5/F8, generalized)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").like("%green%").alias("has_green"),
+        F.col("p_name").like("a%").alias("starts_a"),
+        F.lower("p_type").like("%anodized%").alias("anodized"),
+        F.col("p_name").rlike("^[a-z]+ [a-z]+").alias("two_words"),
+        F.col("p_brand").like("Brand#_3").alias("brand_x3"),
+    )
+
+
+@query(
+    "x14_extrema_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_orderkey, o_totalprice) AS biggest_order,
+           min_by(o_orderkey, o_totalprice) AS smallest_order,
+           bool_or(o_orderstatus = 'F')     AS any_finished,
+           bool_and(o_totalprice > 0)       AS all_positive,
+           count_if(o_orderstatus = 'O')::BIGINT AS n_open
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def x14_extrema_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extrema/conditional aggregates: max_by/min_by (argmax — the
+    'latest run' W2 semantics as an aggregate), bool_or/bool_and,
+    count_if. Deterministic here because o_totalprice per priority has a
+    unique arg extremum in this data (ties would be engine-arbitrary)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+    )

@@ -213,3 +213,29 @@ def w07_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s_acctbal", 2).alias("acctbal"),
         F.count("*").over(w).cast("bigint").alias("n_within_500"),
     )
+
+
+@query(
+    "w08_distribution_functions",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6)    AS cume,
+           ntile(10) OVER w::BIGINT        AS decile
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def w08_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile — distribution ranking. Both are
+    (rank-1)/(n-1)- and rank/n-style ratios of exact integers: the single
+    division is deterministic, and rounding at 6dp only guards the
+    cross-engine division-expression shape."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
