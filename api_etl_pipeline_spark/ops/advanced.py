@@ -42,7 +42,14 @@ def asof_join_last(
 
     Composition: union both sides with a tag ordering right rows before
     left rows at equal timestamps, then `last(value, ignoreNulls)` over a
-    per-key time-ordered running window. One shuffle, linear state."""
+    per-key time-ordered running window. One shuffle, linear state.
+
+    Tie note: if MULTIPLE right rows share (key, ts), which one's value
+    is carried is partition-order-dependent (same as pandas merge_asof,
+    which takes whichever sorts last). Callers needing determinism under
+    such ties should pre-aggregate the right side to one row per
+    (key, ts) first — q21 is immune because its carried value IS the
+    timestamp, so tied rows carry equal values."""
     lt = left.select(
         F.col(key), F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),

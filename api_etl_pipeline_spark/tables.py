@@ -105,6 +105,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view (for the SQL surface)."""
+    """Register every testdata table as a temp view (the SQL surface)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Engine SQL surface: the same catalog of tables the DataFrame
+    operators see, queryable as ANSI SQL (Catalyst produces identical
+    plans for either API — SURVEY guide). Views are (re)registered per
+    call, so the sf_dir always matches."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)

@@ -42,3 +42,24 @@ def test_cli_list_and_query(spark, capsys):
     assert "rows: 1" in capsys.readouterr().out
 
     assert main(["query", "definitely_not_a_query"]) == 1
+
+
+def test_sql_surface(spark):
+    from api_etl_pipeline_spark.tables import run_sql
+
+    df = run_sql(
+        spark,
+        "/root/testdata/sf0.001",
+        """
+        SELECT c.c_mktsegment, COUNT(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """,
+    )
+    rows = {r.c_mktsegment: r.n for r in df.collect()}
+    assert sum(rows.values()) == 1500 and len(rows) == 5
+
+    # events view works through the SQL surface too (nanos handling applies)
+    n = run_sql(spark, "/root/testdata/sf0.001",
+                "SELECT COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-01'")
+    assert n.collect()[0].n == 1000
