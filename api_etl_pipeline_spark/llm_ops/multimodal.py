@@ -110,3 +110,43 @@ def mm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("meta.declared_bytes").alias("declared_bytes")),
         "doc_id",
     ).withColumn("size_matches", F.col("n_bytes") == F.col("declared_bytes"))
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_no int, frame_offset bigint, frame_bytes bigint, "
+    "frame_sha256 string"
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 32, every_n: int = 4) -> DataFrame:
+    """Frame sampling over binary media (the video path): each payload is
+    cut into fixed-size windows and every n-th window is kept — the Spark
+    plumbing (offset arithmetic with a JVM-side sequence transform, byte
+    slicing, per-frame hashing) is real; a production decoder would
+    replace the byte windows with actual decoded frames at the same
+    schema. Narrow (explode only), no shuffle."""
+    n_frames = F.floor(F.length("content") / frame_size).cast("int")
+    frame_idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    sampled = F.filter(frame_idx, lambda i: i % every_n == F.lit(0))
+    exploded = media.select(
+        "doc_id", "content", F.explode(sampled).alias("frame_no")
+    ).filter(F.length("content") >= frame_size)
+    frame = F.substring(
+        F.col("content"), (F.col("frame_no") * frame_size + 1).cast("int"), frame_size
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        (F.col("frame_no").cast("bigint") * frame_size).alias("frame_offset"),
+        F.length(frame).cast("bigint").alias("frame_bytes"),
+        F.sha2(frame, 256).alias("frame_sha256"),
+    )
+
+
+@query("mm02_frame_sampling", oracle=None)  # binary slicing: rows-only + pytest
+def mm02_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample the synthetic video rows (every 4th 32-byte window) —
+    the decode-free half of a video ingestion pipeline; per-frame hashes
+    feed frame-level dedup exactly like document hashes feed text dedup."""
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "video/mp4")
+    return sample_frames(media)

@@ -60,3 +60,30 @@ def test_feature_stage_partition_invariant(spark):
     one = base.coalesce(1).mapInPandas(fake_decode_features, FEATURE_SCHEMA)
     many = base.repartition(16).mapInPandas(fake_decode_features, FEATURE_SCHEMA)
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_frame_sampling_matches_python_slicing(spark):
+    from api_etl_pipeline_spark.llm_ops.multimodal import mm02_frame_sampling
+
+    frames = mm02_frame_sampling(spark, SF_SMOKE)
+    got = {(r.doc_id, r.frame_no): (r.frame_offset, r.frame_bytes, r.frame_sha256)
+           for r in frames.collect()}
+    assert got, "no frames sampled"
+
+    import hashlib
+
+    docs = {
+        r.doc_id: r.text.encode()
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+        if r.doc_id % 3 == 2  # the video/mp4 rows per media_table
+    }
+    want = {}
+    for doc_id, b in docs.items():
+        if len(b) < 32:
+            continue
+        n = len(b) // 32
+        for fno in range(0, max(n - 1, 0) + 1):
+            if fno % 4 == 0:
+                frame = b[fno * 32:(fno + 1) * 32]
+                want[(doc_id, fno)] = (fno * 32, len(frame), hashlib.sha256(frame).hexdigest())
+    assert got == want

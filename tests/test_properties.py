@@ -116,3 +116,37 @@ def test_redaction_idempotent_and_preserves_keys(spark, headers):
         assert v == headers[k] or v == REDACTED
     twice = once.select(redact_headers_json(F.col("r")).alias("r2")).collect()[0].r2
     assert _json.loads(twice) == parsed1
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=20),
+    st.sets(st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=20),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_merge_asof_on_random_data(spark, left_rows, right_rows):
+    """As-of law on arbitrary data: for every left row, the result equals
+    the max right ts ≤ left ts for the key (right side unique per
+    (key, ts) — the documented determinism precondition)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.ops.advanced import asof_join_last
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "lid int, k int, t int"
+    ).select("lid", "k", F.timestamp_seconds("t").alias("lts"))
+    right = spark.createDataFrame(
+        sorted(right_rows), "k int, t int"
+    ).select("k", F.timestamp_seconds("t").alias("rts"), F.col("t").alias("rv"))
+
+    got = {
+        r.lid: r.asof_rv
+        for r in asof_join_last(left, right, "k", "lts", "rts", ["rv"]).collect()
+    }
+    # ground truth: brute force
+    for i, (k, t) in enumerate(left_rows):
+        candidates = [rt for (rk, rt) in right_rows if rk == k and rt <= t]
+        want = max(candidates) if candidates else None
+        assert got[i] == want, (i, k, t, got[i], want)
