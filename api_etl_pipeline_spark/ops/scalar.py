@@ -395,3 +395,31 @@ def x14_extrema_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
     )
+
+
+@query(
+    "x15_list_aggregation",
+    oracle="""
+    SELECT l_orderkey,
+           list(l_linenumber ORDER BY l_linenumber) AS linenumbers,
+           string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS linenumber_csv,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def x15_list_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/string aggregation (the SEC struct-of-arrays emission shape,
+    inverse of ing11's unnest): collect_list is order-nondeterministic in
+    Spark, so the engine always sorts the collected array — making the
+    result partition-layout-invariant and matching DuckDB's ORDER BY
+    list aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nums = F.sort_array(F.collect_list("l_linenumber"))
+    return li.groupBy("l_orderkey").agg(
+        nums.alias("linenumbers"),
+        F.array_join(F.transform(nums, lambda x: x.cast("string")), ",").alias(
+            "linenumber_csv"
+        ),
+        F.count("*").alias("n_lines"),
+    )
