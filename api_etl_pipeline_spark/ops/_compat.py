@@ -18,6 +18,13 @@ on exact .xx5 boundaries.
 Oracle-side equivalents (DuckDB SQL):
     sum:  CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
     avg:  CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(x)
+
+Cost note (measured at sf0.1): decimal sums run ~2.7x a raw double sum;
+summing unscaled longs (round(x*10^s)) would be only ~1.3x — but long
+sums OVERFLOW at warehouse scale (10^10 rows x 10^9 unscaled units
+exceeds int64), while Spark widens decimal sums to decimal(28,s) and
+DuckDB to decimal(38,s). Exactness at any scale is worth the 2x on the
+aggregate stage.
 """
 
 from __future__ import annotations
