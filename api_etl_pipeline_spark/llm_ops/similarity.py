@@ -227,6 +227,99 @@ def sim04_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim05_ivf_probe_topk",
+    oracle=f"""
+    WITH cents AS ({_DUCK_IVF_CENTROIDS}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    assign AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT v.vec_id, c.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_duck_cosine('v.e', 'c.ce')} DESC, c.cent_id ASC
+                   ) AS rn
+            FROM v CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id FROM (
+            SELECT v.vec_id, c.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_duck_cosine('v.e', 'c.ce')} DESC, c.cent_id ASC
+                   ) AS rn
+            FROM v CROSS JOIN cents c WHERE v.vec_id < 5
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_duck_cosine('q.e', 'n.e')} AS cosine
+        FROM probes p
+        JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+        JOIN v q ON q.vec_id = p.query_id
+        JOIN v n ON n.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+               )::BIGINT AS rn
+        FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def sim05_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF search: corpus vectors are assigned to their nearest
+    centroid cell (sim04); each query probes its 2 nearest cells and
+    scores ONLY the vectors in those cells — the complete
+    partition-pruned ANN read path. At 100 TB the assignment is a
+    materialized index table partitioned by cell, the probe list is a
+    handful of partitions, and the scan never touches the rest of the
+    corpus; recall is tuned by n_probe. Centroids and the probe list
+    broadcast; the only shuffle is the final per-query top-k window."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("ce")
+    )
+    v = e.select("vec_id", _dvec("embedding").alias("e"))
+    to_cent = F.broadcast(cents).crossJoin(v).select(
+        "vec_id", "cent_id", _cosine(F.col("e"), F.col("ce")).alias("cos_to_cent")
+    )
+    w1 = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_to_cent").desc(), F.col("cent_id").asc()
+    )
+    ranked = to_cent.withColumn("rn", F.row_number().over(w1))
+    # assign and probes both derive from `ranked` — rename every join column
+    # so the self-join condition can't collapse into a trivially-true
+    # same-attribute comparison
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("a_vec_id"), F.col("cent_id").alias("a_cent_id")
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < 5) & (F.col("rn") <= 2))
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("p_cent_id"))
+    )
+    cand = F.broadcast(probes).join(
+        assign,
+        (F.col("a_cent_id") == F.col("p_cent_id")) & (F.col("a_vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("a_vec_id").alias("neighbor_id"))
+    q = v.select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
+    n = v.select(F.col("vec_id").alias("n_id"), F.col("e").alias("ne"))
+    scored = (
+        cand.join(F.broadcast(q), cand.query_id == q.q_id)
+        .join(n, cand.neighbor_id == n.n_id)
+        .select("query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ne")).alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+@query(
     "dd08_embedding_near_dup",
     oracle=f"""
     WITH v AS (
