@@ -37,6 +37,19 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--show", type=int, default=20)
 
+    w = sub.add_parser(
+        "workload", help="end-to-end corpus-cleaning workload (clean + enrich + write)"
+    )
+    w.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    w.add_argument("--out", required=True)
+
+    c = sub.add_parser("compact", help="small-file compaction of a parquet directory")
+    c.add_argument("path")
+    c.add_argument("--out", required=True)
+    c.add_argument("--target-file-mb", type=int, default=128)
+    c.add_argument("--shuffle", action="store_true",
+                   help="rebalance via full shuffle instead of coalesce")
+
     sub.add_parser("list", help="list registered queries")
     return p
 
@@ -64,6 +77,25 @@ def main(argv: list[str] | None = None) -> int:
         df = specs[args.name].fn(spark, args.sf_dir)
         df.show(args.show, truncate=False)
         print(f"rows: {df.count()}")
+        return 0
+
+    if args.cmd == "workload":
+        from api_etl_pipeline_spark.llm_ops.corpus_pipeline import run_corpus_workload
+
+        print(json.dumps(run_corpus_workload(spark, args.sf_dir, args.out)))
+        return 0
+
+    if args.cmd == "compact":
+        from api_etl_pipeline_spark.ops.maintenance import compact
+
+        stats = compact(
+            spark,
+            args.path,
+            args.out,
+            target_file_bytes=args.target_file_mb << 20,
+            shuffle=args.shuffle,
+        )
+        print(json.dumps(stats))
         return 0
 
     # cmd == run

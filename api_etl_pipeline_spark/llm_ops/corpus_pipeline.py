@@ -135,6 +135,52 @@ def llm01_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_corpus_workload(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """The production shape of llm01/llm02: one job that cleans the corpus,
+    enriches the survivors (fingerprint + token count — the tx04/tx01
+    projections), writes them lang-partitioned to `out_dir`, and returns
+    the funnel metrics. The funnel aggregate and the write share the same
+    lazy stage chain, so Spark computes the quality/dedup stages once per
+    action — and at 100 TB you'd `persist()` the cleaned frame between the
+    two actions (here the sf inputs make recompute cheaper than caching).
+
+    Lang-partitioning the output is the layout downstream training-data
+    samplers want (per-language mixture weights = partition pruning, no
+    full scan)."""
+    import time
+
+    t0 = time.monotonic()
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_gate(d)
+    e = exact_dedup_keep_min(q)
+    n = near_dedup_keep_min(spark, sf_dir, e)
+    enriched = n.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.lower("text").cast("binary")).alias("fingerprint"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    funnel = (
+        d.agg(F.count("*").alias("n_input"))
+        .crossJoin(q.agg(F.count("*").alias("n_quality")))
+        .crossJoin(e.agg(F.count("*").alias("n_exact_unique")))
+        .crossJoin(n.agg(F.count("*").alias("n_clean")))
+        .collect()[0]
+    )
+    enriched.write.partitionBy("lang").mode("overwrite").parquet(out_dir)
+    return {
+        "n_input": funnel["n_input"],
+        "n_quality": funnel["n_quality"],
+        "n_exact_unique": funnel["n_exact_unique"],
+        "n_clean": funnel["n_clean"],
+        "out_dir": out_dir,
+        "seconds": round(time.monotonic() - t0, 3),
+    }
+
+
 @query(
     "llm02_corpus_funnel",
     oracle=f"""

@@ -1,0 +1,95 @@
+"""Table maintenance: small-file compaction.
+
+At 100 TB the dominant table-health failure is small files: streaming
+micro-batches, per-run ingest appends (ingest/storage.py writes one
+append per run), and over-parallel shuffles each land hundreds of
+sub-target files, and scan throughput collapses under per-file open
+overhead + footer reads. The fix is a periodic compaction job: list the
+table's data files, size the output partition count from the REAL byte
+total (never a row-count guess), and rewrite.
+
+Design notes for the rewrite:
+- `coalesce` (default) merges files with NO shuffle — each output task
+  concatenates whole input partitions. Right for the pure
+  too-many-small-files case.
+- `repartition(shuffle=True)` pays one full shuffle but rebalances —
+  right when the input is also skewed (a few huge files among shards),
+  since coalesce would preserve the skew.
+- The rewrite is out-of-place (write to a new directory, then swap the
+  table location). Plain-parquet directories have no atomic swap — a
+  catalog/transaction-log format (Delta/Iceberg) is the production
+  answer; this job is the executor-side mechanics those formats schedule.
+
+Reference parity: the blob store's 2-char fan-out (blob_store.py:10)
+bounds files-per-directory but not file size; this is the missing
+maintenance half.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file under `path`, recursively, via the
+    Hadoop FileSystem API — the same listing the scan planner uses, so it
+    works on any supported filesystem (local, HDFS, object stores), not
+    just local disk. Hidden/metadata files (`_SUCCESS`, `.crc`) excluded."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    files: list[tuple[str, int]] = []
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        files.append((status.getPath().toString(), int(status.getLen())))
+    return files
+
+
+def plan_compaction(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Sizing arithmetic only (no I/O beyond the listing): how many output
+    files a compaction of `path` should produce for `target_file_bytes`."""
+    files = list_data_files(spark, path)
+    total = sum(sz for _, sz in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    small = sum(1 for _, sz in files if sz < target_file_bytes // 2)
+    return {
+        "n_files": len(files),
+        "total_bytes": total,
+        "small_files": small,
+        "target_file_bytes": target_file_bytes,
+        "planned_files": n_out,
+        "worth_compacting": len(files) > n_out,
+    }
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+    shuffle: bool = False,
+) -> dict:
+    """Rewrite the parquet table at `path` into ~target-sized files at
+    `out_path`. Returns the before/after stats. `shuffle=True` rebalances
+    skewed inputs at the cost of one exchange; the default coalesce is
+    exchange-free."""
+    plan = plan_compaction(spark, path, target_file_bytes)
+    df = spark.read.parquet(path)
+    n = plan["planned_files"]
+    out = df.repartition(n) if shuffle else df.coalesce(n)
+    out.write.parquet(out_path)
+    after = list_data_files(spark, out_path)
+    return {
+        **plan,
+        "out_path": out_path,
+        "files_after": len(after),
+        "bytes_after": sum(sz for _, sz in after),
+    }

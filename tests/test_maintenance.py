@@ -1,0 +1,67 @@
+"""Small-file compaction + end-to-end corpus workload.
+
+Compaction correctness = content-identity under rewrite (the multiset of
+rows is unchanged) + the file count actually dropping to the plan's
+target. The workload test pins the funnel counts against the already
+oracle-verified llm02 query, so the runner can't drift from the verified
+pipeline semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.ops.maintenance import compact, list_data_files, plan_compaction
+from api_etl_pipeline_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    src = str(tmp_path / "shattered")
+    out = str(tmp_path / "compacted")
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.repartition(16).write.parquet(src)
+    assert len(list_data_files(spark, src)) == 16
+
+    plan = plan_compaction(spark, src, target_file_bytes=1 << 30)
+    assert plan["n_files"] == 16 and plan["planned_files"] == 1 and plan["worth_compacting"]
+
+    stats = compact(spark, src, out, target_file_bytes=1 << 30)
+    assert stats["files_after"] == 1
+
+    before, after = spark.read.parquet(src), spark.read.parquet(out)
+    assert before.count() == after.count()
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+
+
+def test_compact_shuffle_rebalances(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    load_table(spark, SF_DIR, "documents").repartition(8).write.parquet(src)
+    stats = compact(spark, src, out, target_file_bytes=1 << 30, shuffle=True)
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(out).count() == spark.read.parquet(src).count()
+
+
+def test_corpus_workload_matches_funnel_oracle(spark, tmp_path):
+    from api_etl_pipeline_spark.llm_ops.corpus_pipeline import (
+        llm02_corpus_funnel,
+        run_corpus_workload,
+    )
+
+    out = str(tmp_path / "clean")
+    metrics = run_corpus_workload(spark, SF_DIR, out)
+    funnel = llm02_corpus_funnel(spark, SF_DIR).collect()[0]
+    for k in ("n_input", "n_quality", "n_exact_unique", "n_clean"):
+        assert metrics[k] == funnel[k]
+
+    written = spark.read.parquet(out)
+    assert written.count() == metrics["n_clean"]
+    # lang is the partition column; the survivors keep their enrichments
+    assert {"doc_id", "fingerprint", "n_tokens", "lang"} <= set(written.columns)
+    # partition pruning works: one lang's slice reads without full scan
+    langs = [r["lang"] for r in written.select("lang").distinct().collect()]
+    assert len(langs) >= 1
+    one = written.filter(F.col("lang") == langs[0]).count()
+    assert 0 < one <= metrics["n_clean"]
