@@ -53,6 +53,8 @@ OPTIONAL = [
     "ing01_dedup_insert",
     "llm01_clean_corpus",
     "llm02_corpus_funnel",
+    "q32_waiting_orders",
+    "sim05_ivf_probe_topk",
 ]
 
 
