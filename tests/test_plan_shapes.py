@@ -74,3 +74,27 @@ def test_topk_uses_take_ordered(spark):
 def test_no_cartesian_products(spark, name):
     p = _plan(spark, name)
     assert "CartesianProduct" not in p
+
+
+def test_q32_exists_becomes_semi_and_anti_joins(spark):
+    # the EXISTS / NOT EXISTS pair must stay hash-keyed semi/anti joins
+    # (never a correlated per-row subquery or a cartesian rewrite)
+    p = _plan(spark, "q32_waiting_orders")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q33_having_filter_broadcasts_joins(spark):
+    # the >300 HAVING shrinks the aggregate below both joins, so neither
+    # join may fall back to sort-merge
+    p = _plan(spark, "q33_large_volume_customer")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sim05_candidate_joins_are_hash_joins(spark):
+    # only the 8-centroid cross joins may be nested-loop; the candidate
+    # expansion and the two vector lookups must be equi hash joins
+    p = _plan(spark, "sim05_ivf_probe_topk")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 3
