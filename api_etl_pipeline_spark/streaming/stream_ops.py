@@ -84,6 +84,45 @@ def write_with_foreach_batch(stream: DataFrame, out_dir: str) -> "object":
     return stream.writeStream.foreachBatch(sink).start()
 
 
+def write_exactly_once(stream: DataFrame, out_dir: str, commit_dir: str):
+    """foreachBatch sink with a batch-id commit log — the full
+    exactly-once recipe. Structured Streaming re-runs an epoch after a
+    failure; the epoch-dir overwrite (write_with_foreach_batch) makes the
+    replay idempotent, and the commit marker written AFTER the data makes
+    it cheap: a replayed epoch whose marker exists is skipped without any
+    I/O, and the marker directory doubles as a durable audit of exactly
+    which epochs landed (the role a Delta/Iceberg transaction log plays,
+    minus the atomic table swap). A crash between data-write and marker
+    leaves an uncommitted epoch dir that the replay simply overwrites —
+    never duplicates.
+
+    foreachBatch runs on the driver, so plain filesystem markers are
+    correct in any deployment; on object storage point commit_dir at the
+    same bucket as out_dir. Returns (query, sink) — the sink is exposed
+    so tests can replay an epoch directly."""
+    from pathlib import Path
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = Path(commit_dir) / f"{epoch_id}.committed"
+        if marker.exists():
+            return
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        marker.touch()
+
+    return stream.writeStream.foreachBatch(sink).start(), sink
+
+
+def enrich_with_dimension(stream: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static join: each micro-batch equi-joins the (small) static
+    dimension, broadcast so the stream side never shuffles and no join
+    state accrues (unlike stream-stream joins, the static side needs no
+    watermark). The static frame is re-resolved per micro-batch, so a
+    dimension table updated in place is picked up on the next trigger —
+    the streaming twin of the ingest layer's provider-dimension joins."""
+    return stream.join(F.broadcast(dim), key)
+
+
 def purchase_click_stream_join(purchases: DataFrame, clicks: DataFrame,
                                watermark: str = "2 hours") -> DataFrame:
     """Stream-stream interval join (the q22 range-join semantics as two

@@ -126,6 +126,54 @@ def test_foreach_batch_sink_idempotent_epochs(spark, tmp_path):
     assert written.select("event_id").distinct().count() == batch.count()
 
 
+def test_exactly_once_sink_skips_committed_epochs(spark, tmp_path):
+    from api_etl_pipeline_spark.streaming.stream_ops import write_exactly_once
+
+    stream, batch = _events_stream(spark)
+    out, commits = str(tmp_path / "sink"), str(tmp_path / "commits")
+    q, sink = write_exactly_once(stream.select("event_id", "user_id", "ts"), out, commits)
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.parquet(out)
+    assert written.count() == batch.count()
+    committed = sorted(p.name for p in (tmp_path / "commits").iterdir())
+    assert committed  # at least one epoch landed and was logged
+
+    # replay epoch 0 with DIFFERENT data: the commit log must skip it,
+    # leaving the original output untouched (exactly-once, not at-least-once)
+    replacement = batch.select("event_id", "user_id", "ts").limit(1)
+    sink(replacement, 0)
+    assert spark.read.parquet(out).count() == batch.count()
+
+    # an uncommitted epoch (marker removed = crash before commit) is
+    # re-written idempotently via overwrite
+    (tmp_path / "commits" / "0.committed").unlink()
+    sink(replacement, 0)
+    assert (tmp_path / "commits" / "0.committed").exists()
+    assert spark.read.parquet(f"{out}/epoch=0").count() == 1
+
+
+def test_stream_static_enrichment_equals_batch_join(spark, qname):
+    from api_etl_pipeline_spark.streaming.stream_ops import enrich_with_dimension
+
+    stream, batch = _events_stream(spark)
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("bigint"))
+    )
+    out = enrich_with_dimension(stream.select("event_id", "user_id"), dim)
+    _run_to_memory(out, qname, "append")
+    got = {tuple(r) for r in spark.sql(f"SELECT event_id, user_id, tier FROM {qname}").collect()}
+    want = {
+        tuple(r)
+        for r in batch.select("event_id", "user_id")
+        .join(dim, "user_id")
+        .select("event_id", "user_id", "tier")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_stream_interval_join_equals_batch(spark, qname):
     from api_etl_pipeline_spark.streaming.stream_ops import purchase_click_stream_join
 
