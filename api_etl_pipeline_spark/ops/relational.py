@@ -796,6 +796,155 @@ def q33_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q35_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate)::BIGINT AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q35_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation pair per year — a
+    6-table join with a disjunctive cross-dimension predicate. The
+    disjunction spans two dimensions so Catalyst can't push it down, but
+    it IMPLIES each side's nation is one of the pair — so we push that
+    weaker predicate manually: supplier and customer are pre-joined to
+    the two-nation slice (broadcast), which prunes ~92% of lineitem and
+    orders BEFORE the only fact-fact shuffle. The exact pair filter then
+    runs on the tiny joined remainder. At 100 TB this manual inference is
+    the difference between shuffling the full fact tables and shuffling
+    2/25ths of them."""
+    pair_nations = ("NATION_1", "NATION_2")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair_nations))
+    s2 = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c2 = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        (F.col("supp_nation") == pair_nations[0]) & (F.col("cust_nation") == pair_nations[1])
+    ) | ((F.col("supp_nation") == pair_nations[1]) & (F.col("cust_nation") == pair_nations[0]))
+    return (
+        li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
+        .join(o.join(F.broadcast(c2), o.o_custkey == c2.c_custkey),
+              li.l_orderkey == o.o_orderkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q36_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                    THEN CAST(volume AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share,
+           COUNT(*)::BIGINT AS n_lines
+    FROM (
+        SELECT year(o.o_orderdate)::BIGINT AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    GROUP BY o_year
+    """,
+)
+def q36_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for a part
+    type, per year — the widest join in the suite (8 tables). Every
+    dimension broadcasts; the part-type filter is applied before the
+    lineitem join so the fact stream shrinks at its first join; the
+    region filter prunes the customer side the same way. The share is a
+    conditional-decimal / total-decimal division done once per group —
+    deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("n1_key"))
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    c2 = (
+        c.join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .select("c_custkey")
+    )
+    s2 = (
+        s.join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    share_num = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
+        .join(o.join(F.broadcast(c2), o.o_custkey == c2.c_custkey),
+              li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (F.sum(share_num).cast("double") / F.sum(vol).cast("double")).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
     "q34_dormant_rich_customers",
     oracle="""
     WITH avg_bal AS (
