@@ -273,6 +273,65 @@ def q27_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q38_funnel_steps",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q38_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase): per user, the
+    first view, the first click AT OR AFTER that view, and the first
+    purchase at or after that click — NULL where the funnel stalls. Every
+    stage is a MIN aggregate (deterministic under any partitioning) and
+    every join/aggregation keys on user_id, so the whole funnel rides ONE
+    hash partitioning end-to-end — at scale the three stage aggregates
+    are co-partitioned and AQE plans the stage joins without extra
+    exchanges. The behavioral-analytics twin of the sessionizer (st03)."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
+        "user_id", "t_view", "t_click", "t_purchase"
+    )
+
+
+@query(
     "q28_exists_sql",
     oracle="""
     SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
