@@ -76,15 +76,34 @@ def compact(
     out_path: str,
     target_file_bytes: int = 128 << 20,
     shuffle: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Rewrite the parquet table at `path` into ~target-sized files at
     `out_path`. Returns the before/after stats. `shuffle=True` rebalances
     skewed inputs at the cost of one exchange; the default coalesce is
-    exchange-free."""
+    exchange-free.
+
+    `cluster_by` sorts rows WITHIN each output file by the given columns
+    (`sortWithinPartitions` — no extra exchange beyond the optional
+    rebalance). Clustering tightens each file's parquet min/max column
+    statistics, so point/range filters on those columns skip whole files
+    at planning time — the poor man's Z-order, and the right moment to
+    apply it is compaction, when the data is being rewritten anyway.
+    With shuffle=True the repartition uses the cluster columns as range
+    keys, so file-level pruning gets global (not just per-file) locality."""
     plan = plan_compaction(spark, path, target_file_bytes)
     df = spark.read.parquet(path)
     n = plan["planned_files"]
-    out = df.repartition(n) if shuffle else df.coalesce(n)
+    if shuffle:
+        out = (
+            df.repartitionByRange(n, *[df[c] for c in cluster_by])
+            if cluster_by
+            else df.repartition(n)
+        )
+    else:
+        out = df.coalesce(n)
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
     out.write.parquet(out_path)
     after = list_data_files(spark, out_path)
     return {

@@ -28,6 +28,32 @@ def with_salt(df: DataFrame, spread_col: str, buckets: int = 16,
     return df.withColumn(out, F.pmod(F.xxhash64(F.col(spread_col)), F.lit(buckets)))
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    spread_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Manual skew-join: salt the left side by a per-row unique column
+    (`spread_col` — must vary WITHIN the hot key, e.g. the row's natural
+    id; salting by the key itself would put the whole hot key back in one
+    bucket) and replicate the right side `buckets`× so every (key, salt)
+    pair finds its match. One hot key's rows now land on `buckets`
+    reducers instead of one.
+
+    Cost: the right side is materialized buckets× — use only when right
+    ≪ left (the usual skew shape: a huge skewed fact against a modest
+    table that is still too big to broadcast). AQE's skew-split handles
+    sort-merge joins automatically (on in session.py); this is for when
+    AQE is unavailable or the skew sits upstream of a non-join exchange."""
+    salted_left = with_salt(left, spread_col, buckets)
+    replicated_right = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(buckets)]))
+    )
+    return salted_left.join(replicated_right, [key, "_salt"]).drop("_salt")
+
+
 def salted_agg(
     df: DataFrame,
     key: str,

@@ -65,3 +65,30 @@ def test_corpus_workload_matches_funnel_oracle(spark, tmp_path):
     assert len(langs) >= 1
     one = written.filter(F.col("lang") == langs[0]).count()
     assert 0 < one <= metrics["n_clean"]
+
+
+def test_compact_cluster_by_preserves_content_and_sorts_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "clustered")
+    load_table(spark, SF_DIR, "orders").repartition(8).write.parquet(src)
+    stats = compact(
+        spark, src, out, target_file_bytes=1 << 30, shuffle=True,
+        cluster_by=["o_orderdate"],
+    )
+    assert stats["files_after"] >= 1
+    before, after = spark.read.parquet(src), spark.read.parquet(out)
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+    # rows inside each output file are ordered by the cluster column, so
+    # the file's min/max stats are tight (per-partition monotonicity)
+    from pyspark.sql import Window
+
+    part_ordered = after.select(
+        "o_orderdate",
+        F.spark_partition_id().alias("pid"),
+        F.lag("o_orderdate").over(
+            Window.partitionBy(F.spark_partition_id()).orderBy(F.monotonically_increasing_id())
+        ).alias("prev"),
+    )
+    violations = part_ordered.filter(F.col("prev") > F.col("o_orderdate")).count()
+    assert violations == 0

@@ -119,3 +119,26 @@ def test_bloom_dedup_equals_plain(spark):
     plain = {r.doc_id for r in dedup_insert(d, existing).collect()}
     bloom = {r.doc_id for r in dedup_insert_bloom(d, existing, expected_items=10_000).collect()}
     assert bloom == plain and len(plain) > 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from api_etl_pipeline_spark.ops.skew import salted_join
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "accepted"), ("N", "none")],
+        ["l_returnflag", "label"],
+    )
+    plain = {
+        (r.l_orderkey, r.l_linenumber, r.label)
+        for r in li.join(dim, "l_returnflag").collect()
+    }
+    salted = {
+        (r.l_orderkey, r.l_linenumber, r.label)
+        for r in salted_join(
+            li, dim, key="l_returnflag", spread_col="l_orderkey", buckets=8
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 0
