@@ -423,3 +423,57 @@ def x15_list_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_lines"),
     )
+
+
+@query(
+    "x16_regression_stats",
+    oracle="""
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r
+    FROM (
+        SELECT l_returnflag,
+               COUNT(*)::DOUBLE AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    """,
+)
+def x16_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope/intercept/Pearson r of
+    extendedprice on quantity per returnflag) built from exact decimal
+    moment sums — the determinism trick generalizes: Spark's native
+    corr()/regr_slope() sum doubles in partition order (non-reproducible
+    bit-for-bit across layouts and engines), but every moment
+    (Σx, Σy, Σxy, Σx², Σy²) of ≤2-decimal inputs is decimal-exact, and
+    the closed-form combination is a fixed double AST both engines
+    evaluate identically. Same one-shuffle plan as the native versions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    moments = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(18,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(18,2)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(18,4)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return moments.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "pearson_r"
+        ),
+    )
