@@ -150,3 +150,19 @@ def test_asof_join_matches_merge_asof_on_random_data(spark, left_rows, right_row
         candidates = [rt for (rk, rt) in right_rows if rk == k and rt <= t]
         want = max(candidates) if candidates else None
         assert got[i] == want, (i, k, t, got[i], want)
+
+
+def test_funnel_stage_timestamps_are_monotone(spark):
+    """q38 invariant: each reached funnel stage happens at or after the
+    previous one, and a stage can only be reached if the previous was."""
+    from api_etl_pipeline_spark.ops.advanced import q38_funnel_steps
+    from tests.conftest import SF_SMOKE
+
+    rows = q38_funnel_steps(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.t_view is not None
+        if r.t_click is not None:
+            assert r.t_click >= r.t_view
+        if r.t_purchase is not None:
+            assert r.t_click is not None and r.t_purchase >= r.t_click
