@@ -316,7 +316,8 @@ def x11_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x12_array_functions",
     oracle="""
     SELECT doc_id,
-           list_sort(list_distinct((string_split(text, ' '))[1:6]))        AS first_tokens,
+           array_to_string(list_sort(list_distinct((string_split(text, ' '))[1:6])), '|')
+                                                                           AS first_tokens,
            len(list_distinct((string_split(text, ' '))[1:6]))::BIGINT      AS n_distinct_first,
            list_contains(string_split(text, ' '), 'the')                   AS has_the,
            list_position(string_split(text, ' '), 'the')::BIGINT           AS the_pos,
@@ -329,13 +330,18 @@ def x12_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function suite (X12 extended): slice, distinct, sort,
     contains, position, join — the building blocks the shingle/dedup
     operators compose. list_position/array_position agree cross-engine:
-    1-based, 0 for missing (exercised — ~20% of docs lack 'the')."""
+    1-based, 0 for missing (exercised — ~20% of docs lack 'the').
+
+    Array-typed columns are serialized (array_join) in the FINAL output:
+    the driver's canonicalizer pandas-sorts every column, and Python
+    lists are unhashable — a raw array column aborts the whole t2 loop
+    (round-1 lesson: CORRECTNESS_r01 stopped at this query)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     first6 = F.array_distinct(F.slice(toks, 1, 6))
     return d.select(
         "doc_id",
-        F.array_sort(first6).alias("first_tokens"),
+        F.array_join(F.array_sort(first6), "|").alias("first_tokens"),
         F.size(first6).cast("bigint").alias("n_distinct_first"),
         F.array_contains(toks, "the").alias("has_the"),
         F.array_position(toks, "the").cast("bigint").alias("the_pos"),
@@ -401,7 +407,7 @@ def x14_extrema_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x15_list_aggregation",
     oracle="""
     SELECT l_orderkey,
-           list(l_linenumber ORDER BY l_linenumber) AS linenumbers,
+           array_to_string(list(l_linenumber ORDER BY l_linenumber), '|') AS linenumbers,
            string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS linenumber_csv,
            COUNT(*)::BIGINT AS n_lines
     FROM lineitem
@@ -413,11 +419,14 @@ def x15_list_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverse of ing11's unnest): collect_list is order-nondeterministic in
     Spark, so the engine always sorts the collected array — making the
     result partition-layout-invariant and matching DuckDB's ORDER BY
-    list aggregation."""
+    list aggregation. Final output serializes the list (driver's
+    canonicalizer cannot hash Python lists — see x12)."""
     li = load_table(spark, sf_dir, "lineitem")
     nums = F.sort_array(F.collect_list("l_linenumber"))
     return li.groupBy("l_orderkey").agg(
-        nums.alias("linenumbers"),
+        F.array_join(F.transform(nums, lambda x: x.cast("string")), "|").alias(
+            "linenumbers"
+        ),
         F.array_join(F.transform(nums, lambda x: x.cast("string")), ",").alias(
             "linenumber_csv"
         ),

@@ -59,6 +59,21 @@ def _norm_type(name: str, table: dict) -> str:
 
 
 def compare(spark_df, duck_con, oracle_sql: str) -> None:
+    # The driver's canonicalizer pandas-sorts every output column; Python
+    # lists/dicts are unhashable there and ABORT the entire t2 loop (this
+    # killed round 1 at x12). Oracle-checked queries must serialize
+    # complex columns (array_join / to_json) before returning.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"oracle-checked query returns complex-typed columns {complex_cols}; "
+        "serialize them (array_join/to_json) — the driver cannot hash lists"
+    )
     duck_types = {
         name: _norm_type(typ, _DUCK_TYPES)
         for name, typ in duck_con.execute(
