@@ -10,7 +10,7 @@ ops/_compat.py for why float aggregation is avoided).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from api_etl_pipeline_spark.registry import query
@@ -247,4 +247,62 @@ def tx07_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_distance"),
             (dist <= 10).alias("fuzzy_match"),
         )
+    )
+
+
+@query(
+    "tx08_tfidf_top_term",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tfc AS (
+        SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dfc AS (
+        SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tfc GROUP BY term
+    )
+    SELECT doc_id, term AS top_term, tf, df,
+           CAST(tf * (SELECT COUNT(*) FROM documents) AS DOUBLE)
+             / CAST(df AS DOUBLE) AS weight
+    FROM tfc JOIN dfc USING (term)
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) = 1
+    """,
+)
+def tx08_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top term per document. IDF is the raw N/df ratio (no log:
+    java.lang.Math.log and libm log can disagree in the last ulp, which
+    would poison the cross-engine hash; the ratio ranks identically). The
+    weight is ONE IEEE division of exact integers (tf·N < 2^53), so the
+    doubles are bit-identical across engines; ties break on term asc.
+
+    Plan shape: explode → two hash aggregations → broadcast join of the
+    tiny df table → per-doc window. At 100 TB the df table is vocabulary-
+    sized (fits broadcast); the only big shuffles are the (doc,term)
+    aggregation and the per-doc window, both keyed compatibly on doc_id.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tfc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfc = tfc.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    ndocs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tfc.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            F.col("term").alias("top_term"),
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("weight"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), "top_term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )

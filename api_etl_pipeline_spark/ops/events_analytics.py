@@ -1,0 +1,121 @@
+"""Event-stream batch analytics: cohort retention and gaps-and-islands
+sessionization over the `events` table.
+
+These are the batch window/agg shapes a product-analytics layer runs at
+100 TB: both are single-shuffle plans (one exchange on user_id; every
+later window/group reuses that partitioning). The gaps-and-islands
+variant is the window-function dual of st03's `session_window`
+sessionization — same semantics, expressible in plain SQL, so it gets a
+full DuckDB differential oracle where the streaming operator only gets a
+rows-only check.
+
+Determinism: events carry a unique event_id, and every window ordering
+here is total on (ts, event_id) — per the round-1 rule that non-total
+orderings under duplicate keys break cross-engine prefix aggregates.
+Month arithmetic uses integer year*12+month (both engines' datediff
+families differ in edge conventions; integer arithmetic cannot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+
+@query(
+    "ev01_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('month', MIN(ts)) AS TIMESTAMP) AS cohort_month
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('month', ts) AS TIMESTAMP) AS act_month
+        FROM events
+    )
+    SELECT f.cohort_month,
+           ((year(a.act_month) * 12 + month(a.act_month))
+            - (year(f.cohort_month) * 12 + month(f.cohort_month)))::BIGINT
+               AS month_offset,
+           COUNT(DISTINCT f.user_id)::BIGINT AS active_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ev01_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen month, counted in
+    each later month they were active. Both the cohort assignment and the
+    activity dedup group on user_id, so one exchange feeds both sides and
+    the self-join co-locates without a new shuffle; the final rollup is a
+    few (cohort × offset) cells."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    month = lambda c: F.date_trunc("month", c).cast("timestamp_ntz")  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(month(F.min("ts")).alias("cohort_month"))
+    activity = ev.select("user_id", month(F.col("ts")).alias("act_month")).distinct()
+    moff = (
+        (F.year("act_month") * 12 + F.month("act_month"))
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    ).cast("bigint")
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_month", moff.alias("month_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "ev02_gaps_islands",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq::BIGINT AS session_seq,
+           COUNT(*)::BIGINT AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def ev02_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) via
+    lag + running sum — the batch-SQL dual of st03's session_window. All
+    three windows and the final groupBy share PARTITION BY user_id, so
+    Spark plans ONE exchange and reuses its ordering; ordering is total
+    on (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = (
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_seq", F.sum("new_session").over(run).cast("bigint"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

@@ -55,7 +55,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 
 def _load_all() -> None:
     # Import for registration side effects; keep cheap (no Spark work at import).
-    from api_etl_pipeline_spark.ops import advanced, relational, scalar, windows  # noqa: F401
+    from api_etl_pipeline_spark.ops import (  # noqa: F401
+        advanced,
+        events_analytics,
+        relational,
+        scalar,
+        tpch_extra,
+        windows,
+    )
     from api_etl_pipeline_spark import ingest  # noqa: F401
     from api_etl_pipeline_spark.ingest import queries as ingest_queries  # noqa: F401
     from api_etl_pipeline_spark.llm_ops import (  # noqa: F401

@@ -98,3 +98,44 @@ def test_sim05_candidate_joins_are_hash_joins(spark):
     p = _plan(spark, "sim05_ivf_probe_topk")
     assert "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_q41_six_table_join_single_shuffle_join(spark):
+    # only lineitem⋈orders may shuffle; the four dimension joins broadcast
+    p = _plan(spark, "q41_local_supplier_volume")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q43_disjunction_stays_single_join(spark):
+    # the OR of brand/size/quantity legs must stay one broadcast join with
+    # a residual predicate, not a union of three plans
+    p = _plan(spark, "q43_disjunctive_pred")
+    n_scans = p.count("Location: InMemoryFileIndex")
+    assert n_scans == 2, f"disjunction exploded into {n_scans} scans"
+    assert "BroadcastHashJoin" in p
+    # the implied quantity-range superset of the OR must reach the scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in p
+
+
+def test_q44_nested_in_becomes_semi_join(spark):
+    p = _plan(spark, "q44_part_promotion")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ev02_windows_share_one_exchange(spark):
+    # lag, running sum, and the final groupBy all partition on user_id —
+    # exactly one exchange may appear in the plan
+    p = _plan(spark, "ev02_gaps_islands")
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", p, flags=re.M))
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}"
+
+
+def test_tx08_df_table_broadcasts(spark):
+    p = _plan(spark, "tx08_tfidf_top_term")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
