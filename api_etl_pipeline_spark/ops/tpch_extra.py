@@ -241,12 +241,12 @@ def q43_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l.l_shipdate >= TIMESTAMP '1996-01-01'
           AND l.l_shipdate <  TIMESTAMP '1997-01-01'
         GROUP BY l.l_suppkey, l.l_partkey
-        HAVING SUM(l.l_quantity) > 100
+        HAVING SUM(l.l_quantity) > 50
     )
     """,
 )
 def q44_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: suppliers who moved >100 units of some 'red%' part
+    """TPC-H Q20 shape: suppliers who moved >50 units of some 'red%' part
     in a year (the partsupp availability threshold becomes a fixed
     quantity threshold). Nested aggregate-IN decorrelates into
     groupBy → left-semi; the inner aggregate shrinks lineitem to
@@ -261,7 +261,7 @@ def q44_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 100)
+        .filter(F.col("qty") > 50)
         .select("l_suppkey")
     )
     return s.join(
