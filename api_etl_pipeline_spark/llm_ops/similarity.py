@@ -353,3 +353,77 @@ def dd08_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.3)
     )
+
+
+@query("sim06_matmul_topk", oracle=None)  # float32 matmul reassociates — rows-only
+def sim06_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized brute-force ANN: the THROUGHPUT twin of sim01.
+
+    sim01 scores candidates with a per-row sequential fold (bit-identical
+    to the DuckDB oracle, the correctness baseline). This is the path you
+    actually run at 100 TB: Arrow-batched `mapInPandas` where each batch
+    becomes ONE numpy matmul (queries × batchᵀ) and each partition emits
+    only its local top-k per query — a classic partial-top-k combine, so
+    the final exact window sees n_partitions × k × n_queries rows instead
+    of the full corpus. Per-query recall is exactly sim01's (verified in
+    tests/test_similarity_fastpath.py); only the last-ulp cosine bits
+    differ (SIMD reassociation), which is why it is registered rows-only.
+
+    Reference parity: no ANN exists in the reference — BASELINE.json's
+    similarity-search mandate; pattern follows SNIPPETS.md mapInPandas
+    notes (public Spark docs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    queries = [
+        (int(r["vec_id"]), np.asarray(r["embedding"], dtype=np.float64))
+        for r in e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    ]
+    qids = np.asarray([q[0] for q in queries])
+    qmat = np.stack([q[1] for q in queries])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def partial_topk(batches):
+        # closure (cloudpickle by-value): survives any driver cwd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            scores = qmat @ cmat.T  # (n_queries, batch)
+            nids = pdf["vec_id"].to_numpy()
+            rows = []
+            for qi, qid in enumerate(qids):
+                s = scores[qi]
+                mask = nids != qid
+                cand_idx = np.nonzero(mask)[0]
+                take = min(k, len(cand_idx))
+                if take == 0:
+                    continue
+                best = cand_idx[np.argpartition(-s[cand_idx], take - 1)[:take]]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nids[best],
+                            "cosine": s[best],
+                        }
+                    )
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    partials = e.select("vec_id", "embedding").mapInPandas(partial_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partials.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

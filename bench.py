@@ -74,6 +74,7 @@ OPTIONAL = [
     "q45_profit_by_nation",
     "ev02_gaps_islands",
     "tx08_tfidf_top_term",
+    "sim06_matmul_topk",
 ]
 
 
