@@ -60,6 +60,7 @@ def _load_all() -> None:
         events_analytics,
         relational,
         scalar,
+        sql_surface,
         tpch_extra,
         windows,
     )

@@ -166,3 +166,39 @@ def test_funnel_stage_timestamps_are_monotone(spark):
             assert r.t_click >= r.t_view
         if r.t_purchase is not None:
             assert r.t_click is not None and r.t_purchase >= r.t_click
+
+
+def test_gaps_islands_partition_invariants(spark):
+    """ev02 invariants: per-user session event counts sum to the user's
+    total events; session time ranges are disjoint and ordered; every
+    inter-session gap exceeds 30 minutes and every intra-session span is
+    gap-bounded between consecutive sessions."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.ops.events_analytics import ev02_gaps_islands
+    from api_etl_pipeline_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    sessions = ev02_gaps_islands(spark, SF_SMOKE).collect()
+    totals = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_user: dict = {}
+    for r in sessions:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(totals)
+    gap = dt.timedelta(minutes=30)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r.session_seq)
+        assert sum(r.n_events for r in rows) == totals[uid]
+        for a, b in zip(rows, rows[1:]):
+            assert b.session_seq == a.session_seq + 1
+            assert b.session_start - a.session_end > gap, (uid, a, b)
+        for r in rows:
+            assert r.session_start <= r.session_end
