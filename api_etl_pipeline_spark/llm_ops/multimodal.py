@@ -150,3 +150,77 @@ def mm02_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed frame-level dedup exactly like document hashes feed text dedup."""
     media = media_table(spark, sf_dir).filter(F.col("media_type") == "video/mp4")
     return sample_frames(media)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int, dst_w int, dst_h int, "
+    "resized binary, resized_sha256 string"
+)
+
+
+def _make_fake_resizer(dst_w: int, dst_h: int):
+    """Nearest-neighbor resize over the byte payload viewed as a src_w×src_h
+    single-channel image (the deterministic stand-in for a real decoder +
+    resampler; same closure-serialization rationale as the decoder).
+
+    numpy fancy-indexing does the whole batch's pixel gather vectorized —
+    the exact code shape a real resampler (PIL.thumbnail / cv2.resize)
+    would occupy, at the same RESIZE_SCHEMA contract."""
+    import hashlib
+
+    import numpy as np
+    import pandas as _pd
+
+    def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # index maps are shared across the batch: dst pixel -> src pixel
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "src_w", "src_h", "dst_w", "dst_h", "resized", "resized_sha256"
+            )}
+            for doc_id, content, src_w, src_h in zip(
+                pdf["doc_id"], pdf["content"], pdf["src_w"], pdf["src_h"]
+            ):
+                img = np.frombuffer(content, dtype=np.uint8)[: src_w * src_h]
+                if len(img) < src_w * src_h:  # payload shorter than declared
+                    img = np.pad(img, (0, src_w * src_h - len(img)))
+                img = img.reshape(src_h, src_w)
+                ys = (np.arange(dst_h) * src_h) // dst_h
+                xs = (np.arange(dst_w) * src_w) // dst_w
+                out = img[np.ix_(ys, xs)].tobytes()
+                rows["doc_id"].append(doc_id)
+                rows["src_w"].append(src_w)
+                rows["src_h"].append(src_h)
+                rows["dst_w"].append(dst_w)
+                rows["dst_h"].append(dst_h)
+                rows["resized"].append(out)
+                rows["resized_sha256"].append(hashlib.sha256(out).hexdigest())
+            out_pdf = _pd.DataFrame(rows)
+            out_pdf["src_w"] = out_pdf["src_w"].astype("int32")
+            out_pdf["src_h"] = out_pdf["src_h"].astype("int32")
+            out_pdf["dst_w"] = out_pdf["dst_w"].astype("int32")
+            out_pdf["dst_h"] = out_pdf["dst_h"].astype("int32")
+            yield out_pdf
+
+    return resize
+
+
+@query("mm03_image_resize", oracle=None)  # Pandas-UDF pixel gather: rows-only + pytest
+def mm03_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch image resize to a 16×16 thumbnail (the resize leg of the
+    decode / feature-extract / resize / frame-sample quartet). Source
+    dimensions are derived from the payload (width 32, height = len/32),
+    carried as metadata exactly as a decoded image's shape would be; the
+    resample itself is an Arrow-batched mapInPandas stage whose
+    nearest-neighbor gather is vectorized per image. Narrow plan — no
+    shuffle; thumbnails feed perceptual dedup like frame hashes feed
+    frame dedup."""
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image/png")
+    src = media.select(
+        "doc_id",
+        "content",
+        F.lit(32).cast("int").alias("src_w"),
+        F.greatest(
+            F.floor(F.length("content") / 32), F.lit(1)
+        ).cast("int").alias("src_h"),
+    )
+    return src.mapInPandas(_make_fake_resizer(16, 16), schema=RESIZE_SCHEMA)

@@ -87,3 +87,35 @@ def test_frame_sampling_matches_python_slicing(spark):
                 frame = b[fno * 32:(fno + 1) * 32]
                 want[(doc_id, fno)] = (fno * 32, len(frame), hashlib.sha256(frame).hexdigest())
     assert got == want
+
+
+def test_mm03_resize_shapes_and_determinism(spark):
+    from api_etl_pipeline_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    q = all_queries()["mm03_image_resize"]
+    rows = q.fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.dst_w == 16 and r.dst_h == 16
+        assert len(r.resized) == 16 * 16
+    # deterministic across runs (same hashes)
+    again = {r.doc_id: r.resized_sha256 for r in q.fn(spark, SF_SMOKE).collect()}
+    assert {r.doc_id: r.resized_sha256 for r in rows} == again
+
+
+def test_mm03_nearest_neighbor_gather_is_exact(spark):
+    """One hand-computed example: resizing a 4x4 ramp to 2x2 picks pixels
+    (0,0),(0,2),(2,0),(2,2) under the floor nearest-neighbor map."""
+    import numpy as np
+
+    from api_etl_pipeline_spark.llm_ops.multimodal import _make_fake_resizer
+    import pandas as pd
+
+    img = np.arange(16, dtype=np.uint8)  # 4x4 ramp row-major
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "content": [img.tobytes()], "src_w": [4], "src_h": [4]}
+    )
+    out = next(_make_fake_resizer(2, 2)(iter([pdf])))
+    got = np.frombuffer(out["resized"][0], dtype=np.uint8).reshape(2, 2)
+    assert got.tolist() == [[0, 2], [8, 10]]
