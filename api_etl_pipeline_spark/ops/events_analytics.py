@@ -119,3 +119,40 @@ def ev02_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+@query(
+    "ev03_dominant_event_type",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS dominant_type, n AS dominant_count
+    FROM (
+        SELECT counts.*,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n DESC, event_type
+               ) AS rn
+        FROM counts
+    ) WHERE rn = 1
+    """,
+)
+def ev03_dominant_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant event type per user (count desc, type asc) — the
+    oracle-checked BATCH TWIN of streaming/transform_state.py's
+    MapState processor: when that stream drains, its final emission per
+    user equals this query. Integer counts + total tie-break keep it
+    hash-stable; one shuffle, window on the already-aggregated rows."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("dominant_type"),
+            F.col("n").alias("dominant_count"),
+        )
+    )

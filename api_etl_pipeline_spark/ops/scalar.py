@@ -486,3 +486,58 @@ def x16_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pearson_r"
         ),
     )
+
+
+@query(
+    "x17_bitwise_functions",
+    oracle="""
+    SELECT o_orderkey,
+           (o_orderkey & 255)::BIGINT            AS low_byte,
+           (o_orderkey | 4096)::BIGINT           AS with_flag,
+           xor(o_orderkey, 21845)::BIGINT        AS xored,
+           (o_orderkey << 2)::BIGINT             AS shifted,
+           bit_count(o_orderkey)::BIGINT         AS popcount
+    FROM orders
+    """,
+)
+def x17_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar bitwise surface: AND/OR/XOR masks, shifts, popcount — the
+    building blocks of SimHash/fingerprint operators exposed directly.
+    (Dialect trap pinned here: DuckDB's ^ is POWER, its xor is xor();
+    Spark's ^ is bitwise xor.) Pure integer ops — trivially hash-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).cast("bigint").alias("xored"),
+        F.shiftleft(k, 2).cast("bigint").alias("shifted"),
+        F.bit_count(k).cast("bigint").alias("popcount"),
+    )
+
+
+@query(
+    "x18_bitwise_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_and(o_orderkey)::BIGINT AS and_keys,
+           bit_or(o_orderkey)::BIGINT  AS or_keys,
+           bit_xor(o_orderkey)::BIGINT AS xor_keys,
+           COUNT(*)::BIGINT            AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def x18_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/bit_or/bit_xor): commutative and
+    associative, so map-side partial aggregation applies and results are
+    partitioning-independent — the same order-freedom argument as the
+    decimal money sums, for free on integers."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").cast("bigint").alias("and_keys"),
+        F.bit_or("o_orderkey").cast("bigint").alias("or_keys"),
+        F.bit_xor("o_orderkey").cast("bigint").alias("xor_keys"),
+        F.count("*").alias("n"),
+    )
