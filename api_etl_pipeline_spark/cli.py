@@ -51,6 +51,12 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="rebalance via full shuffle instead of coalesce")
 
     sub.add_parser("list", help="list registered queries")
+
+    li = sub.add_parser(
+        "lint", help="plan-lint registered queries for scale anti-patterns"
+    )
+    li.add_argument("names", nargs="*", help="query names (default: whole registry)")
+    li.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     return p
 
 
@@ -78,6 +84,26 @@ def main(argv: list[str] | None = None) -> int:
         df.show(args.show, truncate=False)
         print(f"rows: {df.count()}")
         return 0
+
+    if args.cmd == "lint":
+        from api_etl_pipeline_spark.ops import plan_lint
+
+        specs = all_queries()
+        names = args.names or sorted(specs)
+        bad = 0
+        for name in names:
+            if name not in specs:
+                print(f"unknown query {name!r}", file=sys.stderr)
+                return 1
+            plan = plan_lint.plan_text(specs[name].fn(spark, args.sf_dir))
+            for f in plan_lint.lint_plan(name, plan):
+                tag = f.severity.upper() if not f.allowed else "ok"
+                if f.severity == "hard" or not f.allowed:
+                    bad += 1
+                detail = f" — {f.reason}" if f.reason else ""
+                print(f"{name:36s} {tag:4s} {f.node}{detail}")
+        print(f"linted {len(names)} queries, {bad} unexplained findings")
+        return 1 if bad else 0
 
     if args.cmd == "workload":
         from api_etl_pipeline_spark.llm_ops.corpus_pipeline import run_corpus_workload

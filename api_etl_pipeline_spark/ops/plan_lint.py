@@ -1,0 +1,118 @@
+"""Physical-plan linter: automated scale QA over the whole registry.
+
+`tests/test_plan_shapes.py` pins a handful of hand-picked plan
+properties; this module generalizes the idea into an engine tool: walk
+EVERY registered query's physical plan and classify anti-pattern nodes.
+
+Severity model (what actually hurts at 100 TB):
+
+- HARD (never acceptable in a registered query):
+  * CartesianProduct — an unconstrained n×m blowup of two non-broadcast
+    sides. (BroadcastNestedLoopJoin is judged separately: it is how
+    Spark executes an INTENTIONAL cross/non-equi join whose build side
+    is tiny — centroid tables, single-row scalar aggregates.)
+  * BatchEvalPython / EvalPython — a row-at-a-time (non-Arrow) Python
+    UDF in the plan; the engine's rule is Arrow-batched Pandas UDFs
+    only (ArrowEvalPython / MapInPandas nodes are fine).
+  * LocalTableScan of collected results in a BATCH query — means some
+    stage ran on the driver. (Streaming memory-sink materialization is
+    the one legitimate source; those queries are allowlisted.)
+
+- WARN (legitimate with a reason, tracked in ALLOWED so new instances
+  surface in review):
+  * SortMergeJoin — correct for fact-fact joins and full-outer joins;
+    a regression if it appears where a dimension should broadcast.
+  * SortAggregate — forced whenever an aggregate buffer is not
+    hash-mutable (string first()/min(), collect_*); a regression on
+    hot integer aggregation paths.
+  * BroadcastNestedLoopJoin — fine only when the build side is a tiny
+    frame by construction.
+
+The linter is part of the public CLI (`cli.py lint`) and enforced in
+tests/test_plan_lint.py: hard findings fail outright; warn findings must
+match the allowlist EXACTLY (an entry that stops occurring fails too, so
+the list never goes stale).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+HARD_NODES = ("CartesianProduct",)
+WARN_NODES = ("SortMergeJoin", "SortAggregate", "BroadcastNestedLoopJoin")
+
+# warn-level findings with their standing justification; a finding not in
+# this table — or a table row that no longer fires — is a lint failure.
+ALLOWED: dict[tuple[str, str], str] = {
+    ("q08_full_outer", "SortMergeJoin"): "full outer join cannot broadcast either side",
+    ("q32_waiting_orders", "SortMergeJoin"): "late-lines self semi/anti join is fact-fact",
+    ("q35_nation_volume", "SortMergeJoin"): "lineitem⋈orders fact-fact join",
+    ("q36_market_share", "SortMergeJoin"): "lineitem⋈orders fact-fact join",
+    ("llm01_clean_corpus", "SortMergeJoin"): "near-dup candidate self-join is fact-fact",
+    ("llm02_corpus_funnel", "SortMergeJoin"): "same corpus self-join via llm01",
+    ("llm02_corpus_funnel", "BroadcastNestedLoopJoin"): "single-row funnel counters cross-joined",
+    ("q09_cross_join", "BroadcastNestedLoopJoin"): "intentional cross join, 5×25-row dims",
+    ("q34_dormant_rich_customers", "BroadcastNestedLoopJoin"): "single-row scalar avg broadcast",
+    ("tx08_tfidf_top_term", "BroadcastNestedLoopJoin"): "single-row corpus-count broadcast",
+    ("sim01_cosine_topk", "BroadcastNestedLoopJoin"): "5-row query-vector broadcast, non-equi self-exclusion",
+    ("sim04_ivf_assign", "BroadcastNestedLoopJoin"): "8-row centroid table broadcast",
+    ("sim05_ivf_probe_topk", "BroadcastNestedLoopJoin"): "8-row centroid table broadcast (×2 probes)",
+    ("ing01_dedup_insert", "SortAggregate"): (
+        "dropDuplicates keeps wide string first() buffers (not hash-mutable); "
+        "single spillable sort shuffle on the dedup key"
+    ),
+}
+
+# batch queries may not contain LocalTableScan of collected rows; the
+# live-streaming queries materialize through the memory sink by design
+LOCAL_SCAN_OK = {"st06_streaming_tumbling_live"}
+
+
+@dataclass(frozen=True)
+class Finding:
+    query: str
+    node: str
+    severity: str  # "hard" | "warn"
+    allowed: bool
+    reason: str | None
+
+
+def plan_text(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def lint_plan(name: str, plan: str) -> list[Finding]:
+    findings: list[Finding] = []
+    for node in HARD_NODES:
+        if node in plan:
+            findings.append(Finding(name, node, "hard", False, None))
+    # row-at-a-time Python UDFs: BatchEvalPython; Arrow variants are fine
+    if re.search(r"\bBatchEvalPython\b", plan):
+        findings.append(Finding(name, "BatchEvalPython", "hard", False, None))
+    if "LocalTableScan" in plan and name not in LOCAL_SCAN_OK:
+        findings.append(Finding(name, "LocalTableScan", "hard", False, None))
+    for node in WARN_NODES:
+        if node in plan:
+            reason = ALLOWED.get((name, node))
+            findings.append(
+                Finding(name, node, "warn", reason is not None, reason)
+            )
+    return findings
+
+
+def lint_registry(spark: SparkSession, sf_dir: str) -> list[Finding]:
+    """Lint every registered query's physical plan."""
+    from api_etl_pipeline_spark.registry import all_queries
+
+    out: list[Finding] = []
+    for name, spec in all_queries().items():
+        out.extend(lint_plan(name, plan_text(spec.fn(spark, sf_dir))))
+    return out
