@@ -62,6 +62,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("sim01_cosine_topk", "BroadcastNestedLoopJoin"): "5-row query-vector broadcast, non-equi self-exclusion",
     ("sim04_ivf_assign", "BroadcastNestedLoopJoin"): "8-row centroid table broadcast",
     ("sim05_ivf_probe_topk", "BroadcastNestedLoopJoin"): "8-row centroid table broadcast (×2 probes)",
+    ("q46_important_stock_nations", "BroadcastNestedLoopJoin"): (
+        "single-row global-total broadcast into the non-equi HAVING comparison"
+    ),
     ("ing01_dedup_insert", "SortAggregate"): (
         "dropDuplicates keeps wide string first() buffers (not hash-mutable); "
         "single spillable sort shuffle on the dedup key"

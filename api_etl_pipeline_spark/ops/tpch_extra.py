@@ -313,3 +313,78 @@ def q45_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "q46_important_stock_nations",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS nation_bal,
+           COUNT(*)::BIGINT AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal > 0
+    GROUP BY n.n_name
+    HAVING CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) >
+           (SELECT 0.04 * CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            FROM supplier WHERE s_acctbal > 0)
+    """,
+)
+def q46_important_stock_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose share of a GLOBAL aggregate exceeds
+    a fraction (supplier account balances stand in for the missing
+    partsupp stock value). The scalar total broadcasts to the HAVING
+    filter; both sides of the comparison are exact-decimal sums cast to
+    double and scaled by the same literal, so the boundary decision is
+    IEEE-identical cross-engine."""
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    n = _t(spark, sf_dir, "nation")
+    bal = F.col("s_acctbal").cast("decimal(18,2)")
+    total = s.agg(F.sum(bal).cast("double").alias("total"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(bal).cast("double").alias("nation_bal"),
+            F.count("*").alias("n_suppliers"),
+        )
+        .join(F.broadcast(total), F.col("nation_bal") > 0.04 * F.col("total"))
+        .select("n_name", "nation_bal", "n_suppliers")
+    )
+
+
+@query(
+    "q47_parts_supplier_relationship",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type NOT LIKE 'small%'
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+          )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q47_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute group
+    with negated predicates and a NOT IN supplier exclusion (lineitem is
+    the part↔supplier relation since partsupp doesn't exist; '%7' names
+    stand in for the complaints pattern). NOT IN over the non-null key
+    becomes a broadcast left-anti join; the distinct-agg shuffles once on
+    the group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & ~F.col("p_type").startswith("small")
+    )
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").endswith("7"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
