@@ -62,6 +62,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("sim01_cosine_topk", "BroadcastNestedLoopJoin"): "5-row query-vector broadcast, non-equi self-exclusion",
     ("sim04_ivf_assign", "BroadcastNestedLoopJoin"): "8-row centroid table broadcast",
     ("sim05_ivf_probe_topk", "BroadcastNestedLoopJoin"): "8-row centroid table broadcast (×2 probes)",
+    ("q48_range_join_banded", "SortMergeJoin"): (
+        "purchases×clicks on (user, hour-bucket) is fact-fact by design — "
+        "the banding exists precisely so this SMJ's key groups stay small"
+    ),
     ("q46_important_stock_nations", "BroadcastNestedLoopJoin"): (
         "single-row global-total broadcast into the non-equi HAVING comparison"
     ),

@@ -388,3 +388,74 @@ def q47_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "q48_range_join_banded",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(c.event_id)::BIGINT AS clicks_last_hour,
+           CAST(SUM(CAST(COALESCE(c.value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q48_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join — q22's semantics (clicks in the hour before
+    each purchase) with the hour-bucket IN THE JOIN KEY. q22 shuffles on
+    user_id alone and evaluates the range predicate inside each key
+    group: O(purchases × clicks) per user, which melts down on power
+    users at 100 TB. Here each purchase explodes into its two candidate
+    hour buckets and the join key is (user_id, hour_bucket), so a key
+    group only holds one user-hour of clicks — per-key work is bounded
+    by activity density, not total history, and the hot-user skew moves
+    into MORE keys instead of bigger ones. Each click lives in exactly
+    one bucket, so no dedup is needed; purchases with no clicks are
+    restored by the left join of aggregated counts back onto the
+    purchase set. Identical oracle to q22 — the rewrite is
+    result-preserving by construction and by differential check."""
+    e = load_table(spark, sf_dir, "events")
+    hb = lambda c: F.floor(F.unix_timestamp(c) / 3600).cast("bigint")  # noqa: E731
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            hb(F.col("ts")).alias("p_hb"),
+        )
+        .withColumn("hb", F.explode(F.array(F.col("p_hb"), F.col("p_hb") - 1)))
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        hb(F.col("ts")).alias("hb"),
+    )
+    matched = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (p.hb == c.hb)
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).groupBy("purchase_id").agg(
+        F.count("click_id").alias("n_clicks"),
+        F.sum(F.col("c_value").cast("decimal(18,2)")).alias("v_sum"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id"
+    )
+    return purchases.join(matched, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        F.coalesce(F.col("n_clicks"), F.lit(0)).cast("bigint").alias("clicks_last_hour"),
+        F.coalesce(F.col("v_sum"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("click_value"),
+    )
