@@ -541,3 +541,74 @@ def x18_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("o_orderkey").cast("bigint").alias("xor_keys"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "x19_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / nullif((o_orderkey % 3)::DOUBLE, 0.0) AS price_over_mod,
+           TRY_CAST(o_orderpriority AS INTEGER)                 AS prio_as_int,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)::BIGINT AS prio_digit
+    FROM orders
+    """,
+)
+def x19_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe ANSI surface: try_divide (NULL on /0 instead of the
+    ANSI-mode exception) and try_cast (NULL on malformed input — here
+    '1-URGENT' fails whole-string parse but its first digit casts).
+    The quarantine philosophy (F1/F10: degrade to NULL, never fail the
+    job) expressed at the expression level."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")
+        ).alias("price_over_mod"),
+        F.col("o_orderpriority").try_cast("int").alias("prio_as_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").cast("bigint").alias(
+            "prio_digit"
+        ),
+    )
+
+
+@query(
+    "x20_higher_order_functions",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> length(t) > 6))::BIGINT
+               AS n_long_tokens,
+           list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+                                                      t -> length(t))),
+                       (acc, x) -> acc + x)::BIGINT AS total_token_chars,
+           len(list_filter(string_split(text, ' '), t -> t = 'the')) > 0
+               AS has_the,
+           array_to_string(list_transform((string_split(text, ' '))[1:3],
+                                          t -> upper(t)), '|') AS first3_upper
+    FROM documents
+    """,
+)
+def x20_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class surface: filter,
+    transform, exists, and a sequential aggregate fold — the lambda
+    toolkit the sketch/dedup operators compose internally (sim01's dot
+    product IS this fold), exposed and differentially verified. The
+    tokens array is materialized once in a prior select (round-1 rule:
+    lambdas re-evaluate inlined split() per element)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.size(F.filter("toks", lambda t: F.length(t) > 6))
+        .cast("bigint")
+        .alias("n_long_tokens"),
+        F.aggregate(
+            F.transform("toks", lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_token_chars"),
+        F.exists("toks", lambda t: t == "the").alias("has_the"),
+        F.array_join(
+            F.transform(F.slice("toks", 1, 3), lambda t: F.upper(t)), "|"
+        ).alias("first3_upper"),
+    )

@@ -125,7 +125,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_RAW_LAYOUT"):
         bench_dir, prep_sec = sf_dir, 0.0
     else:
-        bench_dir, prep_sec = prepare_layout(spark, sf_dir, cpus)
+        try:
+            bench_dir, prep_sec = prepare_layout(spark, sf_dir, cpus)
+        except Exception as exc:  # unwritable /tmp etc. — bench raw rather than die
+            print(f"layout prepare failed ({exc}); benching raw layout", file=sys.stderr)
+            bench_dir, prep_sec = sf_dir, 0.0
 
     # warmup: run the flagship once to pay session/codegen startup
     specs[HEADLINE[0]].fn(spark, bench_dir).write.mode("overwrite").format("noop").save()
