@@ -123,3 +123,41 @@ def lint_registry(spark: SparkSession, sf_dir: str) -> list[Finding]:
     for name, spec in all_queries().items():
         out.extend(lint_plan(name, plan_text(spec.fn(spark, sf_dir))))
     return out
+
+
+def summarize_plan(plan: str) -> dict:
+    """Compact fingerprint of a physical plan for reporting: exchange
+    count, join strategies, aggregate kinds, scan pushdown evidence."""
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", plan, flags=re.M))
+    n_bcast = len(re.findall(r"^\(\d+\) BroadcastExchange$", plan, flags=re.M))
+    joins = sorted(
+        {
+            m
+            for m in re.findall(
+                r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+                r"BroadcastNestedLoopJoin|CartesianProduct)\b",
+                plan,
+            )
+        }
+    )
+    aggs = sorted(
+        {m for m in re.findall(r"\b(HashAggregate|SortAggregate|ObjectHashAggregate)\b", plan)}
+    )
+    pushed = bool(re.search(r"PushedFilters: \[(?!\])", plan))
+    python_stages = sorted(
+        {
+            m
+            for m in re.findall(
+                r"\b(MapInPandas|ArrowEvalPython\w*|BatchEvalPython\w*|FlatMapGroupsInPandas\w*)\b",
+                plan,
+            )
+        }
+    )
+    return {
+        "exchanges": n_exchanges,
+        "broadcasts": n_bcast,
+        "joins": joins,
+        "aggregates": aggs,
+        "pushed_filters": pushed,
+        "python_stages": python_stages,
+    }
