@@ -139,3 +139,46 @@ def test_tx08_df_table_broadcasts(spark):
     p = _plan(spark, "tx08_tfidf_top_term")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Hive-style partitioned writes must prune at the source: a query for
+    one event_date reads exactly one partition directory (PartitionFilters
+    in the scan, not a post-scan filter) — the 100 TB layout for the
+    responses/attempts tables (SCALE.md storage table)."""
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "events_by_date")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+
+    q = (
+        spark.read.parquet(out)
+        .filter(F.col("event_date") == "2024-01-05")
+        .groupBy("event_type")
+        .count()
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_date" in pf[0], "partition filter did not reach the scan"
+    # correctness: pruned read equals filtered full read
+    full = {
+        (r["event_type"], r["count"])
+        for r in ev.filter(F.col("event_date") == "2024-01-05")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    pruned = {(r["event_type"], r["count"]) for r in q.collect()}
+    assert pruned == full
