@@ -624,3 +624,39 @@ def ing17_request_mapper(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docket_number",
         )
     )
+
+
+@query(
+    "ing18_bloom_dedup_insert",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               printf('https://corpus.example/%s/%d', source, doc_id) AS source_url,
+               sha256(text) AS sha256
+        FROM documents
+    ), existing AS (
+        SELECT source_url, sha256 FROM keyed WHERE doc_id % 3 = 0
+    )
+    SELECT k.doc_id, k.source, k.source_url, k.sha256
+    FROM keyed k
+    WHERE NOT EXISTS (
+        SELECT 1 FROM existing e
+        WHERE e.source_url = k.source_url AND e.sha256 = k.sha256
+    )
+    """,
+)
+def ing18_bloom_dedup_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/J2 at scale: the Bloom-pre-pass dedup insert
+    (ingest/dedup.py::dedup_insert_bloom — distributively-built bitmap,
+    broadcast membership probe, exact anti-join only for possible
+    duplicates). SAME oracle as ing01: the bloom filter may only
+    short-circuit definite-new rows, never change the result — the
+    differential check proves the rewrite sound, not just the pytest
+    equality."""
+    from api_etl_pipeline_spark.ingest.dedup import dedup_insert_bloom
+
+    keyed = _docs_with_key(spark, sf_dir)
+    existing = keyed.filter(F.col("doc_id") % 3 == 0)
+    return dedup_insert_bloom(keyed, existing, expected_items=100_000).select(
+        "doc_id", "source", "source_url", "sha256"
+    )

@@ -73,6 +73,9 @@ ALLOWED: dict[tuple[str, str], str] = {
         "dropDuplicates keeps wide string first() buffers (not hash-mutable); "
         "single spillable sort shuffle on the dedup key"
     ),
+    ("ing18_bloom_dedup_insert", "SortAggregate"): (
+        "same dropDuplicates batch-dedup as ing01 upstream of the bloom probe"
+    ),
 }
 
 # batch queries may not contain LocalTableScan of collected rows; the
