@@ -59,3 +59,23 @@ def test_contract_shape():
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) > 0
+
+
+def test_view_backed_queries_survive_sf_dir_switch(spark):
+    """Queries that go through temp views must bind their relations at
+    build time: building the same query for ANOTHER sf_dir (which
+    re-registers the views) must not corrupt a previously built
+    DataFrame — the driver interleaves entry() at sf0.001 with t2 at
+    sf0.01 in one session."""
+    from tests.conftest import SF_SMOKE
+
+    for name in (
+        "qsql01_topk_per_nation_shared_sql",
+        "q23_grouping_sets",
+        "udtf01_bigram_expand",
+    ):
+        spec = _SPECS[name]
+        small = spec.fn(spark, SF_SMOKE)
+        want = small.count()
+        spec.fn(spark, SF_DIR)  # re-registers views for the bigger sf
+        assert small.count() == want, f"{name}: stale-view corruption"
