@@ -156,3 +156,46 @@ def ev03_dominant_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("dominant_count"),
         )
     )
+
+
+@query(
+    "ev04_rolling_wau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT days.d AS window_end_day,
+           COUNT(DISTINCT du.user_id)::BIGINT AS wau
+    FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+)
+def ev04_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per observed day (WAU). A
+    sliding COUNT DISTINCT cannot use a window frame (distinct is not
+    frame-mergeable), so the engine uses the banded form: each distinct
+    (day, user) row explodes into the ≤7 window-end days it serves, then
+    one distinct-agg per window end — O(7·|daily actives|) instead of a
+    range self-join, and the explode factor IS the window length, fixed
+    and known. The semi join keeps only observed days (matching the
+    oracle's days CTE)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    served = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("window_end_day"),
+    )
+    return (
+        served.join(
+            F.broadcast(days.select(F.col("d").alias("window_end_day"))),
+            "window_end_day",
+            "left_semi",
+        )
+        .groupBy("window_end_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
