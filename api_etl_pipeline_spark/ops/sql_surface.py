@@ -79,3 +79,55 @@ def qsql02_grouping_sets_shared_sql(spark: SparkSession, sf_dir: str) -> DataFra
     the exact-decimal money convention in shared dialect."""
     register_views(spark, sf_dir)
     return spark.sql(_QSQL02)
+
+
+_QSQL03 = """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o2
+            WHERE o2.o_custkey = c.c_custkey
+              AND o2.o_orderstatus = 'F'
+              AND o2.o_totalprice > 400000
+          )
+"""
+
+_QSQL04 = """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_run
+                AS DOUBLE) AS running_spend,
+           CAST(COUNT(*) OVER w_last3 AS BIGINT) AS last3
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_last3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("qsql03_exists_not_exists_shared_sql", oracle=_QSQL03)
+def qsql03_exists_not_exists_shared_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS + IN-list in shared dialect — both engines
+    decorrelate to semi/anti joins from the same verbatim string."""
+    register_views(spark, sf_dir)
+    return spark.sql(_QSQL03)
+
+
+@query("qsql04_window_frames_shared_sql", oracle=_QSQL04)
+def qsql04_window_frames_shared_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clauses with explicit ROWS frames (running exact-
+    decimal spend + trailing count) in shared dialect; ordering is total
+    on (o_orderdate, o_orderkey) per the duplicate-key rule. Dialect
+    trap: `OVER (w ROWS ...)` — extending a named window inline — parses
+    in DuckDB but not Spark, so each frame gets its own named window."""
+    register_views(spark, sf_dir)
+    return spark.sql(_QSQL04)
