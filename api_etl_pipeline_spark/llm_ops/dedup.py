@@ -327,3 +327,74 @@ def dd07_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ham <= 3).alias("near_dup"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 20
+) -> DataFrame:
+    """Connected components by iterative minimum-label propagation — the
+    clustering step between candidate-pair generation (dd04/dd07/dd08)
+    and keep-one-per-cluster dedup. Returns (vertex, component) where
+    component is the minimum vertex id reachable.
+
+    Spark-first shape: each iteration is one DataFrame round
+    (edges ⋈ labels → per-vertex min over both directions + self), with
+    `localCheckpoint` truncating the lineage so the plan doesn't grow
+    exponentially with iterations (the classic iterative-algorithm trap;
+    on a cluster use `spark.checkpoint.dir` + checkpoint()). Convergence
+    is detected with a changed-labels count — diameter-bounded, so
+    max_iters=20 covers any realistic near-dup cluster (dup clusters are
+    near-cliques with tiny diameters; even a path of 2^20 docs would be
+    pathological). This is the SURVEY-sanctioned rows-only category:
+    genuinely iterative, not SQL-expressible.
+    """
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = (
+        both.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            both.join(labels, both.v == labels.vertex)
+            .groupBy(F.col("u").alias("vertex"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("changed"),
+            )
+        ).localCheckpoint()  # truncate lineage each round
+        n_changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+@query("dd09_dup_clusters", oracle=None)  # iterative — rows-only + pytest union-find
+def dd09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash-LSH
+    candidate pairs (dd04), plus the deterministic keeper (the minimum
+    doc_id IS the component label). Cluster sizes and membership are
+    pinned against a driver-side union-find in pytest — the driver
+    records a rows-only check (iterative ≠ SQL-expressible)."""
+    pairs = dd04_minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("cluster_keeper"),
+            "cluster_size",
+        )
+    )
