@@ -402,7 +402,12 @@ def sim06_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 s = scores[qi]
                 mask = nids != qid
                 cand_idx = np.nonzero(mask)[0]
-                take = min(k, len(cand_idx))
+                # keep 2k per partition, not k: with exactly-tied cosines at
+                # the local k-boundary, argpartition's arbitrary tie choice
+                # could otherwise drop the candidate the global tie-break
+                # (neighbor_id asc) prefers; the doubled buffer makes the
+                # partial top-k tie-safe for up to k exact ties
+                take = min(2 * k, len(cand_idx))
                 if take == 0:
                     continue
                 best = cand_idx[np.argpartition(-s[cand_idx], take - 1)[:take]]
