@@ -131,3 +131,40 @@ def qsql04_window_frames_shared_sql(spark: SparkSession, sf_dir: str) -> DataFra
     in DuckDB but not Spark, so each frame gets its own named window."""
     register_views(spark, sf_dir)
     return spark.sql(_QSQL04)
+
+
+_QSQL05 = """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+_QSQL06 = """
+    SELECT c.c_custkey, c.c_acctbal,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+           CAST((SELECT MAX(o2.o_totalprice) FROM orders o2
+                 WHERE o2.o_custkey = c.c_custkey) AS DOUBLE) AS max_order
+    FROM customer c
+    WHERE c.c_custkey < 500
+"""
+
+
+@query("qsql05_set_ops_shared_sql", oracle=_QSQL05)
+def qsql05_set_ops_shared_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT chain in shared dialect: both engines apply
+    standard precedence (INTERSECT binds tighter than EXCEPT, so this is
+    (A ∩ B) − C) and identical DISTINCT set semantics."""
+    register_views(spark, sf_dir)
+    return spark.sql(_QSQL05)
+
+
+@query("qsql06_correlated_scalar_shared_sql", oracle=_QSQL06)
+def qsql06_correlated_scalar_shared_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT list — both engines
+    decorrelate to aggregated left joins from the same string; COUNT is
+    0 (not NULL) for order-less customers on both, MAX stays NULL."""
+    register_views(spark, sf_dir)
+    return spark.sql(_QSQL06)
