@@ -239,3 +239,41 @@ def w08_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).cast("bigint").alias("decile"),
     )
+
+
+@query(
+    "w09_locf_gap_fill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_type = 'purchase' THEN value END AS purchase_value,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS locf_value
+    FROM events
+    """,
+)
+def w09_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill: every event row carries
+    the most recent purchase value for its user (IGNORE NULLS running
+    last_value) — the canonical time-series fill pattern. NULL until a
+    user's first purchase on both engines; ordering is total on
+    (ts, event_id). Dialect note: DuckDB spells it
+    `last_value(x IGNORE NULLS)`, Spark's SQL puts IGNORE NULLS after
+    the call — the DataFrame API (`F.last(x, ignorenulls=True)`)
+    sidesteps the divergence."""
+    ev = load_table(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        pv.alias("purchase_value"),
+        F.last(pv, ignorenulls=True).over(w).alias("locf_value"),
+    )
