@@ -199,3 +199,53 @@ def ev04_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_end_day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "ev05_zero_filled_daily",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
+               CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*)::BIGINT AS n_events
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT s.day, COALESCE(d.n_events, 0)::BIGINT AS n_purchases
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def ev05_zero_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled daily series: generate the full calendar spine between
+    the observed min and max day (sequence + explode — a generated
+    dimension, no source table) and left-join the sparse daily purchase
+    counts onto it, so days with no purchases report 0 instead of
+    vanishing. The spine is tiny and broadcasts; the reporting pattern
+    every dashboard needs and sparse aggregation alone cannot give."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day", F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_purchases")
+        )
+    )

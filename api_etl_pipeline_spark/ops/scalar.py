@@ -612,3 +612,38 @@ def x20_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.slice("toks", 1, 3), lambda t: F.upper(t)), "|"
         ).alias("first3_upper"),
     )
+
+
+@query(
+    "x21_width_bucket_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 25
+                ELSE 1 + FLOOR(o_totalprice / (600000.0 / 24))
+           END::BIGINT AS bucket,
+           COUNT(*)::BIGINT AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def x21_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via Spark's width_bucket, differentially
+    checked against DuckDB's floor-arithmetic emulation (DuckDB has no
+    width_bucket): with 2-decimal prices and an exact bucket width, the
+    two formulations agree on every boundary. At scale this is the
+    single-pass histogram primitive (one hash agg, map-side combined)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(24))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
