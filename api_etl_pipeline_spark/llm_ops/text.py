@@ -306,3 +306,62 @@ def tx08_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "tx09_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang AS labeled_lang,
+               CASE WHEN en_hits > es_hits THEN 'en'
+                    WHEN es_hits > en_hits THEN 'es'
+                    ELSE 'und' END AS predicted_lang
+        FROM (
+            SELECT lang,
+                   len(list_filter(tokens, t -> t IN {EN_STOPWORDS}))::BIGINT AS en_hits,
+                   len(list_filter(tokens, t -> t IN {ES_STOPWORDS}))::BIGINT AS es_hits
+            FROM (SELECT lang, string_split(text, ' ') AS tokens FROM documents)
+        )
+    )
+    SELECT labeled_lang,
+           SUM(CASE WHEN predicted_lang = 'en'  THEN 1 ELSE 0 END)::BIGINT AS pred_en,
+           SUM(CASE WHEN predicted_lang = 'es'  THEN 1 ELSE 0 END)::BIGINT AS pred_es,
+           SUM(CASE WHEN predicted_lang = 'und' THEN 1 ELSE 0 END)::BIGINT AS pred_und,
+           COUNT(*)::BIGINT AS total,
+           SUM(CASE WHEN predicted_lang = labeled_lang THEN 1 ELSE 0 END)::BIGINT
+               AS correct
+    FROM pred
+    GROUP BY labeled_lang
+    """,
+)
+def tx09_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation crosstab: the tx03 language-ID predictions
+    pivoted against the labeled language — per-label prediction counts
+    and accuracy numerators, the quality-monitoring rollup a corpus
+    pipeline runs after every classifier change. Integer conditional
+    sums over one hash agg; the pivot is fixed-width (known label set)
+    so no two-pass pivot inference."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", _tokens().alias("toks")
+    )
+    toks = F.col("toks")
+    en = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))).cast("bigint")
+    es = F.size(F.filter(toks, lambda t: t.isin(*ES_STOPWORDS))).cast("bigint")
+    pred = (
+        F.when(F.col("en_hits") > F.col("es_hits"), "en")
+        .when(F.col("es_hits") > F.col("en_hits"), "es")
+        .otherwise("und")
+    )
+    scored = d.select(
+        F.col("lang").alias("labeled_lang"), en.alias("en_hits"), es.alias("es_hits")
+    ).select("labeled_lang", pred.alias("predicted_lang"))
+    p = F.col("predicted_lang")
+    return scored.groupBy("labeled_lang").agg(
+        F.sum(F.when(p == "en", 1).otherwise(0)).alias("pred_en"),
+        F.sum(F.when(p == "es", 1).otherwise(0)).alias("pred_es"),
+        F.sum(F.when(p == "und", 1).otherwise(0)).alias("pred_und"),
+        F.count("*").alias("total"),
+        F.sum(
+            F.when(p == F.col("labeled_lang"), 1).otherwise(0)
+        ).alias("correct"),
+    )
