@@ -398,3 +398,38 @@ def dd09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+@query("dd10_keep_best_dedup", oracle=None)  # builds on iterative dd09 — rows-only
+def dd10_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: within each near-dup cluster (dd09) keep the
+    document with the highest lexical diversity (tx02's distinct_ratio),
+    tie-broken by doc_id — the production alternative to min-id keepers
+    when replicas differ in quality (truncation, boilerplate). Emits one
+    row per cluster: keeper + cluster size. max_by on a (ratio, -doc_id)
+    struct makes the argmax deterministic in one hash aggregation."""
+    comp = connected_components(
+        dd04_minhash_lsh_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    quality = (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio")
+    scored = d.select(F.col("doc_id").alias("vertex"), quality)
+    return (
+        comp.join(scored, "vertex")
+        .groupBy("component")
+        .agg(
+            F.max_by(
+                "vertex",
+                F.struct(F.col("distinct_ratio"), (-F.col("vertex")).alias("neg_id")),
+            ).alias("keeper_doc_id"),
+            F.max("distinct_ratio").alias("keeper_quality"),
+            F.count("*").alias("cluster_size"),
+        )
+        .select(
+            F.col("component").alias("cluster_id"),
+            "keeper_doc_id",
+            "keeper_quality",
+            "cluster_size",
+        )
+    )

@@ -49,3 +49,40 @@ def test_dd09_matches_union_find(spark):
         keeper, size = got[doc]
         assert keeper == root, f"doc {doc}: keeper {keeper} != {root}"
         assert size == sizes[root], f"doc {doc}: size {size} != {sizes[root]}"
+
+
+def test_dd10_keeper_is_cluster_quality_argmax(spark):
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.tables import load_table
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in _Q["dd04_minhash_lsh_pairs"].fn(spark, SF_SMOKE).collect()
+    ]
+    comp = _union_find(pairs)
+    d = load_table(spark, SF_SMOKE, "documents")
+    toks = F.split("text", " ")
+    quality = {
+        r.doc_id: r.q
+        for r in d.select(
+            "doc_id", (F.size(F.array_distinct(toks)) / F.size(toks)).alias("q")
+        ).collect()
+    }
+    want = {}
+    for doc, root in comp.items():
+        cur = want.get(root)
+        cand = (quality[doc], -doc)
+        if cur is None or cand > cur[0]:
+            want[root] = (cand, doc)
+    got = {
+        r.cluster_id: (r.keeper_doc_id, r.cluster_size)
+        for r in _Q["dd10_keep_best_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    from collections import Counter
+
+    sizes = Counter(comp.values())
+    for root, (_, keeper) in want.items():
+        assert got[root][0] == keeper, (root, got[root], keeper)
+        assert got[root][1] == sizes[root]
