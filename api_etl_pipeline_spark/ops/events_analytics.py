@@ -249,3 +249,54 @@ def ev05_zero_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day", F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_purchases")
         )
     )
+
+
+@query(
+    "ev06_funnel_conversion",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS saw,
+               MAX(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS clicked,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT SUM(saw)::BIGINT                         AS n_viewers,
+           SUM(saw * clicked)::BIGINT               AS n_clickers,
+           SUM(saw * clicked * bought)::BIGINT      AS n_buyers,
+           CAST(SUM(saw * clicked) AS DOUBLE)
+             / CAST(SUM(saw) AS DOUBLE)             AS view_to_click,
+           CAST(SUM(saw * clicked * bought) AS DOUBLE)
+             / CAST(SUM(saw * clicked) AS DOUBLE)   AS click_to_buy
+    FROM stages
+    """,
+)
+def ev06_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion rollup: per-user stage flags (one hash agg)
+    reduced to population counts and stage-to-stage conversion rates —
+    the summary the q38 per-user funnel feeds. Rates are single
+    divisions of exact integer counts (hash-stable); stage membership is
+    unordered here (q38 carries the ordered variant)."""
+    ev = load_table(spark, sf_dir, "events")
+    flag = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    stages = ev.groupBy("user_id").agg(
+        flag("view").alias("saw"),
+        flag("click").alias("clicked"),
+        flag("purchase").alias("bought"),
+    )
+    saw, clicked, bought = F.col("saw"), F.col("clicked"), F.col("bought")
+    return stages.agg(
+        F.sum(saw).cast("bigint").alias("n_viewers"),
+        F.sum(saw * clicked).cast("bigint").alias("n_clickers"),
+        F.sum(saw * clicked * bought).cast("bigint").alias("n_buyers"),
+        (
+            F.sum(saw * clicked).cast("double") / F.sum(saw).cast("double")
+        ).alias("view_to_click"),
+        (
+            F.sum(saw * clicked * bought).cast("double")
+            / F.sum(saw * clicked).cast("double")
+        ).alias("click_to_buy"),
+    )
