@@ -75,6 +75,9 @@ OPTIONAL = [
     "ev02_gaps_islands",
     "tx08_tfidf_top_term",
     "sim06_matmul_topk",
+    "ev04_rolling_wau",
+    "ev06_funnel_conversion",
+    "dd09_dup_clusters",  # iterative connected components (multi-job)
 ]
 
 
