@@ -76,6 +76,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("ing18_bloom_dedup_insert", "SortAggregate"): (
         "same dropDuplicates batch-dedup as ing01 upstream of the bloom probe"
     ),
+    ("dd10_keep_best_dedup", "SortAggregate"): (
+        "max_by struct argmax buffer is not hash-mutable; runs on the tiny "
+        "post-clustering vertex set"
+    ),
 }
 
 # batch queries may not contain LocalTableScan of collected rows; the
