@@ -459,3 +459,41 @@ def q48_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("click_value"),
     )
+
+
+@query(
+    "q49_null_safe_join",
+    oracle="""
+    WITH c AS (
+        SELECT NULLIF(c_custkey % 7, 3) AS bucket, COUNT(*)::BIGINT AS n_cust
+        FROM customer GROUP BY 1
+    ),
+    o AS (
+        SELECT NULLIF(o_orderkey % 7, 3) AS bucket, COUNT(*)::BIGINT AS n_ord
+        FROM orders GROUP BY 1
+    )
+    SELECT c.bucket AS bucket, c.n_cust, o.n_ord
+    FROM c JOIN o ON c.bucket IS NOT DISTINCT FROM o.bucket
+    """,
+)
+def q49_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join semantics: NULL keys MATCH each other (Spark
+    eqNullSafe / <=>, DuckDB IS NOT DISTINCT FROM) — the opposite of
+    ordinary equi-join NULL dropping, and the semantics a dedup merge
+    needs when the key itself is nullable. The NULLIF-manufactured NULL
+    bucket on both sides proves the NULL row survives the join on both
+    engines. Note eqNullSafe keys still hash-partition normally (all
+    NULLs co-locate) — no cartesian fallback."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_custkey") % 7, F.lit(3)).alias("bucket"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.nullif(F.col("o_orderkey") % 7, F.lit(3)).alias("b2"))
+        .agg(F.count("*").alias("n_ord"))
+    )
+    return c.join(o, F.col("bucket").eqNullSafe(F.col("b2"))).select(
+        "bucket", "n_cust", "n_ord"
+    )
