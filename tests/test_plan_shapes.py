@@ -182,3 +182,53 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     }
     pruned = {(r["event_type"], r["count"]) for r in q.collect()}
     assert pruned == full
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine exposes Spark's join-strategy hints: a dimension join
+    forced to shuffle-hash / sort-merge must plan that node (how an
+    operator author overrides the planner when the statistics lie)."""
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+
+    def plan_of(df):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    smj = plan_of(li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey))
+    assert "SortMergeJoin" in smj
+    shj = plan_of(li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey))
+    assert "ShuffledHashJoin" in shj
+    bhj = plan_of(li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey))
+    assert "BroadcastHashJoin" in bhj
+
+
+def test_aqe_coalesces_small_shuffles(spark):
+    """AQE must shrink the configured 32 shuffle partitions to a handful
+    at runtime when the data is tiny — the knob SCALE.md relies on
+    instead of hand-tuning spark.sql.shuffle.partitions per query."""
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    out.collect()
+    n_parts = out.rdd.getNumPartitions()
+    assert n_parts < int(spark.conf.get("spark.sql.shuffle.partitions")), (
+        f"AQE did not coalesce: {n_parts} partitions"
+    )
