@@ -497,3 +497,46 @@ def q49_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, F.col("bucket").eqNullSafe(F.col("b2"))).select(
         "bucket", "n_cust", "n_ord"
     )
+
+
+@query(
+    "q50_salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*)::BIGINT AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q50_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (ops/skew.py::salted_agg) proven
+    result-identical to the plain groupBy by the differential oracle —
+    the ing18 pattern applied to the salting rewrite. l_returnflag has
+    only 3 values (extreme key skew by construction): the salt spreads
+    each hot key over 16 reducers in stage one, and stage two merges 48
+    partial rows. Decimal partials keep the two-stage sum exact, so the
+    rewrite is hash-identical, not approximately equal."""
+    from api_etl_pipeline_spark.ops.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        key="l_returnflag",
+        spread_col="l_orderkey",
+        aggs={
+            "n_lines": (F.count("*"), F.sum),
+            "total_price_dec": (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")),
+                F.sum,
+            ),
+            "total_qty_d": (F.sum("l_quantity"), F.sum),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("total_price_dec").cast("double").alias("total_price"),
+        F.col("total_qty_d").cast("bigint").alias("total_qty"),
+    )
