@@ -300,3 +300,41 @@ def ev06_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(saw * clicked).cast("double")
         ).alias("click_to_buy"),
     )
+
+
+@query(
+    "ev07_top_event_sequences",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               LEAD(event_type, 1) OVER w AS nxt1,
+               LEAD(event_type, 2) OVER w AS nxt2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || ' > ' || nxt1 || ' > ' || nxt2 AS path,
+           COUNT(*)::BIGINT AS n
+    FROM seq
+    WHERE nxt1 IS NOT NULL AND nxt2 IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def ev07_top_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining (lite): per-user event trigrams via two
+    leads over the total (ts, event_id) order, counted corpus-wide — the
+    path-analysis primitive behind 'what do users do before buying'.
+    One exchange on user_id for the window, one for the count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    ).filter(F.col("nxt1").isNotNull() & F.col("nxt2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "nxt1", "nxt2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )

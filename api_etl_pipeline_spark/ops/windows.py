@@ -277,3 +277,45 @@ def w09_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         pv.alias("purchase_value"),
         F.last(pv, ignorenulls=True).over(w).alias("locf_value"),
     )
+
+
+@query(
+    "w10_share_of_total",
+    oracle="""
+    WITH seg AS (
+        SELECT c_mktsegment,
+               SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS seg_bal_dec,
+               COUNT(*)::BIGINT AS n_cust
+        FROM customer WHERE c_acctbal > 0
+        GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(seg_bal_dec AS DOUBLE) AS seg_bal, n_cust,
+           CAST(seg_bal_dec AS DOUBLE)
+             / CAST(SUM(seg_bal_dec) OVER () AS DOUBLE) AS share_of_total
+    FROM seg
+    """,
+)
+def w10_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total: each group's fraction of the grand total via an
+    unpartitioned window sum over the ALREADY-AGGREGATED rows (5 rows —
+    the global window is dashboard-grain by construction, never applied
+    to the raw fact table). Both numerator and denominator are exact
+    decimal sums — including the WINDOW sum for the denominator, which
+    as a double would re-introduce summation-order dependence — so the
+    single division is IEEE-identical cross-engine."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    seg = c.groupBy("c_mktsegment").agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("seg_bal_dec"),
+        F.count("*").alias("n_cust"),
+    )
+    w = W.partitionBy()
+    return seg.select(
+        "c_mktsegment",
+        F.col("seg_bal_dec").cast("double").alias("seg_bal"),
+        "n_cust",
+        (
+            F.col("seg_bal_dec").cast("double")
+            / F.sum("seg_bal_dec").over(w).cast("double")
+        ).alias("share_of_total"),
+    )
