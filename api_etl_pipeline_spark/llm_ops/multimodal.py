@@ -224,3 +224,62 @@ def mm03_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("src_h"),
     )
     return src.mapInPandas(_make_fake_resizer(16, 16), schema=RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_samples bigint, n_frames int, "
+    "peak_frame int, peak_energy bigint, mean_energy double"
+)
+
+
+def _make_audio_profiler(frame_samples: int = 256):
+    """Frame-energy profiler over the payload viewed as int16 PCM — the
+    audio leg of the multimodal quartet (decode stays stubbed; the
+    energy math is what a VAD/silence-trim stage runs after decoding).
+    Integer sum-of-squares per frame keeps every reported number exact
+    (no float accumulation), so results are bit-stable at any
+    partitioning; same closure-serialization rationale as the decoder."""
+    import numpy as np
+    import pandas as _pd
+
+    def profile(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "n_samples", "n_frames", "peak_frame",
+                "peak_energy", "mean_energy",
+            )}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                buf = content[: (len(content) // 2) * 2]
+                samples = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                n_frames = len(samples) // frame_samples
+                if n_frames == 0:
+                    continue
+                frames = samples[: n_frames * frame_samples].reshape(
+                    n_frames, frame_samples
+                )
+                energy = (frames * frames).sum(axis=1)  # exact int64
+                peak = int(np.argmax(energy))  # first max = deterministic
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(len(samples))
+                rows["n_frames"].append(n_frames)
+                rows["peak_frame"].append(peak)
+                rows["peak_energy"].append(int(energy[peak]))
+                rows["mean_energy"].append(float(int(energy.sum())) / n_frames)
+            out = _pd.DataFrame(rows)
+            out["n_frames"] = out["n_frames"].astype("int32")
+            out["peak_frame"] = out["peak_frame"].astype("int32")
+            yield out
+
+    return profile
+
+
+@query("mm04_audio_frame_energy", oracle=None)  # Pandas-UDF int16 view: rows-only
+def mm04_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-energy profile (256-sample frames over int16 PCM):
+    per-clip sample/frame counts, the deterministic peak frame, and
+    exact-integer energy stats — the silence-trim / VAD precursor. All
+    arithmetic is int64; only the final mean is one division."""
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "audio/wav")
+    return media.select("doc_id", "content").mapInPandas(
+        _make_audio_profiler(), schema=AUDIO_SCHEMA
+    )

@@ -119,3 +119,33 @@ def test_mm03_nearest_neighbor_gather_is_exact(spark):
     out = next(_make_fake_resizer(2, 2)(iter([pdf])))
     got = np.frombuffer(out["resized"][0], dtype=np.uint8).reshape(2, 2)
     assert got.tolist() == [[0, 2], [8, 10]]
+
+
+def test_mm04_audio_energy_exact_on_known_signal(spark):
+    """A hand-built two-frame int16 signal: frame0 all zeros, frame1 all
+    ±4 — peak must be frame 1 with energy 256*16, mean exactly half."""
+    import numpy as np
+
+    from api_etl_pipeline_spark.llm_ops.multimodal import _make_audio_profiler
+    import pandas as pd
+
+    sig = np.concatenate(
+        [np.zeros(256, dtype="<i2"), np.full(256, 4, dtype="<i2")]
+    )
+    pdf = pd.DataFrame({"doc_id": [7], "content": [sig.tobytes()]})
+    out = next(_make_audio_profiler()(iter([pdf])))
+    r = out.iloc[0]
+    assert r.n_samples == 512 and r.n_frames == 2
+    assert r.peak_frame == 1 and r.peak_energy == 256 * 16
+    assert r.mean_energy == (256 * 16) / 2
+
+
+def test_mm04_runs_on_corpus_and_is_deterministic(spark):
+    from api_etl_pipeline_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    q = all_queries()["mm04_audio_frame_energy"]
+    a = {r.doc_id: (r.peak_frame, r.peak_energy) for r in q.fn(spark, SF_SMOKE).collect()}
+    assert a
+    b = {r.doc_id: (r.peak_frame, r.peak_energy) for r in q.fn(spark, SF_SMOKE).collect()}
+    assert a == b
