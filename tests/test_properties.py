@@ -202,3 +202,26 @@ def test_gaps_islands_partition_invariants(spark):
             assert b.session_start - a.session_end > gap, (uid, a, b)
         for r in rows:
             assert r.session_start <= r.session_end
+
+
+def test_event_trigram_count_conservation(spark):
+    """ev07 invariant: total trigram paths = Σ_users max(0, n_events-2)."""
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.ops.events_analytics import ev07_top_event_sequences
+    from api_etl_pipeline_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    total_paths = (
+        ev07_top_event_sequences(spark, SF_SMOKE)
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]["s"]
+    )
+    per_user = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    want = sum(max(0, r.n - 2) for r in per_user)
+    assert total_paths == want
