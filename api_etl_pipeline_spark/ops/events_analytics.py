@@ -338,3 +338,78 @@ def ev07_top_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "ev08_first_click_attribution",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_seq
+        FROM ordered
+    ),
+    first_clicks AS (
+        SELECT user_id, session_seq, MIN(event_id) AS first_click_id
+        FROM (
+            SELECT user_id, session_seq, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, session_seq ORDER BY ts, event_id
+                   ) AS rn
+            FROM sessioned WHERE event_type = 'click'
+        ) WHERE rn = 1
+        GROUP BY user_id, session_seq
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.session_seq::BIGINT AS session_seq,
+           f.first_click_id
+    FROM (SELECT * FROM sessioned WHERE event_type = 'purchase') p
+    LEFT JOIN first_clicks f
+      ON f.user_id = p.user_id AND f.session_seq = p.session_seq
+    """,
+)
+def ev08_first_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-click attribution: each purchase is credited to the EARLIEST
+    click in its gaps-and-islands session (ev02's sessionization reused
+    as a building block), NULL when the session had no click — the
+    marketing-attribution join every growth team runs. All windows and
+    the final join share the user_id partitioning; the first-click table
+    is session-grain (tiny) and broadcasts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = (
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessioned = ev.withColumn("new_session", new_session).withColumn(
+        "session_seq", F.sum("new_session").over(run).cast("bigint")
+    )
+    wclick = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    first_clicks = (
+        sessioned.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(wclick))
+        .filter(F.col("rn") == 1)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("event_id").alias("first_click_id"))
+    )
+    purchases = sessioned.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "session_seq"
+    )
+    return purchases.join(
+        F.broadcast(first_clicks), ["user_id", "session_seq"], "left"
+    ).select("purchase_id", "user_id", "session_seq", "first_click_id")

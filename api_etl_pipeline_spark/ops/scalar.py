@@ -647,3 +647,32 @@ def x21_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@query(
+    "x22_negative_div_mod",
+    oracle="""
+    SELECT o_orderkey,
+           ((0 - o_orderkey) % 7)::BIGINT                 AS neg_mod,
+           ((((0 - o_orderkey) % 7) + 7) % 7)::BIGINT     AS pos_mod,
+           CAST((0 - o_orderkey) // 7 AS BIGINT)          AS neg_intdiv,
+           CAST(FLOOR((0 - o_orderkey) / 7.0) AS BIGINT)  AS floor_div
+    FROM orders
+    """,
+)
+def x22_negative_div_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-operand arithmetic semantics, pinned cross-engine: both
+    engines TRUNCATE % toward zero (so -k % 7 ≤ 0); the positive-residue
+    form is pmod on Spark and the ((x%m)+m)%m identity on DuckDB; DuckDB
+    // truncates toward zero while Spark's div does too — but
+    FLOOR(x/7.0) differs from both on negatives. Exactly the traps that
+    silently skew hash-bucketing of signed keys."""
+    o = load_table(spark, sf_dir, "orders")
+    neg = F.lit(0) - F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        (neg % 7).cast("bigint").alias("neg_mod"),
+        F.pmod(neg, F.lit(7)).cast("bigint").alias("pos_mod"),
+        F.expr("(0 - o_orderkey) div 7").cast("bigint").alias("neg_intdiv"),
+        F.floor(neg / 7.0).cast("bigint").alias("floor_div"),
+    )
