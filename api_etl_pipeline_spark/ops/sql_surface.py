@@ -168,3 +168,25 @@ def qsql06_correlated_scalar_shared_sql(spark: SparkSession, sf_dir: str) -> Dat
     0 (not NULL) for order-less customers on both, MAX stays NULL."""
     register_views(spark, sf_dir)
     return spark.sql(_QSQL06)
+
+
+_QSQL07 = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 1
+    ) t
+"""
+
+
+@query("qsql07_lateral_topk_shared_sql", oracle=_QSQL07)
+def qsql07_lateral_topk_shared_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-1 per nation from one verbatim string —
+    both engines decorrelate the ordered-limit lateral subquery (Spark
+    plans it as a ranked window join). Nations with no customers drop
+    (inner lateral) identically; tie-break on c_custkey keeps the
+    ordered LIMIT deterministic."""
+    register_views(spark, sf_dir)
+    return spark.sql(_QSQL07)
