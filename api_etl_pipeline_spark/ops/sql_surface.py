@@ -190,3 +190,28 @@ def qsql07_lateral_topk_shared_sql(spark: SparkSession, sf_dir: str) -> DataFram
     ordered LIMIT deterministic."""
     register_views(spark, sf_dir)
     return spark.sql(_QSQL07)
+
+
+_QSQL08 = """
+    SELECT m.canonical_op, COUNT(*) AS n_orders
+    FROM orders o
+    JOIN (VALUES ('1-URGENT', 'expedite'),
+                 ('2-HIGH', 'expedite'),
+                 ('3-MEDIUM', 'standard'),
+                 ('4-NOT SPECIFIED', 'standard'),
+                 ('5-LOW', 'defer')) AS m(raw_priority, canonical_op)
+      ON o.o_orderpriority = m.raw_priority
+    GROUP BY m.canonical_op
+"""
+
+
+@query("qsql08_values_decode_shared_sql", oracle=_QSQL08)
+def qsql08_values_decode_shared_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES decode table joined in shared dialect — the X16
+    operator-name normalization (docs/Golden_Record_API_Dossiers.md
+    :547,588-594: eq→equals-style mapping) as a literal dimension both
+    engines broadcast. COUNT stays uncast here deliberately: both
+    engines type plain COUNT(*) as BIGINT, pinning that the bare
+    aggregate needs no dialect shim."""
+    register_views(spark, sf_dir)
+    return spark.sql(_QSQL08)
