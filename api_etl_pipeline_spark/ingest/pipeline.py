@@ -125,16 +125,26 @@ def run_offline_ingest(
     resp_cols = ["provider", "method", "url", "params_json", "status_code", "headers_json", "body"]
     responses = meta.select(*resp_cols).unionByName(art_fetch.select(*resp_cols))
 
-    n_resp = responses.count()
-    n_art = new_artifacts.count()
-    n_err = errors.count()
-
+    n_err = errors.count()  # quarantine is tiny by contract
     if warehouse is not None:
-        responses.write.mode("append").parquet(f"{warehouse}/responses")
-        new_artifacts.write.mode("append").parquet(f"{warehouse}/artifacts")
+        # A1-A3 single-pass counters, Spark-native: observed metrics ride
+        # the WRITE jobs instead of separate count() re-executions — at
+        # 100 TB the difference is re-scanning the run twice vs not at all
+        from pyspark.sql import Observation
+
+        obs_resp, obs_art = Observation(), Observation()
+        responses_obs = responses.observe(obs_resp, F.count(F.lit(1)).alias("n"))
+        artifacts_obs = new_artifacts.observe(obs_art, F.count(F.lit(1)).alias("n"))
+        responses_obs.write.mode("append").parquet(f"{warehouse}/responses")
+        artifacts_obs.write.mode("append").parquet(f"{warehouse}/artifacts")
+        n_resp = int(obs_resp.get["n"])
+        n_art = int(obs_art.get["n"])
         write_blobs(hashed, f"{warehouse}/blobs")
         run_summary(responses, new_artifacts, errors, run_id, "succeeded").write.mode(
             "append"
         ).json(f"{warehouse}/runs")
+    else:
+        n_resp = responses.count()
+        n_art = new_artifacts.count()
 
     return IngestResult(n_resp, n_art, n_err, responses, new_artifacts, errors)
