@@ -83,8 +83,13 @@ ALLOWED: dict[tuple[str, str], str] = {
 }
 
 # batch queries may not contain LocalTableScan of collected rows; the
-# live-streaming queries materialize through the memory sink by design
-LOCAL_SCAN_OK = {"st06_streaming_tumbling_live"}
+# live-streaming queries materialize through the memory sink by design,
+# and inline VALUES literal relations (constant decode tables that never
+# touched the driver as *data*) also plan as LocalTableScan
+LOCAL_SCAN_OK = {
+    "st06_streaming_tumbling_live",
+    "qsql08_values_decode_shared_sql",  # 3-row inline VALUES decode table
+}
 
 
 @dataclass(frozen=True)
