@@ -1,0 +1,99 @@
+"""Sequence packing — batching documents into fixed token-budget context
+windows, the last step before an LLM training run tokenizes shards.
+
+The packer is greedy next-fit in doc_id order within a shard: documents
+stream into the current bin until the next one would overflow the budget,
+then a new bin opens. Next-fit (vs first-fit/best-fit) is chosen because
+it is single-pass and streaming-friendly — each shard packs in O(n) with
+O(1) state, which is what you want when a shard is a multi-GB partition
+on an executor. An oversized document (> budget alone) gets its own bin
+rather than being dropped or split.
+
+Sharding is by deterministic doc_id mod: at 100 TB each shard is one
+`applyInPandas` group, so packing parallelism = shard count and no
+cross-shard coordination exists (bin ids are (shard, local) pairs). The
+whole operator is a single shuffle on shard_id followed by an Arrow-batch
+Python stage.
+
+The DuckDB oracle expresses the same greedy fold as a recursive CTE over
+rank-ordered rows — sequential semantics pinned exactly, not just
+invariant-checked.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+TOKEN_BUDGET = 128
+N_SHARDS = 32
+
+PACK_SCHEMA = (
+    "shard_id BIGINT, doc_id BIGINT, n_tokens BIGINT, bin_id BIGINT, bin_fill BIGINT"
+)
+
+
+def make_packer(budget: int):
+    """Greedy next-fit packer as a closure (cloudpickle ships it by value,
+    so the UDF survives the driver importing this package from a foreign
+    cwd)."""
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > budget:
+                bin_id += 1
+                fill = 0
+            fill += int(n)
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf[["shard_id", "doc_id", "n_tokens", "bin_id", "bin_fill"]]
+
+    return pack_shard
+
+
+@query(
+    "pack01_sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id % {N_SHARDS} AS shard_id, doc_id,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               row_number() OVER (PARTITION BY doc_id % {N_SHARDS} ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    packed AS (
+        SELECT shard_id, doc_id, n_tokens, rn,
+               0::BIGINT AS bin_id, n_tokens AS bin_fill
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.shard_id, d.doc_id, d.n_tokens, d.rn,
+               CASE WHEN p.bin_fill + d.n_tokens > {TOKEN_BUDGET}
+                    THEN p.bin_id + 1 ELSE p.bin_id END,
+               CASE WHEN p.bin_fill + d.n_tokens > {TOKEN_BUDGET}
+                    THEN d.n_tokens ELSE p.bin_fill + d.n_tokens END
+        FROM docs d JOIN packed p
+          ON d.shard_id = p.shard_id AND d.rn = p.rn + 1
+    )
+    SELECT shard_id, doc_id, n_tokens, bin_id, bin_fill FROM packed
+    """,
+)
+def pack01_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into {TOKEN_BUDGET}-token context windows, greedy
+    next-fit per shard (see module docstring). Returns one row per
+    document with its (shard, bin) assignment and the bin's running fill
+    after placement — the manifest a tokenizer shard-writer consumes."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % N_SHARDS).alias("shard_id"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return d.groupBy("shard_id").applyInPandas(make_packer(TOKEN_BUDGET), schema=PACK_SCHEMA)

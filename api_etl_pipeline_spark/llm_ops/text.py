@@ -308,6 +308,161 @@ def tx08_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns — the shared Java-regex ∩ RE2 subset (no lookaround, no
+# backrefs) so one pattern string means the same thing in both engines.
+RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+RE_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+RE_LONGNUM = "[0-9]{12,}"
+
+
+@query(
+    "tx10_pii_redaction",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@mail.example.com via 10.0.'
+                    || (doc_id % 200) || '.' || ((doc_id * 7) % 250)
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' acct ' || lpad((doc_id * doc_id)::VARCHAR, 16, '0')
+                            ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{RE_EMAIL}'))::BIGINT   AS n_emails,
+           len(regexp_extract_all(text, '{RE_IPV4}'))::BIGINT    AS n_ipv4,
+           len(regexp_extract_all(text, '{RE_LONGNUM}'))::BIGINT AS n_longnum,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{RE_EMAIL}', '<EMAIL>', 'g'),
+                   '{RE_IPV4}', '<IP>', 'g'),
+               '{RE_LONGNUM}', '<NUM>', 'g') AS redacted
+    FROM enriched
+    """,
+)
+def tx10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction — the compliance pass every training-data
+    pipeline runs before release. The corpus is deterministically enriched
+    with synthetic PII (email, IPv4, 16-digit account number derived from
+    doc_id) so the detectors have real positives, then scanned (match
+    counts per class) and redacted (chained regexp_replace, same order on
+    both engines so overlapping classes resolve identically).
+
+    All JVM-side regex — one narrow projection, no shuffle; at 100 TB this
+    is a pure map stage that scales linearly with executors."""
+    d = load_table(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com via 10.0."),
+        (F.col("doc_id") % 200).cast("string"), F.lit("."),
+        ((F.col("doc_id") * 7) % 250).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" acct "),
+                F.lpad((F.col("doc_id") * F.col("doc_id")).cast("string"), 16, "0"),
+            ),
+        ).otherwise(""),
+    )
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, RE_EMAIL, "<EMAIL>"), RE_IPV4, "<IP>"
+        ),
+        RE_LONGNUM,
+        "<NUM>",
+    )
+    return d.select("doc_id", enriched.alias("text")).select(
+        "doc_id",
+        F.regexp_count(t, F.lit(RE_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(RE_IPV4)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(RE_LONGNUM)).cast("bigint").alias("n_longnum"),
+        redacted.alias("redacted"),
+    )
+
+
+@query(
+    "tx11_repetition_metrics",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id, tokens[i] || ' ' || tokens[i + 1] AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+             UNNEST(generate_series(1, len(tokens) - 1)) AS u(i)
+        WHERE len(tokens) >= 2
+    ),
+    per_bigram AS (
+        SELECT doc_id, bigram, COUNT(*)::BIGINT AS c FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           SUM(c)::BIGINT                          AS n_bigrams,
+           MAX(c)::BIGINT                          AS max_bigram_count,
+           COUNT(*)::BIGINT                        AS n_distinct_bigrams,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_share,
+           CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_bigram_share,
+           (CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) > 0.1
+            OR CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) > 0.3)
+               AS repetitive
+    FROM per_bigram
+    GROUP BY doc_id
+    """,
+)
+def tx11_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText family):
+    per-document top-bigram share and duplicate-bigram fraction, plus the
+    boolean gate a corpus cleaner would filter on. Both ratios are ONE
+    IEEE division of exact integers — bit-stable across engines.
+
+    Plan shape: ZERO shuffles. Every metric is per-document, so instead
+    of the naive explode → (doc,bigram) agg → per-doc agg (two shuffles
+    of the exploded corpus at 100 TB), the bigram array is sorted per row
+    and folded once: max run length of equal neighbors = max bigram
+    count. Pure whole-stage-codegen map over the scan; the DuckDB oracle
+    keeps the explode/GROUP BY formulation — same values, different plan
+    — which is itself evidence the fold is correct."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    toks = F.col("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    d = d.select("doc_id", F.array_sort(bigrams).alias("bg"))
+    # fold over the sorted array: (prev, current run length, max run)
+    fold = F.aggregate(
+        F.col("bg"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("mx"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.greatest(
+                acc["mx"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint")),
+            ).alias("mx"),
+        ),
+    )
+    n = F.size("bg").cast("bigint")
+    nd = F.size(F.array_distinct("bg")).cast("bigint")
+    mx = fold["mx"]
+    top_share = mx.cast("double") / n.cast("double")
+    dup_share = (n - nd).cast("double") / n.cast("double")
+    return d.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        mx.alias("max_bigram_count"),
+        nd.alias("n_distinct_bigrams"),
+        top_share.alias("top_bigram_share"),
+        dup_share.alias("dup_bigram_share"),
+        ((top_share > 0.1) | (dup_share > 0.3)).alias("repetitive"),
+    )
+
+
 @query(
     "tx09_langid_confusion",
     oracle=f"""

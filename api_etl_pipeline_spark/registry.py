@@ -71,6 +71,8 @@ def _load_all() -> None:
         corpus_pipeline,
         dedup,
         multimodal,
+        packing,
+        sampling,
         similarity,
         text,
     )
