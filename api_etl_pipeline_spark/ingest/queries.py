@@ -660,3 +660,74 @@ def ing18_bloom_dedup_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_insert_bloom(keyed, existing, expected_items=100_000).select(
         "doc_id", "source", "source_url", "sha256"
     )
+
+
+@query(
+    "ing19_merge_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT doc_id, source, n_chars FROM documents
+    ),
+    source_batch AS (
+        SELECT doc_id, 'updated' AS source, n_chars + 1 AS n_chars
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, 'inserted' AS source,
+               n_chars AS n_chars
+        FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT COALESCE(t.doc_id, s.doc_id)      AS doc_id,
+           COALESCE(s.source, t.source)      AS source,
+           COALESCE(s.n_chars, t.n_chars)::BIGINT AS n_chars,
+           CASE WHEN t.doc_id IS NULL THEN 'insert'
+                WHEN s.doc_id IS NULL THEN 'keep'
+                ELSE 'update' END            AS action
+    FROM target t FULL OUTER JOIN source_batch s USING (doc_id)
+    """,
+)
+def ing19_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (upsert): full-outer join target⋈source on the
+    key, source columns win via COALESCE, and every output row carries its
+    action (insert / update / keep) — the audit column a CDC merge job
+    writes. The source batch is derived deterministically from the corpus
+    (every 10th doc updated, every 25th re-keyed as new).
+
+    At 100 TB the full-outer join shuffles both sides on doc_id — the
+    same co-partitioning a real MERGE needs; when the source batch is
+    small relative to the target, the planner's broadcast path cannot
+    apply to FULL OUTER, which is why engines with copy-on-write MERGE
+    first compute the touched-file set via an inner join. The
+    keep-fraction here (rows with action='keep') is exactly the
+    write-amplification a partitioned MERGE avoids by partition pruning."""
+    d = load_table(spark, sf_dir, "documents")
+    target = d.select("doc_id", "source", "n_chars")
+    updates = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.lit("updated").alias("source"),
+            (F.col("n_chars") + 1).alias("n_chars"),
+        )
+    )
+    inserts = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.lit("inserted").alias("source"),
+            F.col("n_chars"),
+        )
+    )
+    src = updates.unionByName(inserts)
+    t, s = target.alias("t"), src.alias("s")
+    joined = t.join(s, F.col("t.doc_id") == F.col("s.doc_id"), "full_outer")
+    action = (
+        F.when(F.col("t.doc_id").isNull(), "insert")
+        .when(F.col("s.doc_id").isNull(), "keep")
+        .otherwise("update")
+    )
+    return joined.select(
+        F.coalesce(F.col("t.doc_id"), F.col("s.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("s.source"), F.col("t.source")).alias("source"),
+        F.coalesce(F.col("s.n_chars"), F.col("t.n_chars")).cast("bigint").alias("n_chars"),
+        action.alias("action"),
+    )

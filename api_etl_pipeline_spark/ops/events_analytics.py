@@ -413,3 +413,113 @@ def ev08_first_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases.join(
         F.broadcast(first_clicks), ["user_id", "session_seq"], "left"
     ).select("purchase_id", "user_id", "session_seq", "first_click_id")
+
+
+@query(
+    "ev09_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts AS valid_from, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           row_number() OVER w AS version,
+           (lead(valid_from) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def ev09_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval builder: collapse each
+    user's event_type stream into contiguous state intervals
+    [valid_from, valid_to) with a version counter and an is_current flag
+    — the change-data-capture shape every lakehouse dimension build runs.
+
+    Plan: ONE exchange on user_id; the change-detection lag, the
+    interval lead, and the version row_number all share that
+    partitioning. Orderings are total on (ts, event_id) per the
+    duplicate-timestamp rule."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(wo))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead("valid_from").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "ev10_out_of_order_depth",
+    oracle="""
+    WITH arr AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               max(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS seen_max_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(CASE WHEN ts_us < seen_max_us THEN 1 ELSE 0 END)::BIGINT
+               AS n_out_of_order,
+           COALESCE(MAX(CASE WHEN ts_us < seen_max_us
+                             THEN seen_max_us - ts_us END), 0)::BIGINT
+               AS max_disorder_us
+    FROM arr
+    GROUP BY user_id
+    """,
+)
+def ev10_out_of_order_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival accounting — the batch twin of streaming
+    watermark tuning. Arrival order is event_id (the ingest sequence);
+    an event is out-of-order if its event time precedes the per-user
+    running max of earlier arrivals, and the disorder depth (µs behind
+    the frontier) is exactly the per-key lateness a `withWatermark`
+    delay must cover. Grouped per user so the frontier window partitions
+    cleanly (a GLOBAL running max would serialize onto one task at
+    100 TB; per-key disorder is also the quantity that decides state
+    eviction correctness).
+
+    Exact integer microseconds end-to-end (unix_micros ≡ epoch_us);
+    ONE exchange on user_id shared by the window and the rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        # NTZ → TIMESTAMP is a no-op shift in the engine's pinned UTC
+        # session, so unix_micros ≡ DuckDB epoch_us on the naive value
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.withColumn("seen_max_us", F.max("ts_us").over(w))
+    late = F.col("ts_us") < F.col("seen_max_us")
+    return arr.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_out_of_order"),
+        F.coalesce(
+            F.max(F.when(late, F.col("seen_max_us") - F.col("ts_us"))), F.lit(0)
+        ).cast("bigint").alias("max_disorder_us"),
+    )

@@ -710,45 +710,45 @@ _DUCK_LATE_LINES = """
 )
 def q32_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who alone shipped late (>60 days after
-    order date, finalized orders) in a multi-supplier order — the
-    EXISTS + NOT EXISTS pair becomes a left-semi then left-anti self-join
-    on the late-lines set. The semi/anti joins shuffle on l_orderkey only;
-    the late set is a small fraction of lineitem, so both self-join sides
-    are pre-reduced before any exchange (testdata has no
-    receiptdate/commitdate, so lateness is ship-lag — same plan shape as
-    the original predicate)."""
+    order date, finalized orders) in a multi-supplier order.
+
+    The EXISTS + NOT EXISTS pair is NOT executed as semi/anti self-joins
+    (that shape reshuffles the full lineitem a second time for the semi
+    probe). Both quantifiers are order-scoped facts, so one per-order
+    aggregation answers them: n_supp = distinct suppliers in the order
+    (EXISTS other-supplier ⇔ n_supp ≥ 2), n_late_supp = distinct LATE
+    suppliers (NOT EXISTS other-late ⇔ n_late_supp = 1), and when a
+    single late supplier remains, max() recovers its key and count-if its
+    late-line count. Plan: lineitem ⋈ orders shuffle on l_orderkey, and
+    the groupBy(l_orderkey) REUSES that partitioning — two big exchanges
+    total, then a broadcast supplier join over the tiny qualified set.
+    At 100 TB this halves the shuffled bytes of the textbook plan
+    (testdata has no receiptdate/commitdate, so lateness is ship-lag)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey, "left").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("o_orderdate").isNotNull()
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        ).alias("is_late"),
     )
-    others = li.select(
-        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(late_supp).alias("n_late_supp"),
+        F.max(late_supp).alias("sole_supp"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines"),
     )
-    sole_late = (
-        late.alias("l1")
-        .join(
-            others,
-            (F.col("l_orderkey") == F.col("x_orderkey"))
-            & (F.col("l_suppkey") != F.col("x_suppkey")),
-            "left_semi",
-        )
-        .join(
-            late.select(
-                F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
-            ),
-            (F.col("l_orderkey") == F.col("y_orderkey"))
-            & (F.col("l_suppkey") != F.col("y_suppkey")),
-            "left_anti",
-        )
+    qualified = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     s = _t(spark, sf_dir, "supplier")
     return (
-        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        qualified.join(F.broadcast(s), qualified.sole_supp == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
     )
 
 

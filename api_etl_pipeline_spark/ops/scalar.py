@@ -676,3 +676,61 @@ def x22_negative_div_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(0 - o_orderkey) div 7").cast("bigint").alias("neg_intdiv"),
         F.floor(neg / 7.0).cast("bigint").alias("floor_div"),
     )
+
+
+def _zorder_sql(a: str, b: str, bits: int = 8) -> str:
+    """DuckDB bit-interleave expression: z = Σ ((a>>i)&1)<<2i | ((b>>i)&1)<<(2i+1)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_key(a, b, bits: int = 8):
+    """Spark twin of _zorder_sql: interleave the low `bits` bits of two
+    bucketized dimension columns into one Morton (Z-curve) clustering key.
+    Sorting/range-partitioning by this key keeps BOTH dimensions locally
+    clustered, so parquet min/max pruning works on either predicate — the
+    layout trick behind Delta/Iceberg Z-ORDER, expressed as pure integer
+    arithmetic (whole-stage codegen, no UDF)."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+@query(
+    "x23_zorder_interleave",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT o_orderkey,
+               (o_custkey % 256)::BIGINT AS cust_bucket,
+               (date_diff('day', DATE '1992-01-01', o_orderdate) % 256)::BIGINT AS day_bucket
+        FROM orders
+    )
+    SELECT o_orderkey, cust_bucket, day_bucket,
+           ({_zorder_sql('cust_bucket', 'day_bucket')})::BIGINT AS z_value
+    FROM bucketed
+    """,
+)
+def x23_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-date)
+    buckets — see `zorder_key`. The key itself is what a table-layout
+    job range-partitions and sorts by before writing parquet;
+    `tests/test_zorder.py` proves the resulting layout shrinks BOTH
+    dimensions' per-file min/max spans (the pruning-effectiveness
+    invariant), where a single-column sort only shrinks one."""
+    o = load_table(spark, sf_dir, "orders")
+    cust_b = (F.col("o_custkey") % 256).cast("bigint")
+    day_b = (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 256).cast("bigint")
+    b = o.select(
+        "o_orderkey", cust_b.alias("cust_bucket"), day_b.alias("day_bucket")
+    )
+    return b.select(
+        "o_orderkey",
+        "cust_bucket",
+        "day_bucket",
+        zorder_key(F.col("cust_bucket"), F.col("day_bucket")).cast("bigint").alias("z_value"),
+    )

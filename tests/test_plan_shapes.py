@@ -76,12 +76,14 @@ def test_no_cartesian_products(spark, name):
     assert "CartesianProduct" not in p
 
 
-def test_q32_exists_becomes_semi_and_anti_joins(spark):
-    # the EXISTS / NOT EXISTS pair must stay hash-keyed semi/anti joins
-    # (never a correlated per-row subquery or a cartesian rewrite)
+def test_q32_exists_folds_into_one_aggregation(spark):
+    # the EXISTS / NOT EXISTS pair is answered by ONE per-order
+    # aggregation (distinct-supplier counts), not semi/anti self-joins —
+    # the self-join shape reshuffles the full lineitem a second time
     p = _plan(spark, "q32_waiting_orders")
-    assert "LeftSemi" in p and "LeftAnti" in p
-    assert "CartesianProduct" not in p
+    assert "LeftSemi" not in p and "LeftAnti" not in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "HashAggregate" in p
 
 
 def test_q33_having_filter_broadcasts_joins(spark):
