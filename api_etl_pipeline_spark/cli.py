@@ -43,12 +43,26 @@ def _build_parser() -> argparse.ArgumentParser:
     w.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     w.add_argument("--out", required=True)
 
+    x = sub.add_parser(
+        "export",
+        help="pretraining-data export: clean + split + pack + partitioned write",
+    )
+    x.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    x.add_argument("--out", required=True)
+    x.add_argument("--token-budget", type=int, default=128)
+    x.add_argument("--shards", type=int, default=32)
+
     c = sub.add_parser("compact", help="small-file compaction of a parquet directory")
     c.add_argument("path")
     c.add_argument("--out", required=True)
     c.add_argument("--target-file-mb", type=int, default=128)
     c.add_argument("--shuffle", action="store_true",
                    help="rebalance via full shuffle instead of coalesce")
+    c.add_argument("--cluster-by", default=None,
+                   help="comma-separated sort columns (per-file min/max clustering)")
+    c.add_argument("--zorder-by", default=None,
+                   help="exactly two comma-separated columns; Z-order the rewrite "
+                        "so parquet stats prune on either column")
 
     sub.add_parser("list", help="list registered queries")
 
@@ -105,6 +119,22 @@ def main(argv: list[str] | None = None) -> int:
         print(f"linted {len(names)} queries, {bad} unexplained findings")
         return 1 if bad else 0
 
+    if args.cmd == "export":
+        from api_etl_pipeline_spark.llm_ops.corpus_pipeline import run_pretrain_export
+
+        print(
+            json.dumps(
+                run_pretrain_export(
+                    spark,
+                    args.sf_dir,
+                    args.out,
+                    token_budget=args.token_budget,
+                    n_shards=args.shards,
+                )
+            )
+        )
+        return 0
+
     if args.cmd == "workload":
         from api_etl_pipeline_spark.llm_ops.corpus_pipeline import run_corpus_workload
 
@@ -112,15 +142,25 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "compact":
-        from api_etl_pipeline_spark.ops.maintenance import compact
+        from api_etl_pipeline_spark.ops.maintenance import compact, zorder_compact
 
-        stats = compact(
-            spark,
-            args.path,
-            args.out,
-            target_file_bytes=args.target_file_mb << 20,
-            shuffle=args.shuffle,
-        )
+        if args.zorder_by:
+            stats = zorder_compact(
+                spark,
+                args.path,
+                args.out,
+                cols=args.zorder_by.split(","),
+                target_file_bytes=args.target_file_mb << 20,
+            )
+        else:
+            stats = compact(
+                spark,
+                args.path,
+                args.out,
+                target_file_bytes=args.target_file_mb << 20,
+                shuffle=args.shuffle,
+                cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+            )
         print(json.dumps(stats))
         return 0
 

@@ -202,3 +202,91 @@ def llm02_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(e.agg(F.count("*").alias("n_exact_unique")))
         .crossJoin(n.agg(F.count("*").alias("n_clean")))
     )
+
+
+def run_pretrain_export(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    token_budget: int = 128,
+    n_shards: int = 32,
+) -> dict:
+    """The full pretraining-data export: clean corpus (llm01's quality →
+    exact-dedup → near-dedup funnel) → deterministic 80/10/10 hash split
+    (samp01's bucket rule — membership is a pure function of doc_id) →
+    greedy sequence packing into token-budget context windows per
+    (split, shard) (pack01's next-fit) → split-partitioned parquet plus a
+    packing manifest. This is the job a training run points at: the
+    output layout is `split=train/…` for partition-pruned mixture
+    sampling, and the manifest rows say which documents share a context
+    window.
+
+    Scale shape: the clean stage is llm01's plan (broadcast LSH bands),
+    the split is a pure map, and packing shuffles once on
+    (split, shard_id) into n_shards×3 Arrow groups — at 100 TB shard
+    count scales packing parallelism with no cross-shard coordination."""
+    import time
+
+    from api_etl_pipeline_spark.llm_ops.packing import make_packer
+    from api_etl_pipeline_spark.llm_ops.sampling import hash_bucket
+
+    t0 = time.monotonic()
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_gate(d)
+    e = exact_dedup_keep_min(q)
+    clean = near_dedup_keep_min(spark, sf_dir, e)
+
+    bucket = hash_bucket(F.col("doc_id"), 100)
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    staged = clean.select(
+        "doc_id",
+        "text",
+        "lang",
+        split.alias("split"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") % n_shards).alias("shard_id"),
+    )
+
+    pack_schema = (
+        "split STRING, shard_id BIGINT, doc_id BIGINT, n_tokens BIGINT, "
+        "bin_id BIGINT, bin_fill BIGINT"
+    )
+    packer = make_packer(token_budget)
+
+    def pack_group(pdf):
+        out = packer(pdf[["shard_id", "doc_id", "n_tokens"]].copy())
+        out.insert(0, "split", pdf["split"].iloc[0])
+        return out
+
+    manifest = staged.groupBy("split", "shard_id").applyInPandas(
+        pack_group, schema=pack_schema
+    )
+
+    staged.write.partitionBy("split").mode("overwrite").parquet(f"{out_dir}/docs")
+    manifest.write.partitionBy("split").mode("overwrite").parquet(f"{out_dir}/manifest")
+
+    stats = {
+        r["split"]: r
+        for r in spark.read.parquet(f"{out_dir}/manifest")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.count_distinct("shard_id", "bin_id").alias("n_windows"),
+        )
+        .collect()
+    }
+    return {
+        "out_dir": out_dir,
+        "token_budget": token_budget,
+        "n_shards": n_shards,
+        "splits": {
+            s: {
+                "n_docs": r["n_docs"],
+                "n_tokens": r["n_tokens"],
+                "n_windows": r["n_windows"],
+            }
+            for s, r in sorted(stats.items())
+        },
+        "seconds": round(time.monotonic() - t0, 3),
+    }

@@ -432,3 +432,113 @@ def sim06_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+_DUCK_L2SQ = (
+    "list_reduce(list_transform({a}, (x,i) -> (x - ({b})[i]) * (x - ({b})[i])),"
+    " (s,y) -> s + y)"
+)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared-L2 distance (bit-identical twin of
+    _DUCK_L2SQ, same reasoning as _dot)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@query(
+    "sim07_pq_codes",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < 8
+    ),
+    v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    sub AS (
+        SELECT v.vec_id, v.label, s.s, c.cent_id,
+               list_slice(v.e,  s.s * 16 + 1, s.s * 16 + 16) AS sv,
+               list_slice(c.ce, s.s * 16 + 1, s.s * 16 + 16) AS sc
+        FROM v
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+        CROSS JOIN cents c
+    ),
+    scored AS (
+        SELECT vec_id, label, s, cent_id,
+               {_DUCK_L2SQ.format(a='sv', b='sc')} AS d2
+        FROM sub
+    ),
+    best AS (
+        SELECT vec_id, label, s, cent_id, d2,
+               row_number() OVER (
+                   PARTITION BY vec_id, s ORDER BY d2 ASC, cent_id ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT vec_id, label,
+           MAX(CASE WHEN s = 0 THEN cent_id END)::BIGINT AS code0,
+           MAX(CASE WHEN s = 1 THEN cent_id END)::BIGINT AS code1,
+           MAX(CASE WHEN s = 2 THEN cent_id END)::BIGINT AS code2,
+           MAX(CASE WHEN s = 3 THEN cent_id END)::BIGINT AS code3,
+           (MAX(CASE WHEN s = 0 THEN d2 END) + MAX(CASE WHEN s = 1 THEN d2 END)
+            + MAX(CASE WHEN s = 2 THEN d2 END) + MAX(CASE WHEN s = 3 THEN d2 END))
+               AS recon_err
+    FROM best WHERE rn = 1
+    GROUP BY vec_id, label
+    """,
+)
+def sim07_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PQ) encoding — the compression leg of the ANN
+    family (brute sim01, LSH sim02, IVF sim04/05, matmul sim06): each
+    64-dim vector splits into 4×16-dim subspaces, and each subspace is
+    coded as its nearest codebook centroid (deterministic seeds: the
+    first 8 vectors, as in IVF). 4 bytes replace 256 — at 100 TB the PQ
+    code table fits where raw vectors cannot, and asymmetric-distance
+    search scans codes instead of floats.
+
+    The per-subspace argmin uses bit-identical sequential-fold L2² (see
+    _l2sq), so codes are deterministic; recon_err re-adds the 4 subspace
+    minima in FIXED expression order (never a cross-row float SUM — that
+    order is partitioning-dependent). Codebook broadcasts; one shuffle
+    for the per-(vector,subspace) argmin window, one for the code pivot."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("ce")
+    )
+    v = e.select("vec_id", "label", _dvec("embedding").alias("e"))
+    sub = (
+        v.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s"),
+            "cent_id",
+            "e",
+            "ce",
+        )
+        .select(
+            "vec_id",
+            "label",
+            "s",
+            "cent_id",
+            F.slice("e", F.col("s") * 16 + 1, 16).alias("sv"),
+            F.slice("ce", F.col("s") * 16 + 1, 16).alias("sc"),
+        )
+    )
+    scored = sub.select(
+        "vec_id", "label", "s", "cent_id", _l2sq(F.col("sv"), F.col("sc")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("cent_id").asc())
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    code = lambda i: F.max(F.when(F.col("s") == i, F.col("cent_id"))).cast("bigint")  # noqa: E731
+    err = lambda i: F.max(F.when(F.col("s") == i, F.col("d2")))  # noqa: E731
+    return best.groupBy("vec_id", "label").agg(
+        code(0).alias("code0"),
+        code(1).alias("code1"),
+        code(2).alias("code2"),
+        code(3).alias("code3"),
+        (err(0) + err(1) + err(2) + err(3)).alias("recon_err"),
+    )

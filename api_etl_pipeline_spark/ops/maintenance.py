@@ -112,3 +112,71 @@ def compact(
         "files_after": len(after),
         "bytes_after": sum(sz for _, sz in after),
     }
+
+
+def zorder_compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    cols: list[str],
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Rewrite the table Z-ordered on exactly two columns: each column is
+    min/max-scaled to an 8-bit bucket (one tiny agg job), the buckets are
+    Morton-interleaved (`ops/scalar.zorder_key`), and the rewrite
+    range-partitions + sorts on that key. Every output file then covers a
+    small tile of the 2-D space, so parquet min/max stats prune scans on
+    EITHER column — the multi-dimensional layout a single-key sort cannot
+    give (see tests/test_zorder.py for the span proof).
+
+    Numeric, date, and timestamp columns are supported (dates/timestamps
+    scale through their epoch value). The two agg scalars are collected to
+    the driver — a deliberate, O(1)-size exception to the no-collect rule."""
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.ops.scalar import zorder_key
+
+    if len(cols) != 2:
+        raise ValueError("zorder_compact takes exactly two columns")
+    plan = plan_compaction(spark, path, target_file_bytes)
+    df = spark.read.parquet(path)
+
+    def numeric(c: str):
+        t = dict(df.dtypes)[c]
+        col = F.col(c)
+        if t == "date":
+            return F.datediff(col, F.lit("1970-01-01")).cast("double")
+        if t.startswith("timestamp"):
+            return F.unix_micros(col.cast("timestamp")).cast("double")
+        return col.cast("double")
+
+    stats = df.agg(
+        *[f(numeric(c)).alias(f"{n}_{i}") for i, c in enumerate(cols)
+          for n, f in (("mn", F.min), ("mx", F.max))]
+    ).collect()[0]
+
+    def bucket(i: int, c: str):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        span = (mx - mn) or 1.0
+        return F.least(
+            F.lit(255),
+            F.floor((numeric(c) - F.lit(mn)) / F.lit(span) * 256).cast("bigint"),
+        )
+
+    n = plan["planned_files"]
+    z = zorder_key(bucket(0, cols[0]), bucket(1, cols[1]))
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.parquet(out_path)
+    after = list_data_files(spark, out_path)
+    return {
+        **plan,
+        "out_path": out_path,
+        "zorder_cols": list(cols),
+        "files_after": len(after),
+        "bytes_after": sum(sz for _, sz in after),
+    }

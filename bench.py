@@ -78,6 +78,11 @@ OPTIONAL = [
     "ev04_rolling_wau",
     "ev06_funnel_conversion",
     "dd09_dup_clusters",  # iterative connected components (multi-job)
+    # round-2 curation/CDC wave
+    "tx11_repetition_metrics",  # zero-shuffle sorted-array fold
+    "pack01_sequence_packing",  # Arrow applyInPandas greedy packer
+    "ev09_scd2_intervals",  # single-exchange SCD-2 window chain
+    "x23_zorder_interleave",  # pure-codegen Morton key
 ]
 
 

@@ -92,3 +92,54 @@ def test_compact_cluster_by_preserves_content_and_sorts_files(spark, tmp_path):
     )
     violations = part_ordered.filter(F.col("prev") > F.col("o_orderdate")).count()
     assert violations == 0
+
+
+def test_zorder_compact_preserves_content_and_tiles_space(spark, tmp_path):
+    from api_etl_pipeline_spark.ops.maintenance import zorder_compact
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "zout")
+    # stage orders as a multi-file table so the rewrite has real input
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.repartition(4).write.parquet(src)
+
+    stats = zorder_compact(
+        spark, src, out, cols=["o_custkey", "o_orderdate"],
+        # small target so several output files exist at sf0.01
+        target_file_bytes=64 << 10,
+    )
+    assert stats["files_after"] >= 4
+
+    # content identity under rewrite
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # every file is a tile: per-file spans on BOTH columns are well below
+    # the full domain (single-key sort would leave one at ~full span)
+    import glob
+
+    spans = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        st = (
+            spark.read.parquet(f)
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+                (F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))).alias("dd"),
+            )
+            .collect()[0]
+        )
+        spans.append((st["ck"], st["dd"]))
+    full = (
+        spark.read.parquet(src)
+        .agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+            (F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))).alias("dd"),
+        )
+        .collect()[0]
+    )
+    avg_ck = sum(s[0] for s in spans) / len(spans)
+    avg_dd = sum(s[1] for s in spans) / len(spans)
+    assert avg_ck < full["ck"] * 0.8
+    assert avg_dd < full["dd"] * 0.8

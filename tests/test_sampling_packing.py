@@ -106,3 +106,46 @@ def test_stratified_sample_rates(spark):
         for r in samp02_stratified_sample(spark, SF_DIR).select("doc_id").collect()
     }
     assert ids1 == ids2
+
+
+def test_pretrain_export_end_to_end(spark, tmp_path):
+    from api_etl_pipeline_spark.llm_ops.corpus_pipeline import (
+        near_dedup_keep_min,
+        exact_dedup_keep_min,
+        quality_gate,
+        run_pretrain_export,
+    )
+    from api_etl_pipeline_spark.tables import load_table
+
+    out = str(tmp_path / "export")
+    m = run_pretrain_export(spark, SF_DIR, out, token_budget=64, n_shards=8)
+
+    d = load_table(spark, SF_DIR, "documents")
+    n_clean = near_dedup_keep_min(
+        spark, SF_DIR, exact_dedup_keep_min(quality_gate(d))
+    ).count()
+
+    # every clean doc lands in exactly one split, once
+    assert sum(s["n_docs"] for s in m["splits"].values()) == n_clean
+    docs = spark.read.parquet(f"{out}/docs")
+    manifest = spark.read.parquet(f"{out}/manifest")
+    assert docs.count() == n_clean
+    assert manifest.count() == n_clean
+    assert manifest.select("doc_id").distinct().count() == n_clean
+    # token conservation between docs and manifest
+    a = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    b = manifest.agg(F.sum("n_tokens")).collect()[0][0]
+    assert a == b
+    # no window over budget unless it is a single oversized doc
+    over = (
+        manifest.groupBy("split", "shard_id", "bin_id")
+        .agg(F.sum("n_tokens").alias("fill"), F.count("*").alias("n"))
+        .filter((F.col("fill") > 64) & (F.col("n") > 1))
+        .count()
+    )
+    assert over == 0
+    # split partitioning exists on disk
+    import os
+
+    assert os.path.isdir(f"{out}/docs/split=train")
+    assert os.path.isdir(f"{out}/manifest/split=train")

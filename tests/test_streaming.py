@@ -195,3 +195,60 @@ def test_stream_stream_interval_join_equals_batch(spark, qname):
     ).select(F.col("p.event_id").alias("purchase_id"), F.col("c.event_id").alias("click_id"))
     want = {(r.purchase_id, r.click_id) for r in want_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_rows_and_accounts_them(spark, qname, tmp_path):
+    """Late-data policy end-to-end: rows older than (max event time seen −
+    delay) must be EXCLUDED from windowed aggregates in append mode, and
+    the engine must account for them (numRowsDroppedByWatermark) — the
+    observability contract ev10's batch disorder metric is used to tune."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, user_id bigint").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    # batch 1: fresh events at t0+60min — advances the watermark far past t0
+    write_batch("b1", [(t0 + dt.timedelta(minutes=60), 1), (t0 + dt.timedelta(minutes=61), 2)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a straggler at t0 — 60 min behind the frontier, beyond
+        # the 10-min delay → must be dropped, not aggregated
+        write_batch("b2", [(t0, 3)])
+        q.processAllAvailable()
+        # and a closing batch to push the watermark so windows finalize
+        write_batch("b3", [(t0 + dt.timedelta(minutes=90), 4)])
+        q.processAllAvailable()
+        dropped = 0
+        for p in q.recentProgress:
+            for op in p["stateOperators"]:
+                dropped += op.get("numRowsDroppedByWatermark", 0)
+    finally:
+        q.stop()
+    rows = {r["w_start"]: r["n"] for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+    # the straggler's window (t0) never appears
+    assert t0 not in rows
+    # the fresh window finalized with only the on-time events
+    assert rows.get(t0 + dt.timedelta(minutes=60)) == 2
+    assert dropped >= 1
