@@ -731,3 +731,67 @@ def ing19_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("s.n_chars"), F.col("t.n_chars")).cast("bigint").alias("n_chars"),
         action.alias("action"),
     )
+
+
+@query(
+    "ing20_incremental_agg_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ing20_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation via mergeable partial state — the delta-
+    processing contract of a materialized rollup: the 'historical' half
+    (orders before 1995) is aggregated once into partial state
+    (count / exact DECIMAL sum / min / max), the 'new-partition' half is
+    aggregated separately, and the two states MERGE (sum-of-counts,
+    sum-of-decimal-sums, min-of-mins, max-of-maxes) into exactly the
+    full-recompute result — the oracle IS the full recompute, so the
+    driver hash proves merge ≡ recompute. Derived values (avg) are
+    computed only after the merge, never merged themselves.
+
+    At 100 TB this is the difference between re-scanning the whole fact
+    table on every ingest batch and scanning only the new partition:
+    partial states are tiny (per-key rows), and the merge is exact
+    because every buffered quantity is integer/decimal (a double partial
+    sum would re-order under merge)."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-01-01").cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("p_count"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("p_sum"),
+            F.min("o_orderdate").alias("p_min"),
+            F.max("o_orderdate").alias("p_max"),
+        )
+
+    historical = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        historical.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("p_count").cast("bigint").alias("n_orders"),
+            F.sum("p_sum").alias("m_sum"),
+            F.min("p_min").alias("first_order"),
+            F.max("p_max").alias("last_order"),
+        )
+    )
+    total = F.col("m_sum").cast("double")
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        total.alias("total_price"),
+        "first_order",
+        "last_order",
+        (total / F.col("n_orders")).alias("avg_price"),
+    )

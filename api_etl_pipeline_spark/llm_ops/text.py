@@ -520,3 +520,52 @@ def tx09_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(p == F.col("labeled_lang"), 1).otherwise(0)
         ).alias("correct"),
     )
+
+
+@query(
+    "tx12_fuzzy_blocked_join",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               array_to_string((string_split(text, ' '))[1:3], ' ') AS blk,
+               substr(text, 1, 60) AS pref
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.blk AS block_key,
+           levenshtein(a.pref, c.pref)::BIGINT AS edit_distance
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.pref, c.pref) <= 15
+    """,
+)
+def tx12_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity JOIN with blocking — the scalable shape of fuzzy
+    matching: candidate pairs come from an EQUI-join on a cheap blocking
+    key (first 3 tokens), and the quadratic scorer (Levenshtein over
+    60-char prefixes) runs only inside blocks. tx07 scores a fixed pair
+    lattice; this is the real join: at 100 TB the block key is the
+    shuffle key, block sizes bound the per-task O(b²·L²) work, and the
+    n² all-pairs comparison never exists. (Skewed mega-blocks would be
+    the thing to watch — the key can be lengthened to split them, the
+    same lever as dd04's LSH band count.)"""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.array_join(F.slice(_tokens(), 1, 3), " ").alias("blk"),
+        F.substring("text", 1, 60).alias("pref"),
+    )
+    a = b.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("blk").alias("block_key"),
+        F.col("pref").alias("pref_a"),
+    )
+    c = b.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("pref").alias("pref_b"),
+    )
+    dist = F.levenshtein(F.col("pref_a"), F.col("pref_b")).cast("bigint")
+    return (
+        a.join(c, (F.col("block_key") == F.col("blk_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "block_key", dist.alias("edit_distance"))
+        .filter(F.col("edit_distance") <= 15)
+    )

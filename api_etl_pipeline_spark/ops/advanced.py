@@ -364,3 +364,35 @@ def q28_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query("q51_hll_mergeable_distinct", oracle=None)  # sketch estimates: rows-only
+def q51_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg): per-priority customer cardinality computed BOTH ways
+    — directly, and by building per-month sketches and hll_union_agg-ing
+    them — plus the exact count. The union path is NOT bit-identical to
+    the single-pass sketch (DataSketches unions operate in a coarser
+    target mode), so the pinned contract is bounded error: both sketch
+    paths land within the HLL error envelope of the exact count
+    (tests/test_properties.py).
+
+    This is THE scale pattern for distinct counts: exact count_distinct
+    shuffles every distinct key; sketches make the shuffle O(sketch size)
+    per group and let a 100 TB rollup be maintained incrementally —
+    yesterday's sketches merge with today's partition instead of
+    re-scanning (the approximate twin of ing20's exact merge)."""
+    o = load_table(spark, sf_dir, "orders")
+    direct = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("hll_direct"),
+        F.count_distinct("o_custkey").alias("exact_distinct"),
+    )
+    monthly = o.select(
+        "o_orderpriority", F.date_trunc("month", "o_orderdate").alias("m"), "o_custkey"
+    ).groupBy("o_orderpriority", "m").agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    merged = monthly.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_merged")
+    )
+    return direct.join(merged, "o_orderpriority").select(
+        "o_orderpriority", "exact_distinct", "hll_direct", "hll_merged"
+    )

@@ -92,6 +92,7 @@ ALLOWED: dict[tuple[str, str], str] = {
 # touched the driver as *data*) also plan as LocalTableScan
 LOCAL_SCAN_OK = {
     "st06_streaming_tumbling_live",
+    "st07_streaming_join_live",
     "qsql08_values_decode_shared_sql",  # 3-row inline VALUES decode table
 }
 

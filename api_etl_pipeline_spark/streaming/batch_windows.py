@@ -230,3 +230,44 @@ def st06_streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).withColumn(
         "window_start", F.col("window_start").cast("timestamp_ntz")
     )
+
+
+@query("st07_streaming_join_live", oracle=None)  # live stream-stream join: rows-only
+def st07_streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join (purchase⋈clicks within the
+    preceding hour, watermark-bounded state on both sides) as an ACTUAL
+    two-stream Structured Streaming run into a memory sink — the driver's
+    rows-only check sees the live path execute; equality with the batch
+    range join is pinned in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from api_etl_pipeline_spark.streaming.stream_ops import (
+        purchase_click_stream_join,
+    )
+    from api_etl_pipeline_spark.tables import load_events_stream
+
+    stage_dir = tempfile.mkdtemp(prefix="st07_events_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    s1 = load_events_stream(spark, stage_dir)
+    s2 = load_events_stream(spark, stage_dir)
+    joined = purchase_click_stream_join(
+        s1.filter(F.col("event_type") == "purchase"),
+        s2.filter(F.col("event_type") == "click"),
+    )
+    name = "st07_" + uuid.uuid4().hex[:10]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table(name)
+    ntz = [
+        F.col(c).cast("timestamp_ntz").alias(c) if t.startswith("timestamp") else F.col(c)
+        for c, t in out.dtypes
+    ]
+    return out.select(*ntz)

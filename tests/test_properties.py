@@ -225,3 +225,22 @@ def test_event_trigram_count_conservation(spark):
     )
     want = sum(max(0, r.n - 2) for r in per_user)
     assert total_paths == want
+
+
+def test_hll_merge_law_and_error_bound(spark):
+    """The property q51 relies on: the union of per-month sketches and the
+    whole-data sketch must BOTH land within HLL's error envelope of the
+    exact count (and hence near each other). Union is NOT bit-identical
+    to single-pass sketching in DataSketches HLL (the union operates in a
+    coarser target mode), so exact estimate equality is deliberately not
+    asserted — the mergeability contract is bounded error, not identity."""
+    from api_etl_pipeline_spark.ops.advanced import q51_hll_mergeable_distinct
+    from tests.conftest import SF_DIR
+
+    rows = q51_hll_mergeable_distinct(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        bound = max(3, 0.05 * r["exact_distinct"])
+        assert abs(r["hll_direct"] - r["exact_distinct"]) <= bound
+        assert abs(r["hll_merged"] - r["exact_distinct"]) <= bound
+        assert abs(r["hll_merged"] - r["hll_direct"]) <= bound
