@@ -15,6 +15,8 @@ so cosine scores, and therefore rankings, hash-match exactly.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -182,6 +184,67 @@ def sim03_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_IVF_CENTROIDS = "SELECT vec_id AS cent_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8"
 
 
+def _centroid_array_lit(spark: SparkSession, sf_dir: str) -> Column:
+    """The 8 deterministic IVF centroids (first 8 vectors) as ONE literal
+    array<struct<cent_id, ce, cn>> column.
+
+    At any scale the IVF codebook is tiny (k centroids × dims — kilobytes),
+    so the right plan is never a join: collect the codebook to the driver
+    once and fold it into the projection as literals. Assignment then
+    becomes a narrow per-row expression — no shuffle, no 8× row blow-up,
+    no window — which is exactly how a production IVF index build
+    distributes (codebook broadcast as task binary, one pass over the
+    corpus).
+
+    Bit-identity with the DuckDB oracle: parquet float32 → Python float is
+    the same exact widening as the engine-side float→double cast, and the
+    centroid norm is folded in Python with the identical sequential
+    operation order (acc + x*x left fold, then sqrt) that _dot/F.sqrt use,
+    so every downstream cosine is the same IEEE value.
+    """
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    structs = []
+    for r in sorted(rows, key=lambda r: r["vec_id"]):
+        vec = [float(x) for x in r["embedding"]]
+        acc = 0.0
+        for x in vec:
+            acc = acc + x * x
+        structs.append(
+            F.struct(
+                F.lit(int(r["vec_id"])).cast("long").alias("cent_id"),
+                # one ArrayType literal node, not 64 scalar nodes — keeps the
+                # analyzed plan small so per-query compile time stays flat
+                F.lit(vec).alias("ce"),
+                F.lit(math.sqrt(acc)).alias("cn"),
+            )
+        )
+    return F.array(*structs)
+
+
+def _ranked_cells(cents: Column, e: Column, qn: Column) -> Column:
+    """Per-row array of (negcos, cent_id) structs sorted best-first.
+
+    Ascending struct sort on (-cosine, cent_id) ≡ ORDER BY cosine DESC,
+    cent_id ASC — the same total order the window-based oracle uses. The
+    cosine itself is the sequential-fold dot over the literal centroid
+    divided by (row_norm × centroid_norm), the exact operation order of
+    _cosine / the DuckDB fold."""
+    return F.sort_array(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                (-(_dot(e, c["ce"]) / (qn * c["cn"]))).alias("negcos"),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
+    )
+
+
 @query(
     "sim04_ivf_assign",
     oracle=f"""
@@ -208,21 +271,21 @@ def sim04_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     its nearest centroid (here: the first 8 vectors as deterministic
     seeds; production would k-means them). The cell id becomes the
     partition key of the ANN index — queries then probe 1..n_probe cells
-    instead of the corpus. Centroids broadcast; assignment is one narrow
-    pass + a per-vector top-1 window."""
+    instead of the corpus. The codebook is folded in as literals
+    (_centroid_array_lit), so assignment is ONE narrow pass with zero
+    shuffles — no join, no window, plan is scan → project."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("ce")
+    cents = _centroid_array_lit(spark, sf_dir)
+    base = e.select("vec_id", "label", _dvec("embedding").alias("e")).withColumn(
+        "qn", F.sqrt(_dot(F.col("e"), F.col("e")))
     )
-    v = e.select("vec_id", "label", _dvec("embedding").alias("e"))
-    scored = F.broadcast(cents).crossJoin(v).select(
-        "vec_id", "label", "cent_id", _cosine(F.col("e"), F.col("ce")).alias("cos_to_cent")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_to_cent").desc(), F.col("cent_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", F.col("cent_id").alias("ivf_cell"), "cos_to_cent")
+    best = F.element_at(_ranked_cells(cents, F.col("e"), F.col("qn")), 1)
+    return base.select(
+        "vec_id",
+        "label",
+        best["cent_id"].alias("ivf_cell"),
+        # -(-cos) is a sign-bit flip (exact); + 0.0 normalizes a -0.0
+        (-best["negcos"] + F.lit(0.0)).alias("cos_to_cent"),
     )
 
 
@@ -279,37 +342,46 @@ def sim05_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; recall is tuned by n_probe. Centroids and the probe list
     broadcast; the only shuffle is the final per-query top-k window."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("ce")
+    cents = _centroid_array_lit(spark, sf_dir)
+    base = e.select("vec_id", _dvec("embedding").alias("e")).withColumn(
+        "qn", F.sqrt(_dot(F.col("e"), F.col("e")))
     )
-    v = e.select("vec_id", _dvec("embedding").alias("e"))
-    to_cent = F.broadcast(cents).crossJoin(v).select(
-        "vec_id", "cent_id", _cosine(F.col("e"), F.col("ce")).alias("cos_to_cent")
+    ranked = _ranked_cells(cents, F.col("e"), F.col("qn"))
+    # assignment: narrow projection, no shuffle; the embedding + its norm
+    # ride along so the final scoring never joins back to the corpus
+    assign = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.element_at(ranked, 1)["cent_id"].alias("a_cent_id"),
+        F.col("e").alias("ne"),
+        F.col("qn").alias("nn"),
     )
-    w1 = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_to_cent").desc(), F.col("cent_id").asc()
-    )
-    ranked = to_cent.withColumn("rn", F.row_number().over(w1))
-    # assign and probes both derive from `ranked` — rename every join column
-    # so the self-join condition can't collapse into a trivially-true
-    # same-attribute comparison
-    assign = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("a_vec_id"), F.col("cent_id").alias("a_cent_id")
-    )
+    # probes: the 5 query vectors each explode into their 2 best cells —
+    # parquet pushes vec_id < 5 into the scan, so this branch reads ~5 rows
     probes = (
-        ranked.filter((F.col("vec_id") < 5) & (F.col("rn") <= 2))
-        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("p_cent_id"))
+        base.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice(ranked, 1, 2)).alias("probe"),
+            F.col("e").alias("qe"),
+            F.col("qn").alias("q_qn"),
+        )
+        .select(
+            "query_id", F.col("probe")["cent_id"].alias("p_cent_id"), "qe", "q_qn"
+        )
     )
-    cand = F.broadcast(probes).join(
-        assign,
-        (F.col("a_cent_id") == F.col("p_cent_id")) & (F.col("a_vec_id") != F.col("query_id")),
-    ).select("query_id", F.col("a_vec_id").alias("neighbor_id"))
-    q = v.select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
-    n = v.select(F.col("vec_id").alias("n_id"), F.col("e").alias("ne"))
     scored = (
-        cand.join(F.broadcast(q), cand.query_id == q.q_id)
-        .join(n, cand.neighbor_id == n.n_id)
-        .select("query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ne")).alias("cosine"))
+        F.broadcast(probes)
+        .join(
+            assign,
+            (F.col("a_cent_id") == F.col("p_cent_id"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        # oracle computes sqrt(|q|²)·sqrt(|n|²) in that order — q_qn * nn
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ne")) / (F.col("q_qn") * F.col("nn"))).alias("cosine"),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
