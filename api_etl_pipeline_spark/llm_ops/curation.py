@@ -1,0 +1,311 @@
+"""Corpus-curation operators: decontamination, domain caps, source
+mixing, deterministic sharding, and chunking.
+
+These are the remaining stages of a production pretraining-data pipeline
+(after cleaning llm01/llm02, dedup dd*, sampling samp*, packing pack01):
+
+- decon01 — benchmark n-gram decontamination (the step that keeps eval
+  sets out of training data);
+- cur01   — per-domain document caps (bound any one source's share);
+- mix01   — token-budget rebalancing across sources (mixture weights);
+- shuf01  — deterministic global shuffle into training shards;
+- chunk01 — sliding-window chunking (context-length segmentation).
+
+Reference parity: none of these exist in the reference (it is an ingest
+spine — SURVEY.md §2); they are the BASELINE.json "large-scale
+training-data pipeline" mandate. All determinism derives from md5 over
+row ids (the cross-engine entropy source established in sampling.py) —
+never rand(), so retries/re-partitioning/engine swaps reproduce the
+exact same corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.llm_ops.sampling import hash_bucket
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+
+def _word_ngrams(words, n: int):
+    """Array of word n-grams from a words array: positions 1..len-n+1,
+    each joined with single spaces. Empty when len < n (guarded — a bare
+    sequence(1, len-n+1) would run DESCENDING for len < n, not empty)."""
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+
+_DECON_GRAMS = """
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS g
+        FROM words, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    )
+"""
+
+
+@query(
+    "decon01_ngram_overlap",
+    oracle=f"""
+    WITH {_DECON_GRAMS},
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+    train AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 20 <> 0)
+    SELECT t.doc_id,
+           COUNT(*)::BIGINT  AS n_grams,
+           COUNT(b.g)::BIGINT AS n_contaminated,
+           CAST(COUNT(b.g) AS DOUBLE) / COUNT(*) AS contamination,
+           (COUNT(b.g) * 2 >= COUNT(*)) AS drop_doc
+    FROM train t LEFT JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+)
+def decon01_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every training document is scored by the
+    fraction of its distinct word-3-grams that appear anywhere in the
+    held-out benchmark slice (doc_id % 20 = 0 stands in for an eval set);
+    docs with >= 50% overlap are flagged for dropping.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    (eval sets are MBs, corpora are TBs), so it BROADCASTS — the
+    contamination check is a narrow map-side semi-probe over the training
+    side, never a corpus-sized shuffle. Gram extraction is pure codegen
+    (split + slice + concat), the only exchange is the per-doc distinct
+    aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(_word_ngrams(F.split(F.col("text"), " "), 3)).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 20 != 0).select("doc_id", "g").distinct()
+    return (
+        train.join(
+            F.broadcast(bench.withColumn("hit", F.lit(1))), on="g", how="left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+            (F.count("hit").cast("double") / F.count("*")).alias("contamination"),
+            (F.count("hit") * 2 >= F.count("*")).alias("drop_doc"),
+        )
+    )
+
+
+@query(
+    "cur01_domain_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS source_rank,
+               COUNT(*) OVER (PARTITION BY source) AS n_source
+        FROM documents
+    )
+    SELECT doc_id, source, lang, n_chars,
+           source_rank::BIGINT AS source_rank,
+           n_source::BIGINT    AS n_source
+    FROM ranked
+    WHERE source_rank <= 40
+    """,
+)
+def cur01_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: no source contributes more than 40 documents,
+    keeping its highest-quality ones (quality proxy: length, tie-broken
+    by id for determinism). This is the anti-monoculture guard of a web
+    corpus — one crawl-happy domain must not dominate the mixture.
+
+    One exchange on `source`. At 100 TB the per-source ordering is the
+    cost; with heavy domain skew the rank-then-filter runs as a two-stage
+    partial top-k (each map task keeps its local top-40 before the
+    shuffle — the w01/skew.py pattern), so the exchange carries
+    O(sources × cap), not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("source")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.row_number().over(w).cast("bigint").alias("source_rank"),
+            F.count("*").over(wc).cast("bigint").alias("n_source"),
+        )
+        .filter(F.col("source_rank") <= 40)
+    )
+
+
+@query(
+    "mix01_token_budget_mix",
+    oracle="""
+    WITH sizes AS (
+        SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS source_chars
+        FROM documents GROUP BY source
+    ),
+    budget AS (
+        SELECT source, n_docs, source_chars,
+               SUM(source_chars) OVER () / COUNT(*) OVER () AS share
+        FROM sizes
+    ),
+    rates AS (
+        SELECT source, n_docs, source_chars,
+               LEAST(100, CAST(FLOOR(100.0 * share / source_chars) AS BIGINT))
+                   AS keep_pct
+        FROM budget
+    ),
+    kept AS (
+        SELECT d.source, r.keep_pct, d.n_chars
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100
+              < r.keep_pct
+    )
+    SELECT source, keep_pct,
+           COUNT(*)::BIGINT     AS n_kept,
+           SUM(n_chars)::BIGINT AS chars_kept
+    FROM kept
+    GROUP BY source, keep_pct
+    """,
+)
+def mix01_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: give every source an equal share of the total
+    character budget, derive a per-source keep percentage, and sample each
+    source at that rate with the deterministic id-hash (so over-represented
+    sources are downsampled toward the target mixture and small sources
+    keep everything).
+
+    Two tiny aggregations over the per-source stats (broadcast back onto
+    the corpus as a map-side join) plus one narrow hash filter — the
+    corpus itself is never shuffled, which is what makes re-mixing cheap
+    enough to iterate on at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    sizes = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("source_chars")
+    )
+    wall = Window.partitionBy()
+    rates = sizes.select(
+        "source",
+        F.least(
+            F.lit(100),
+            F.floor(
+                100.0
+                * (F.sum("source_chars").over(wall) / F.count("*").over(wall))
+                / F.col("source_chars")
+            ).cast("bigint"),
+        ).alias("keep_pct"),
+    )
+    kept = d.join(F.broadcast(rates), "source").filter(
+        hash_bucket(F.col("doc_id"), 100) < F.col("keep_pct")
+    )
+    return kept.groupBy("source", "keep_pct").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+
+
+@query(
+    "shuf01_deterministic_shards",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               md5('epoch0:' || doc_id::VARCHAR) AS shuffle_key,
+               ('0x' || substr(md5('epoch0:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 8 AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (
+               PARTITION BY shard ORDER BY shuffle_key, doc_id
+           )::BIGINT AS pos,
+           n_chars
+    FROM keyed
+    """,
+)
+def shuf01_deterministic_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: the shuffle key
+    is md5 over an epoch salt + doc id, so (a) the order is uniform and
+    uncorrelated with ingest order, (b) every epoch gets a different but
+    fully reproducible permutation by bumping the salt, and (c) a
+    preempted job resumes to the identical shard layout.
+
+    The shard id IS the output partition key: at scale this runs as
+    repartition(shard) + sortWithinPartitions(shuffle_key) and each shard
+    streams to its own file — exactly one exchange, and the written
+    layout is the randomized read order (no training-time shuffling
+    needed)."""
+    d = load_table(spark, sf_dir, "documents")
+    skey = F.md5(
+        F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        skey.alias("shuffle_key"),
+        (F.conv(F.substring(skey, 1, 8), 16, 10).cast("bigint") % 8).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "n_chars",
+    )
+
+
+@query(
+    "chunk01_sliding_chunks",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, lang,
+               ((s - 1) / 24)::BIGINT AS chunk_idx,
+               array_to_string(list_slice(w, s, s + 31), ' ') AS chunk_text,
+               LEAST(32, len(w) - s + 1)::BIGINT AS n_words
+        FROM words, UNNEST(generate_series(1, len(w), 24)) AS t(s)
+    )
+    SELECT doc_id, lang, chunk_idx, chunk_text, n_words
+    FROM chunks
+    WHERE n_words >= 8
+    """,
+)
+def chunk01_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length segmentation: every document splits into 32-word
+    windows with stride 24 (25% overlap so no boundary context is lost),
+    dropping tails under 8 words. This is the stage between cleaning and
+    packing (pack01) — models consume fixed windows, not documents.
+
+    Pure narrow codegen (split → sequence → slice → concat) with zero
+    exchanges: chunking parallelizes embarrassingly and the output
+    inherits the input partitioning, so it composes with shuf01's single
+    shard exchange rather than adding its own."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(24))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("text"),
+            F.explode(starts).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (((F.col("s") - 1) / 24).cast("bigint")).alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), F.col("s"), 32)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(32), F.size(F.split(F.col("text"), " ")) - F.col("s") + 1
+            ).cast("bigint").alias("n_words"),
+        )
+        .filter(F.col("n_words") >= 8)
+    )
