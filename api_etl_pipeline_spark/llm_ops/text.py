@@ -569,3 +569,102 @@ def tx12_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "block_key", dist.alias("edit_distance"))
         .filter(F.col("edit_distance") <= 15)
     )
+
+
+@query(
+    "tx13_word_entropy",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, word, COUNT(*)::BIGINT AS c
+        FROM words GROUP BY doc_id, word
+    ),
+    tot AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS n_distinct
+        FROM counts GROUP BY doc_id
+    ),
+    terms AS (
+        SELECT c.doc_id, c.word, -(c.c / t.n) * log2(c.c / t.n) AS term
+        FROM counts c JOIN tot t ON c.doc_id = t.doc_id
+    ),
+    folds AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0.0, list(term ORDER BY word ASC)),
+                   (a, b) -> a + b
+               ) AS h
+        FROM terms GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n AS n_tokens,
+           t.n_distinct AS n_distinct,
+           ROUND(f.h, 6) + 0.0 AS entropy,
+           CAST(t.n_distinct AS DOUBLE) / t.n AS ttr
+    FROM tot t JOIN folds f ON t.doc_id = f.doc_id
+    """,
+)
+def tx13_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy + type-token ratio per document — the
+    information-density quality signals (boilerplate and keyword-stuffed
+    pages score low-entropy; natural prose clusters tightly).
+
+    Plan shape: ZERO shuffles, same trick as tx11 — tokens are sorted
+    per row and ONE fold walks the runs of equal neighbors, adding each
+    word's -(c/n)·log2(c/n) term as its run closes (= word-ascending
+    order, exactly the oracle's ORDER BY word fold, so the float
+    accumulation sequence is identical; the result is rounded on both
+    sides because log2's last ulp may differ between libm and the JVM).
+    The DuckDB oracle keeps the explode/GROUP BY formulation — same
+    values from a different plan is the cross-check."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_sort(_tokens()).alias("st"),
+        F.size(_tokens()).alias("n"),
+    )
+    n = F.col("n")
+
+    def term(run):
+        return F.when(run == 0, F.lit(0.0)).otherwise(-(run / n) * F.log2(run / n))
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0.0).alias("acc"),
+        F.lit(0).alias("nd"),
+    )
+
+    def step(st, t):
+        return F.when(
+            st["prev"].isNotNull() & (t == st["prev"]),
+            F.struct(
+                st["prev"].alias("prev"),
+                (st["run"] + 1).alias("run"),
+                st["acc"].alias("acc"),
+                st["nd"].alias("nd"),
+            ),
+        ).otherwise(
+            F.struct(
+                t.alias("prev"),
+                F.lit(1).alias("run"),
+                (st["acc"] + term(st["run"])).alias("acc"),
+                (st["nd"] + 1).alias("nd"),
+            )
+        )
+
+    folded = F.aggregate(
+        F.col("st"),
+        init,
+        step,
+        lambda st: F.struct(
+            (st["acc"] + term(st["run"])).alias("h"), st["nd"].alias("nd")
+        ),
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        folded["nd"].cast("bigint").alias("n_distinct"),
+        (F.round(folded["h"], 6) + F.lit(0.0)).alias("entropy"),
+        (folded["nd"].cast("double") / n).alias("ttr"),
+    )

@@ -523,3 +523,49 @@ def ev10_out_of_order_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(late, F.col("seen_max_us") - F.col("ts_us"))), F.lit(0)
         ).cast("bigint").alias("max_disorder_us"),
     )
+
+
+@query(
+    "ev11_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def ev11_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | from_type) for every observed pair — the
+    input to behavioral-model fitting and anomalous-flow detection.
+
+    One exchange on user_id for the LEAD window; the pair counting then
+    reduces to (type, type) cells — at most |types|² rows, so the
+    normalizing window over from_type is trivially small no matter the
+    corpus size. The probability is one double division of two exact
+    integers (deterministic cross-engine; no float accumulation)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cells = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return cells.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt)).alias("p"),
+    )

@@ -63,8 +63,6 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("q34_dormant_rich_customers", "BroadcastNestedLoopJoin"): "single-row scalar avg broadcast",
     ("tx08_tfidf_top_term", "BroadcastNestedLoopJoin"): "single-row corpus-count broadcast",
     ("sim01_cosine_topk", "BroadcastNestedLoopJoin"): "5-row query-vector broadcast, non-equi self-exclusion",
-    ("sim04_ivf_assign", "BroadcastNestedLoopJoin"): "8-row centroid table broadcast",
-    ("sim05_ivf_probe_topk", "BroadcastNestedLoopJoin"): "8-row centroid table broadcast (×2 probes)",
     ("sim07_pq_codes", "BroadcastNestedLoopJoin"): "8-row PQ codebook broadcast cross join",
     ("q48_range_join_banded", "SortMergeJoin"): (
         "purchases×clicks on (user, hour-bucket) is fact-fact by design — "

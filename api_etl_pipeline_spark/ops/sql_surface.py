@@ -215,3 +215,46 @@ def qsql08_values_decode_shared_sql(spark: SparkSession, sf_dir: str) -> DataFra
     aggregate needs no dialect shim."""
     register_views(spark, sf_dir)
     return spark.sql(_QSQL08)
+
+
+_QSQL09 = """
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(year(MIN(o_orderdate)) AS INT) * 12
+                   + CAST(month(MIN(o_orderdate)) AS INT) - 1 AS lo,
+               CAST(year(MAX(o_orderdate)) AS INT) * 12
+                   + CAST(month(MAX(o_orderdate)) AS INT) - 1 AS hi
+        FROM orders
+    ),
+    months(mi) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT mi + 1 FROM months WHERE mi < (SELECT hi FROM bounds)
+    ),
+    actual AS (
+        SELECT CAST(year(o_orderdate) AS INT) * 12
+                   + CAST(month(o_orderdate) AS INT) - 1 AS mi,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(FLOOR(m.mi / 12.0) AS BIGINT) AS o_year,
+           CAST(m.mi % 12 + 1 AS BIGINT) AS o_month,
+           COALESCE(a.n_orders, 0) AS n_orders,
+           COALESCE(a.total, 0.0) AS total
+    FROM months m LEFT JOIN actual a ON a.mi = m.mi
+"""
+
+
+@query("qsql09_recursive_cte_shared_sql", oracle=_QSQL09)
+def qsql09_recursive_cte_shared_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled monthly order series via WITH RECURSIVE (Spark 4's
+    recursive-CTE support, same verbatim text on DuckDB): the recursion
+    generates the complete month axis from the data's own bounds, so
+    gap months surface as explicit zero rows — the time-series
+    densification pattern ev05 does for days, here in pure shared SQL.
+    Dialect notes: month index is an INT (date+INTERVAL month returns
+    different types across engines) and the year split uses
+    FLOOR(mi/12.0) because bare int division also diverges (Spark
+    truncates after double-div; DuckDB CAST rounds)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_QSQL09)

@@ -83,6 +83,12 @@ OPTIONAL = [
     "pack01_sequence_packing",  # Arrow applyInPandas greedy packer
     "ev09_scd2_intervals",  # single-exchange SCD-2 window chain
     "x23_zorder_interleave",  # pure-codegen Morton key
+    # round-3 curation wave
+    "decon01_ngram_overlap",  # broadcast benchmark-gram decontamination
+    "mix01_token_budget_mix",  # zero-corpus-shuffle source rebalance
+    "shuf01_deterministic_shards",  # salted-hash shard + in-shard order
+    "chunk01_sliding_chunks",  # narrow sliding-window segmentation
+    "cur01_domain_cap",  # per-source bounded top-k
 ]
 
 
