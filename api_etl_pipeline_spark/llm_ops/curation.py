@@ -72,16 +72,24 @@ def decon01_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the benchmark n-gram set is tiny relative to the corpus
     (eval sets are MBs, corpora are TBs), so it BROADCASTS — the
     contamination check is a narrow map-side semi-probe over the training
-    side, never a corpus-sized shuffle. Gram extraction is pure codegen
-    (split + slice + concat), the only exchange is the per-doc distinct
-    aggregation."""
+    side, never a corpus-sized shuffle. Per-document gram de-duplication
+    happens ROW-LOCALLY with array_distinct before the explode (no
+    corpus-wide distinct exchange — at 100 TB that shuffle would be the
+    whole exploded corpus); the only full-width exchange left is the
+    per-doc count aggregation over skinny (doc_id, hit) pairs."""
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
+    per_doc = d.select(
         "doc_id",
-        F.explode(_word_ngrams(F.split(F.col("text"), " "), 3)).alias("g"),
+        F.array_distinct(_word_ngrams(F.split(F.col("text"), " "), 3)).alias("gs"),
     )
-    bench = grams.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
-    train = grams.filter(F.col("doc_id") % 20 != 0).select("doc_id", "g").distinct()
+    bench = (
+        per_doc.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    train = per_doc.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
     return (
         train.join(
             F.broadcast(bench.withColumn("hit", F.lit(1))), on="g", how="left"

@@ -109,3 +109,42 @@ def samp02_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") * 10 <= F.col("n_lang"))
         .drop("n_lang")
     )
+
+
+@query(
+    "samp03_fixed_size_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        FROM documents
+    )
+    WHERE rk <= 200
+    """,
+)
+def samp03_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N deterministic global sample: order the corpus by id-hash
+    and take the first 200. Unlike rate-based sampling (samp01) the size
+    is exact, and unlike reservoir sampling the membership is a pure
+    function of the ids present — reruns and engine swaps agree.
+
+    Scale shape: orderBy(hash).limit(N) plans as TakeOrderedAndProject —
+    each task keeps a local top-N heap and only N rows per task reach
+    the driver-side merge, so there is NO global sort and NO single-task
+    window over the corpus. The rank is re-derived afterwards on the
+    N-row result (trivial)."""
+    d = load_table(spark, sf_dir, "documents")
+    hk = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    top = (
+        d.select("doc_id", "source", "n_chars", hk.alias("hk"))
+        .orderBy("hk", "doc_id")
+        .limit(200)
+    )
+    w = Window.orderBy("hk", "doc_id")
+    return top.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )

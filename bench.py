@@ -103,6 +103,12 @@ _CLUSTER_KEY = {
     "embeddings": "vec_id",
 }
 _ROWS_PER_FILE = 40_000
+# wide-row / compute-heavy tables split much finer: a documents file is
+# ~150 words/row and feeds explode-heavy operators, so one file per
+# ~400 rows keeps the narrow pre-shuffle stages parallel (the 100 TB
+# analog: 128 MB splits of a fat text column are few ROWS, and the
+# engine must not serialize per-row compute behind one task)
+_ROWS_PER_FILE_BY_TABLE = {"documents": 400, "embeddings": 250}
 
 
 def prepare_layout(spark, sf_dir: str, cpus: int) -> tuple[str, float]:
@@ -112,7 +118,7 @@ def prepare_layout(spark, sf_dir: str, cpus: int) -> tuple[str, float]:
 
     tag = sf_dir.rstrip("/").replace("/", "_")
     out = f"/tmp/spark_graft_bench_layout/{tag}"
-    marker = Path(out) / "_LAYOUT_READY"
+    marker = Path(out) / "_LAYOUT_READY_v2"
     if marker.exists():
         return out, 0.0
     t0 = time.perf_counter()
@@ -121,7 +127,8 @@ def prepare_layout(spark, sf_dir: str, cpus: int) -> tuple[str, float]:
         df = load_table(spark, sf_dir, name)
         key = _CLUSTER_KEY.get(name)
         if key is not None:
-            n = max(1, min(cpus, df.count() // _ROWS_PER_FILE))
+            per_file = _ROWS_PER_FILE_BY_TABLE.get(name, _ROWS_PER_FILE)
+            n = max(1, min(cpus, df.count() // per_file))
             df = df.repartitionByRange(n, key).sortWithinPartitions(key)
         df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
     marker.write_text(sf_dir)
