@@ -569,3 +569,95 @@ def ev11_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wt)).alias("p"),
     )
+
+
+@query(
+    "ev12_peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, session_seq,
+               MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM (
+            SELECT user_id, ts, event_id,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_seq
+            FROM flagged
+        )
+        GROUP BY user_id, session_seq
+    ),
+    deltas AS (
+        SELECT s_start AS t, 1 AS d, user_id, session_seq FROM sess
+        UNION ALL
+        SELECT s_end, -1, user_id, session_seq FROM sess
+    ),
+    swept AS (
+        SELECT t,
+               SUM(d) OVER (
+                   ORDER BY t, d DESC, user_id, session_seq
+                   ROWS UNBOUNDED PRECEDING
+               ) AS conc
+        FROM deltas
+    )
+    SELECT date_trunc('hour', t) AS hour,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) AS BIGINT) AS n_boundaries
+    FROM swept
+    GROUP BY date_trunc('hour', t)
+    """,
+)
+def ev12_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour via a sweep line: sessionize
+    (ev02's islands), emit +1/−1 boundary deltas, running-sum them in
+    global time order, and take the hourly max — the capacity-planning
+    number (how many simultaneous actives must the system hold).
+
+    Tie order (t, d DESC, ...) counts a session starting at instant T as
+    overlapping one ending at T — inclusive-bound semantics, identical
+    on both engines because the ordering is total.
+
+    Scale note: the sweep input is 2 rows per SESSION, typically 3-4
+    orders of magnitude smaller than the event log, so the global-order
+    running sum is a deliberate single-partition pass over a tiny set
+    (same reasoning as a top-k merge). If sessions themselves are huge,
+    the standard split is per-day partial sweeps plus a prefix-sum carry
+    of per-day delta totals — same operator, one extra tiny exchange."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = (
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_seq", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    deltas = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("d"), "user_id", "session_seq"
+    ).unionByName(
+        sess.select(
+            F.col("s_end").alias("t"), F.lit(-1).alias("d"), "user_id", "session_seq"
+        )
+    )
+    sweep = Window.orderBy(
+        F.col("t"), F.col("d").desc(), F.col("user_id"), F.col("session_seq")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = deltas.withColumn("conc", F.sum("d").over(sweep))
+    return swept.groupBy(F.date_trunc("hour", F.col("t")).alias("hour")).agg(
+        F.max("conc").cast("bigint").alias("peak_concurrent"),
+        F.count("*").alias("n_boundaries"),
+    )

@@ -29,7 +29,10 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.registry import query
 
 
 def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
@@ -180,3 +183,63 @@ def zorder_compact(
         "files_after": len(after),
         "bytes_after": sum(sz for _, sz in after),
     }
+
+
+@query(
+    "stats01_table_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS ndv,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           CAST(MIN(l_discount) AS DOUBLE),
+           CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(l_suppkey) AS BIGINT),
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+           CAST(MIN(l_suppkey) AS DOUBLE),
+           CAST(MAX(l_suppkey) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def stats01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics profiler — the ANALYZE TABLE analog every
+    maintenance cycle runs to keep the optimizer's row-count/NDV/min-max
+    estimates honest (join reordering and broadcast decisions at 100 TB
+    live on these numbers).
+
+    Shape: per-column (count, non-null, NDV, min, max) folded into one
+    long-format result. NDV here is EXACT (count_distinct) so the DuckDB
+    differential check is exact too; the at-scale variant swaps in
+    approx_count_distinct (HLL, one pass, mergeable — see q27/q51) which
+    is what a real stats job stores. One scan per profiled column via
+    unions keeps each aggregate Expand-free (the multi-distinct Expand
+    cost — see q32 — is the thing to avoid in a full-table profile)."""
+    from api_etl_pipeline_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.count_distinct(F.col(col)).alias("ndv"),
+            F.min(col).cast("double").alias("min_v"),
+            F.max(col).cast("double").alias("max_v"),
+        )
+
+    return profile("l_quantity").unionByName(profile("l_discount")).unionByName(
+        profile("l_suppkey")
+    )

@@ -58,6 +58,7 @@ def _load_all() -> None:
     from api_etl_pipeline_spark.ops import (  # noqa: F401
         advanced,
         events_analytics,
+        maintenance,
         python_udfs,
         relational,
         scalar,
