@@ -1,0 +1,132 @@
+"""Semantic property tests for the curation / round-3 operators.
+
+The DuckDB differential oracle (test_queries_oracle) proves cross-engine
+value equality; these pin the SEMANTICS the oracle can't express —
+invariants that must hold for the operator to mean what its name says
+(decontamination really excludes the benchmark, chunking really covers
+the document, sharding really partitions the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+_Q = all_queries()
+
+
+def _run(name, spark):
+    return _Q[name].fn(spark, SF_DIR)
+
+
+def test_decon01_excludes_benchmark_docs(spark):
+    out = _run("decon01_ngram_overlap", spark)
+    assert out.filter(F.col("doc_id") % 20 == 0).count() == 0
+    bad = out.filter(
+        (F.col("n_contaminated") > F.col("n_grams"))
+        | (F.col("contamination") < 0)
+        | (F.col("contamination") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_cur01_cap_is_enforced_per_source(spark):
+    out = _run("cur01_domain_cap", spark)
+    per_source = out.groupBy("source").count().collect()
+    assert per_source and all(r["count"] <= 40 for r in per_source)
+    # ranks are dense 1..k within each source
+    ranks = out.groupBy("source").agg(
+        F.max("source_rank").alias("mx"), F.count("*").alias("n")
+    )
+    assert ranks.filter(F.col("mx") != F.col("n")).count() == 0
+
+
+def test_mix01_rates_shrink_large_sources(spark):
+    rows = _run("mix01_token_budget_mix", spark).collect()
+    assert rows and all(0 <= r["keep_pct"] <= 100 for r in rows)
+    # a source at/below its equal share keeps everything (pct 100)
+    assert any(r["keep_pct"] == 100 for r in rows) or len(rows) == 1
+
+
+def test_shuf01_is_a_partition_of_the_corpus(spark):
+    from api_etl_pipeline_spark.tables import load_table
+
+    out = _run("shuf01_deterministic_shards", spark)
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+    # pos is dense 1..k within every shard
+    bad = out.groupBy("shard").agg(
+        F.max("pos").alias("mx"), F.count("*").alias("n")
+    ).filter(F.col("mx") != F.col("n"))
+    assert bad.count() == 0
+    # determinism: a second run produces the identical assignment
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in out.collect()}
+    rerun = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in _run("shuf01_deterministic_shards", spark).collect()
+    }
+    assert again == rerun
+
+
+def test_chunk01_covers_every_word(spark):
+    from api_etl_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    chunks = _run("chunk01_sliding_chunks", spark)
+    # stride 24 < size 32 ⇒ consecutive chunk starts overlap, so summed
+    # coverage (n_words per chunk at stride 24) reaches the last word of
+    # every document with >= 8 words
+    joined = (
+        chunks.groupBy("doc_id")
+        .agg(F.max(F.col("chunk_idx") * 24 + F.col("n_words")).alias("covered"))
+        .join(
+            docs.select("doc_id", F.size(F.split("text", " ")).alias("n_words_doc")),
+            "doc_id",
+        )
+    )
+    assert joined.filter(F.col("covered") < F.col("n_words_doc")).count() == 0
+
+
+def test_samp03_exact_size_and_stability(spark):
+    a = _run("samp03_fixed_size_sample", spark)
+    assert a.count() == 200
+    ids = sorted(r["doc_id"] for r in a.collect())
+    ids2 = sorted(r["doc_id"] for r in _run("samp03_fixed_size_sample", spark).collect())
+    assert ids == ids2
+
+
+def test_tx13_entropy_bounds(spark):
+    out = _run("tx13_word_entropy", spark)
+    bad = out.filter(
+        (F.col("entropy") < 0)
+        | (F.col("entropy") > F.log2(F.col("n_distinct").cast("double")) + 1e-6)
+        | (F.col("ttr") <= 0)
+        | (F.col("ttr") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_ev12_sweep_is_balanced(spark):
+    out = _run("ev12_peak_concurrency", spark)
+    rows = out.collect()
+    assert rows and all(r["peak_concurrent"] >= 1 for r in rows)
+    # boundary deltas pair up: total boundaries = 2 × number of sessions
+    n_sessions = (
+        _Q["ev02_gaps_islands"].fn(spark, SF_DIR).count()
+    )
+    assert sum(r["n_boundaries"] for r in rows) == 2 * n_sessions
+
+
+def test_stats01_profile_matches_direct_aggregates(spark):
+    from api_etl_pipeline_spark.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    prof = {r["col"]: r for r in _run("stats01_table_profile", spark).collect()}
+    direct = li.agg(
+        F.count("*").alias("n"), F.count_distinct("l_suppkey").alias("ndv")
+    ).collect()[0]
+    assert prof["l_suppkey"]["n_rows"] == direct["n"]
+    assert prof["l_suppkey"]["ndv"] == direct["ndv"]
