@@ -614,3 +614,138 @@ def sim07_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         code(3).alias("code3"),
         (err(0) + err(1) + err(2) + err(3)).alias("recon_err"),
     )
+
+
+@query(
+    "sim08_pq_adc_topk",
+    oracle=f"""
+    WITH cents AS ({_DUCK_IVF_CENTROIDS}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+    sub AS (
+        SELECT v.vec_id, s.s, c.cent_id,
+               {_DUCK_L2SQ.format(
+                   a='list_slice(v.e, s.s * 16 + 1, s.s * 16 + 16)',
+                   b='list_slice(c.ce, s.s * 16 + 1, s.s * 16 + 16)')} AS d2
+        FROM v CROSS JOIN subs s CROSS JOIN cents c
+    ),
+    codes AS (
+        SELECT vec_id, s, cent_id AS code FROM (
+            SELECT vec_id, s, cent_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY d2 ASC, cent_id ASC
+                   ) AS rn
+            FROM sub
+        ) WHERE rn = 1
+    ),
+    qd AS (
+        SELECT vec_id AS query_id, s, cent_id, d2 AS qd2
+        FROM sub WHERE vec_id < 5
+    ),
+    adc AS (
+        SELECT qd.query_id, c.vec_id AS neighbor_id,
+               MAX(CASE WHEN qd.s = 0 THEN qd.qd2 END)
+                   + MAX(CASE WHEN qd.s = 1 THEN qd.qd2 END)
+                   + MAX(CASE WHEN qd.s = 2 THEN qd.qd2 END)
+                   + MAX(CASE WHEN qd.s = 3 THEN qd.qd2 END) AS adc
+        FROM codes c JOIN qd ON qd.s = c.s AND qd.cent_id = c.code
+        WHERE c.vec_id <> qd.query_id
+        GROUP BY qd.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, adc, rn FROM (
+        SELECT query_id, neighbor_id, adc,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC
+               )::BIGINT AS rn
+        FROM adc
+    )
+    WHERE rn <= 3
+    """,
+)
+def sim08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) search over PQ codes — the read path that
+    completes the ANN family: sim07 compresses each vector to 4 codebook
+    codes; this query answers top-k WITHOUT decompressing. Per query, a
+    4×8 distance table (query subvector → each centroid subvector, exact
+    L2²) is computed once; a candidate's approximate distance is then 4
+    table lookups + 3 adds, independent of dimensionality.
+
+    Scale shape (the point of PQ): the corpus-side scan touches ONLY the
+    code columns (4 small ints/vector, ~1/64 of the float payload — at
+    100 TB the codes fit in memory where vectors cannot). Codebook and
+    per-query tables are literals (driver-computed with the identical
+    sequential-fold IEEE ops, see _centroid_array_lit), so codes and
+    lookups are one narrow pass; the explode to (query × vector) feeds a
+    per-query top-k window over 5 tiny partitions. Cross-engine
+    determinism: same fold order for every d2, left-associated 4-term
+    ADC sum on both sides."""
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    cents = []  # (cent_id, [subvector s=0..3 as python float lists])
+    for r in sorted(rows, key=lambda r: r["vec_id"]):
+        vec = [float(x) for x in r["embedding"]]
+        cents.append((int(r["vec_id"]), [vec[s * 16:(s + 1) * 16] for s in range(4)]))
+    qrows = (
+        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+
+    def l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    # per-query 4×8 distance tables, exact same fold the engines use
+    qtabs = []  # (query_id, [[qd2 for cent 0..7] for s 0..3])
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        qv = [float(x) for x in r["embedding"]]
+        tab = [
+            [l2sq(qv[s * 16:(s + 1) * 16], sub[s]) for _, sub in cents]
+            for s in range(4)
+        ]
+        qtabs.append((int(r["vec_id"]), tab))
+
+    d = e.select("vec_id", _dvec("embedding").alias("e"))
+    # per-row PQ codes: argmin centroid per subspace over literal codebook
+    code_cols = []
+    for s in range(4):
+        ranked = F.sort_array(
+            F.array(*[
+                F.struct(
+                    _l2sq(
+                        F.slice(F.col("e"), s * 16 + 1, 16),
+                        F.lit([float(x) for x in sub[s]]),
+                    ).alias("d2"),
+                    F.lit(cid).cast("long").alias("cent_id"),
+                )
+                for cid, sub in cents
+            ])
+        )
+        code_cols.append(F.element_at(ranked, 1)["cent_id"].alias(f"code{s}"))
+    coded = d.select("vec_id", *code_cols)
+    # ADC per query: 4 literal-table lookups, left-associated sum
+    per_query = F.array(*[
+        F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            (
+                F.element_at(F.lit(tab[0]), F.col("code0").cast("int") + 1)
+                + F.element_at(F.lit(tab[1]), F.col("code1").cast("int") + 1)
+                + F.element_at(F.lit(tab[2]), F.col("code2").cast("int") + 1)
+                + F.element_at(F.lit(tab[3]), F.col("code3").cast("int") + 1)
+            ).alias("adc"),
+        )
+        for qid, tab in qtabs
+    ])
+    pairs = (
+        coded.select(F.col("vec_id").alias("neighbor_id"), F.explode(per_query).alias("q"))
+        .select("neighbor_id", F.col("q")["query_id"].alias("query_id"), F.col("q")["adc"].alias("adc"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "adc", "rn")
+    )

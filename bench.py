@@ -89,6 +89,11 @@ OPTIONAL = [
     "shuf01_deterministic_shards",  # salted-hash shard + in-shard order
     "chunk01_sliding_chunks",  # narrow sliding-window segmentation
     "cur01_domain_cap",  # per-source bounded top-k
+    "tx13_word_entropy",  # zero-shuffle sorted-run entropy fold
+    "ev12_peak_concurrency",  # sweep-line boundary running sum
+    "sim08_pq_adc_topk",  # PQ asymmetric-distance search over codes
+    "stats01_table_profile",  # ANALYZE-style per-column profile
+    "qsql09_recursive_cte_shared_sql",  # recursive month axis, shared SQL
 ]
 
 
