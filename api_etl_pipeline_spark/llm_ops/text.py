@@ -280,6 +280,10 @@ def tx08_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny df table → per-doc window. At 100 TB the df table is vocabulary-
     sized (fits broadcast); the only big shuffles are the (doc,term)
     aggregation and the per-doc window, both keyed compatibly on doc_id.
+    (A COUNT(*) OVER (PARTITION BY term) formulation was measured and
+    rejected: the window's per-term sort costs more than the second hash
+    aggregation it replaces — hash-agg beats sort, same lesson as the
+    MinHash string-MIN regression.)
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_tokens()).alias("term"))

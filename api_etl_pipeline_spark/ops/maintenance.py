@@ -219,27 +219,33 @@ def stats01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates honest (join reordering and broadcast decisions at 100 TB
     live on these numbers).
 
-    Shape: per-column (count, non-null, NDV, min, max) folded into one
-    long-format result. NDV here is EXACT (count_distinct) so the DuckDB
-    differential check is exact too; the at-scale variant swaps in
-    approx_count_distinct (HLL, one pass, mergeable — see q27/q51) which
-    is what a real stats job stores. One scan per profiled column via
-    unions keeps each aggregate Expand-free (the multi-distinct Expand
-    cost — see q32 — is the thing to avoid in a full-table profile)."""
+    Shape: per-column (count, non-null, NDV, min, max) in long format
+    from ONE scan: each row explodes into (col, value) pairs and a
+    single groupBy(col) computes every stat — for a k-column profile
+    that is 1 scan instead of k (the difference between an overnight
+    ANALYZE and a coffee-break one at 100 TB). The per-group single
+    count_distinct plans as a plain two-phase distinct aggregate — no
+    Expand (contrast q32's multi-distinct). NDV here is EXACT so the
+    DuckDB differential check is exact too; the at-scale variant swaps
+    in approx_count_distinct (HLL, mergeable — see q27/q51), which is
+    what a real stats job stores."""
     from api_etl_pipeline_spark.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-
-    def profile(col: str) -> DataFrame:
-        return li.agg(
-            F.lit(col).alias("col"),
-            F.count("*").alias("n_rows"),
-            F.count(col).alias("n_nonnull"),
-            F.count_distinct(F.col(col)).alias("ndv"),
-            F.min(col).cast("double").alias("min_v"),
-            F.max(col).cast("double").alias("max_v"),
-        )
-
-    return profile("l_quantity").unionByName(profile("l_discount")).unionByName(
-        profile("l_suppkey")
+    stacked = li.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col"), F.col(c).cast("double").alias("v")
+                )
+                for c in ("l_quantity", "l_discount", "l_suppkey")
+            ])
+        ).alias("cv")
+    ).select(F.col("cv")["col"].alias("col"), F.col("cv")["v"].alias("v"))
+    return stacked.groupBy("col").agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.count_distinct("v").alias("ndv"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
     )
