@@ -76,28 +76,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events_stream(spark: SparkSession, directory: str) -> DataFrame:
-    """Streaming twin of load_table('events'): the file stream source reads
-    a directory; the TIMESTAMP(NANOS) column comes through as INT64 under
-    nanosAsLong and is rebuilt to a microsecond TimestampType (truncation,
-    matching both the batch loader and DuckDB)."""
+    """Streaming twin of load_table('events'). The file stream source
+    needs an explicit schema, and the events timestamp has shipped as
+    both TIMESTAMP(NANOS) (rounds 1-2 testdata: surfaces as INT64 under
+    nanosAsLong, needs a µs rebuild) and TIMESTAMP(MICROS) (current
+    testdata: reads natively) — so probe the directory with a one-file
+    batch read and build the matching stream schema instead of wiring in
+    either generation's layout."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    ensure_engine_confs(spark)
+    ts_is_long = dict(spark.read.parquet(directory).dtypes).get("ts") == "bigint"
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.LongType() if ts_is_long else T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("props", T.StringType()),
         ]
     )
-    # streaming watermarks require TimestampType (not NTZ) — the batch
+    # streaming watermarks want TimestampType (not NTZ) — the batch
     # loader's NTZ choice is for timezone-proof collection; streams keep
-    # the zoned type the watermark machinery expects
+    # the zoned type the watermark machinery expects (values agree under
+    # the UTC session conf ensure_engine_confs pins)
     raw = spark.readStream.schema(schema).format("parquet").load(directory)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
