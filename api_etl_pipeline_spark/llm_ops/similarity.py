@@ -749,3 +749,71 @@ def sim08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "adc", "rn")
     )
+
+
+@query("sim09_kmeans_train", oracle=None)  # iterative float means — rows-only
+def sim09_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 3 iterations, L2) over the embeddings — the
+    trainer that produces REAL IVF centroids (sim04/sim05 quantize
+    against deterministic seed vectors; a production index trains them
+    exactly like this). Output: per-cluster member count + inertia.
+
+    Scale shape, per iteration: current centroids fold into the
+    projection as literals (the sim04 codebook-as-literal move), ONE
+    narrow pass assigns every vector, and the new means reduce through
+    posexplode → groupBy(cluster, dim) — a map-side-combined hash agg
+    whose output is k×dims rows (512 here), which collect back to the
+    driver in kilobytes. Iteration count × (1 scan + 1 skinny shuffle);
+    no join, no window, no corpus-sized state on the driver. This is the
+    canonical driver-iterates/executors-scan distributed-ML loop.
+
+    Rows-only: per-cluster float sums are partition-order dependent in
+    the last ulps, so cross-engine hashing is meaningless; the semantics
+    are pinned by tests/test_similarity_fastpath.py::test_sim09 against
+    an independent numpy implementation (exact counts, inertia to 1e-9
+    relative)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding").alias("e"))
+    seed_rows = (
+        e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in sorted(seed_rows, key=lambda r: r["vec_id"])
+    ]
+
+    def best(cs):
+        arr = F.array(*[
+            F.struct(
+                _l2sq(F.col("e"), F.lit(vec)).alias("d2"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, vec in cs
+        ])
+        return F.element_at(F.sort_array(arr), 1)
+
+    for _ in range(3):
+        assigned = v.select("e", best(cents)["cid"].alias("cid"))
+        stats = (
+            assigned.select("cid", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r["cid"], [0.0] * 64)[r["pos"]] = r["s"]
+            counts[r["cid"]] = r["n"]
+        cents = [
+            (cid, [x / counts[cid] for x in sums[cid]] if cid in counts else vec)
+            for cid, vec in cents
+        ]
+
+    final = v.select(best(cents).alias("b")).select(
+        F.col("b")["cid"].alias("cluster_id"), F.col("b")["d2"].alias("d2")
+    )
+    return final.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.sum("d2"), 6).alias("inertia"),
+    )

@@ -646,12 +646,21 @@ def ev12_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_seq")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
     )
+    # explode, not union: a union of two selects over `sess` would compile
+    # and execute the whole sessionize subtree twice (same duplicated-
+    # subtree trap as the old sim05/tx08 shapes); one generator emits both
+    # boundary rows from a single pass
     deltas = sess.select(
-        F.col("s_start").alias("t"), F.lit(1).alias("d"), "user_id", "session_seq"
-    ).unionByName(
-        sess.select(
-            F.col("s_end").alias("t"), F.lit(-1).alias("d"), "user_id", "session_seq"
-        )
+        "user_id",
+        "session_seq",
+        F.explode(
+            F.array(
+                F.struct(F.col("s_start").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("s_end").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("b"),
+    ).select(
+        F.col("b")["t"].alias("t"), F.col("b")["d"].alias("d"), "user_id", "session_seq"
     )
     sweep = Window.orderBy(
         F.col("t"), F.col("d").desc(), F.col("user_id"), F.col("session_seq")

@@ -93,6 +93,7 @@ OPTIONAL = [
     "ev12_peak_concurrency",  # sweep-line boundary running sum
     "sim08_pq_adc_topk",  # PQ asymmetric-distance search over codes
     "stats01_table_profile",  # ANALYZE-style per-column profile
+    "sim09_kmeans_train",  # iterative Lloyd loop (3 driver iterations)
     # qsql09 (recursive CTE) is registered + oracle-checked but NOT
     # benched: Spark executes recursion as O(iterations) sequential
     # driver-planned jobs (~14 s for an 80-month axis) — the scale
