@@ -734,3 +734,45 @@ def x23_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_bucket",
         zorder_key(F.col("cust_bucket"), F.col("day_bucket")).cast("bigint").alias("z_value"),
     )
+
+
+@query(
+    "x24_temporal_matrix",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           last_day(o_orderdate) AS month_end,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+           quarter(o_orderdate)::BIGINT AS qtr,
+           dayofyear(o_orderdate)::BIGINT AS doy,
+           dayofweek(o_orderdate)::BIGINT AS dow,
+           datediff('day', DATE '1995-01-01', o_orderdate)::BIGINT
+               AS days_since_anchor,
+           COUNT(*)::BIGINT AS n_orders
+    FROM orders
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+)
+def x24_temporal_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function matrix (X9 family breadth): month-end, clamped
+    month addition, quarter, day-of-year, day-of-week, anchored day
+    diff — one row per distinct order date. Dialect traps normalized
+    explicitly: Spark's dayofweek is 1-based Sunday vs DuckDB's 0-based
+    (shift by -1); month addition is add_months vs date + INTERVAL (both
+    clamp to month end); every derived date is cast to DATE because the
+    engines disagree on date-arithmetic result types."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.groupBy(
+            d.cast("date").alias("d"),
+            F.last_day(d).alias("month_end"),
+            F.add_months(d, 1).cast("date").alias("next_month"),
+            F.quarter(d).cast("bigint").alias("qtr"),
+            F.dayofyear(d).cast("bigint").alias("doy"),
+            (F.dayofweek(d) - 1).cast("bigint").alias("dow"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).cast("bigint").alias(
+                "days_since_anchor"
+            ),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
