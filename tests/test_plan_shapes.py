@@ -95,11 +95,17 @@ def test_q33_having_filter_broadcasts_joins(spark):
 
 
 def test_sim05_candidate_joins_are_hash_joins(spark):
-    # only the 8-centroid cross joins may be nested-loop; the candidate
-    # expansion and the two vector lookups must be equi hash joins
+    # codebook-as-literal rebuild: cell assignment is pure projection (no
+    # centroid join at all — no nested-loop, no cross join), and the ONLY
+    # join left is the equi hash join expanding probes into candidates;
+    # embeddings + norms ride through it, so no lookup joins either
     p = _plan(spark, "sim05_ivf_probe_topk")
     assert "CartesianProduct" not in p
-    assert p.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    # exactly one join node; formatted explain prints each node twice
+    # (tree + detail), so one BHJ ⇒ two string occurrences
+    assert p.count("BroadcastHashJoin") == 2
 
 
 def test_q41_six_table_join_single_shuffle_join(spark):
