@@ -225,10 +225,10 @@ _QSQL09 = """
                    + CAST(month(MAX(o_orderdate)) AS INT) - 1 AS hi
         FROM orders
     ),
-    months(mi) AS (
-        SELECT lo FROM bounds
+    months(mi, hi) AS (
+        SELECT lo, hi FROM bounds
         UNION ALL
-        SELECT mi + 1 FROM months WHERE mi < (SELECT hi FROM bounds)
+        SELECT mi + 1, hi FROM months WHERE mi < hi
     ),
     actual AS (
         SELECT CAST(year(o_orderdate) AS INT) * 12
@@ -255,6 +255,10 @@ def qsql09_recursive_cte_shared_sql(spark: SparkSession, sf_dir: str) -> DataFra
     Dialect notes: month index is an INT (date+INTERVAL month returns
     different types across engines) and the year split uses
     FLOOR(mi/12.0) because bare int division also diverges (Spark
-    truncates after double-div; DuckDB CAST rounds)."""
+    truncates after double-div; DuckDB CAST rounds). The stop bound
+    rides through the recursion AS A COLUMN rather than a scalar
+    subquery: Spark re-executes subqueries in the recursive arm on
+    EVERY step (a full scan+agg per iteration — measured 8× slower);
+    carrying it as data makes each step a pure local increment."""
     register_views(spark, sf_dir)
     return spark.sql(_QSQL09)
