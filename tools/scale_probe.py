@@ -1,0 +1,116 @@
+"""10× scale probe: replicate the big sf0.1 tables tenfold (distinct key
+spaces per replica so join/group cardinalities scale too), relayout like
+bench.py does, and time a representative query set at 1× vs 10×.
+
+Run: python tools/scale_probe.py            (~a few minutes)
+
+The ratio table this prints is the repo's local evidence that plan
+shapes hold under data growth: a query whose time scales ~linearly (or
+better, while its plan stays identical) is shuffle/scan-bound the way
+the 100 TB design assumes; anything super-linear means a plan shape
+broke (lost broadcast, sort fallback, skew) and needs a look at
+.explain before trusting it at cluster scale.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from api_etl_pipeline_spark.registry import all_queries  # noqa: E402
+from api_etl_pipeline_spark.session import get_spark  # noqa: E402
+from api_etl_pipeline_spark.tables import TABLES, load_table  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+OUT = "/tmp/spark_graft_scale10"
+REPLICAS = 10
+# key columns shifted per replica so cardinalities scale with volume
+KEY_SHIFT = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+BIG = set(KEY_SHIFT)
+QUERIES = [
+    "q01_pricing_summary",
+    "q02_revenue_by_segment",
+    "q18_multiway_join",
+    "w04_running_sum",
+    "q32_waiting_orders",
+    "ev02_gaps_islands",
+    "decon01_ngram_overlap",
+    "shuf01_deterministic_shards",
+    "sim05_ivf_probe_topk",
+    "dd04_minhash_lsh_pairs",
+]
+
+
+def build_10x(spark) -> None:
+    marker = Path(OUT) / "_READY"
+    if marker.exists():
+        return
+    import shutil
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    Path(OUT).mkdir(parents=True)
+    for name in TABLES:
+        df = load_table(spark, SF_DIR, name)
+        if name in BIG:
+            shift = 10_000_000
+            reps = []
+            for i in range(REPLICAS):
+                r = df
+                for col in KEY_SHIFT[name]:
+                    r = r.withColumn(col, F.col(col) + F.lit(i * shift))
+                reps.append(r)
+            out = reps[0]
+            for r in reps[1:]:
+                out = out.unionByName(r)
+            out.repartition(32).write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+        else:
+            df.write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+    marker.write_text("ok")
+
+
+def time_set(spark, sf_dir: str) -> dict[str, float]:
+    specs = all_queries()
+    out: dict[str, float] = {}
+    for name in QUERIES:
+        fn = specs[name].fn
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+        best = None
+        for _ in range(2):
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    import bench
+
+    base_dir, _ = bench.prepare_layout(spark, SF_DIR, 32)
+    build_10x(spark)
+    base = time_set(spark, base_dir)
+    big = time_set(spark, OUT)
+    print(f"{'query':36s} {'1x':>8s} {'10x':>8s} {'ratio':>6s}")
+    for name in QUERIES:
+        r = big[name] / base[name] if base[name] else float("inf")
+        print(f"{name:36s} {base[name]:8.3f} {big[name]:8.3f} {r:6.1f}")
+
+
+if __name__ == "__main__":
+    main()
