@@ -290,3 +290,57 @@ def run_pretrain_export(
         },
         "seconds": round(time.monotonic() - t0, 3),
     }
+
+
+@query(
+    "llm03_dataset_card",
+    oracle="""
+    WITH per AS (
+        SELECT source, lang,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(n_chars)::BIGINT AS total_chars,
+               SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+               MIN(n_chars)::BIGINT AS min_chars,
+               MAX(n_chars)::BIGINT AS max_chars
+        FROM documents
+        GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_chars, total_tokens,
+           min_chars, max_chars,
+           CAST(total_chars AS DOUBLE)
+               / (SELECT SUM(n_chars) FROM documents) AS char_share,
+           CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens_per_doc
+    FROM per
+    """,
+)
+def llm03_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics: per (source, language) document/char/token
+    counts, length extrema, corpus char share, and mean document length —
+    the summary table a training-data release publishes (and the input
+    mix01 rebalances against).
+
+    One hash aggregation over the corpus plus a broadcast single-row
+    total; token counts are integer sums (order-free), the two ratios are
+    single IEEE divisions of exact integers. At 100 TB this is the cheap
+    always-on observability query: it reads two columns and the text
+    length, never materializes tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+    total = d.agg(F.sum("n_chars").alias("corpus_chars"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "min_chars",
+        "max_chars",
+        (F.col("total_chars").cast("double") / F.col("corpus_chars")).alias("char_share"),
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("avg_tokens_per_doc"),
+    )
