@@ -94,11 +94,9 @@ OPTIONAL = [
     "sim08_pq_adc_topk",  # PQ asymmetric-distance search over codes
     "stats01_table_profile",  # ANALYZE-style per-column profile
     "sim09_kmeans_train",  # iterative Lloyd loop (3 driver iterations)
-    # qsql09 (recursive CTE) is registered + oracle-checked but NOT
-    # benched: Spark executes recursion as O(iterations) sequential
-    # driver-planned jobs (~14 s for an 80-month axis) — the scale
-    # answer for axis densification is sequence()/explode (ev05), and
-    # timing the recursive form would only measure scheduler overhead
+    # recursion cost note: the stop bound must ride as a column — a
+    # scalar subquery in the recursive arm re-executes per step (8x)
+    "qsql09_recursive_cte_shared_sql",  # recursive month axis, shared SQL
 ]
 
 
