@@ -240,3 +240,41 @@ def test_aqe_coalesces_small_shuffles(spark):
     assert n_parts < int(spark.conf.get("spark.sql.shuffle.partitions")), (
         f"AQE did not coalesce: {n_parts} partitions"
     )
+
+
+def test_chunk01_has_zero_exchanges(spark):
+    # chunking is pure narrow codegen: no shuffle anywhere in the plan
+    p = _plan(spark, "chunk01_sliding_chunks")
+    assert "Exchange" not in p
+
+
+def test_sim04_assignment_is_scan_project(spark):
+    # codebook-as-literal: no join, no window, no exchange — scan → project
+    p = _plan(spark, "sim04_ivf_assign")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "Window" not in p
+
+
+def test_decon01_benchmark_set_broadcasts(spark):
+    # the benchmark gram set must broadcast (eval sets are tiny vs corpus);
+    # per-doc dedup is row-local array_distinct, so no corpus-wide
+    # distinct aggregation appears before the broadcast join
+    p = _plan(spark, "decon01_ngram_overlap")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mix01_rates_broadcast_back(spark):
+    # per-source keep-rates join map-side; the corpus is never shuffled
+    # for the rebalance itself (only the tiny rate/size aggregations)
+    p = _plan(spark, "mix01_token_budget_mix")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_samp03_plans_take_ordered(spark):
+    # exactly-N sampling must be TakeOrderedAndProject (local heaps),
+    # never a global Sort of the corpus
+    p = _plan(spark, "samp03_fixed_size_sample")
+    assert "TakeOrderedAndProject" in p
