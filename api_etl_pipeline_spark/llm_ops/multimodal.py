@@ -283,3 +283,66 @@ def mm04_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "content").mapInPandas(
         _make_audio_profiler(), schema=AUDIO_SCHEMA
     )
+
+
+@query(
+    "mm05_caption_pairs",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               sha256(text) AS media_sha,
+               octet_length(encode(text))::BIGINT AS media_bytes
+        FROM documents
+    ),
+    captions AS (
+        SELECT doc_id AS cap_id, text AS caption, lang
+        FROM documents WHERE n_chars < 160
+    )
+    SELECT m.doc_id, c.cap_id, m.media_type, m.media_sha, m.media_bytes,
+           c.lang, length(c.caption)::BIGINT AS caption_chars
+    FROM media m
+    JOIN captions c ON c.cap_id = m.doc_id + 1
+    WHERE m.media_type = 'image/png'
+    """,
+)
+def mm05_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-caption pair builder — the contrastive-training (CLIP-style)
+    dataset stage: pair each image asset with its caption text (here the
+    adjacent document standing in for the crawl's alt-text, filtered to
+    caption-length), carrying the media content address so pairs
+    de-duplicate by (media_sha, caption) downstream.
+
+    Oracle-checked end-to-end because the pairing itself is pure
+    relational work over the media metadata — the binary column never
+    needs decoding to build pairs (sha256/length compute engine-side on
+    both engines). Plan: the caption side projects two string columns
+    and equi-joins on the id arithmetic; at 100 TB both sides partition
+    by doc_id so the join co-locates, and the decode stage (mm01) runs
+    AFTER pairing on the surviving rows only — decode-late is the core
+    multimodal cost rule."""
+    m = media_table(spark, sf_dir)
+    media = m.filter(F.col("media_type") == "image/png").select(
+        "doc_id",
+        "media_type",
+        F.col("meta")["sha256"].alias("media_sha"),
+        F.col("meta")["declared_bytes"].alias("media_bytes"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    captions = d.filter(F.col("n_chars") < 160).select(
+        F.col("doc_id").alias("cap_id"), F.col("text").alias("caption"), "lang"
+    )
+    return (
+        media.join(captions, captions.cap_id == media.doc_id + 1)
+        .select(
+            "doc_id",
+            "cap_id",
+            "media_type",
+            "media_sha",
+            "media_bytes",
+            "lang",
+            F.length("caption").cast("bigint").alias("caption_chars"),
+        )
+    )
