@@ -140,12 +140,18 @@ def sim02_lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that scales (bucket = shuffle key = storage partition key)."""
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _dvec("embedding").alias("e")).withColumn("bucket", _bucket(F.col("e")))
+    # alias EVERY join column on the query side: q derives from v, and a
+    # bare `v.bucket == q.bucket` is a same-attribute comparison until
+    # join-dedup rewrites it (Spark warns "trivially true") — renaming
+    # makes the equi-join unambiguous by construction
     q = v.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
     )
     scored = (
         F.broadcast(q)
-        .join(v, (v.bucket == q.bucket) & (v.vec_id != q.query_id))
+        .join(v, (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 _cosine(F.col("qe"), F.col("e")).alias("cosine"))
     )
