@@ -672,3 +672,63 @@ def tx13_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(folded["h"], 6) + F.lit(0.0)).alias("entropy"),
         (folded["nd"].cast("double") / n).alias("ttr"),
     )
+
+
+@query(
+    "tx14_bpe_merge_candidates",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, length(w) - 1),
+                   i -> substr(w, i, 2)
+               )) AS pair
+        FROM words
+        WHERE length(w) >= 2
+    ),
+    counts AS (
+        SELECT pair, COUNT(*)::BIGINT AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, rk FROM (
+        SELECT pair, n,
+               row_number() OVER (ORDER BY n DESC, pair ASC)::BIGINT AS rk
+        FROM counts
+    )
+    WHERE rk <= 20
+    """,
+)
+def tx14_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round: global adjacent-character-pair frequencies
+    over the corpus, top-20 candidates — the inner statistic of tokenizer
+    vocabulary induction (each BPE iteration merges the current most
+    frequent pair; this query is that argmax, generalized to a ranked
+    candidate list).
+
+    Plan: split → explode words → per-word char-pair array (narrow
+    codegen, no Python) → explode → one hash aggregation → global top-20
+    via TakeOrdered-sized window (the counts table is alphabet²-bounded,
+    so the final ordering touches a few thousand rows regardless of
+    corpus size — at 100 TB the only real cost is the map-side-combined
+    pair count, exactly one shuffle of partial counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.col("w")
+    pairs = (
+        d.select(F.explode(_tokens()).alias("w"))
+        .filter(F.length(w) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w) - 1),
+                    lambda i: w.substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    rk = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+    )
