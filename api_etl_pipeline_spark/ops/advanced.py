@@ -396,3 +396,70 @@ def q51_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return direct.join(merged, "o_orderpriority").select(
         "o_orderpriority", "exact_distinct", "hll_direct", "hll_merged"
     )
+
+
+@query(
+    "x25_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT source, quantile_cont(n_chars, 0.5) AS med_chars
+        FROM documents GROUP BY source
+    ),
+    dev AS (
+        SELECT d.source, d.n_chars, m.med_chars,
+               abs(d.n_chars - m.med_chars) AS adev
+        FROM documents d JOIN med m ON d.source = m.source
+    ),
+    mad AS (
+        SELECT source, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY source
+    )
+    SELECT dev.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(dev.med_chars) AS med_chars,
+           MAX(mad.mad) AS mad_chars,
+           CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.source = mad.source
+    GROUP BY dev.source
+    """,
+)
+def x25_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier detection: median absolute deviation of
+    document length, flagging docs beyond 3×MAD — the length-anomaly
+    screen that survives the heavy-tailed distributions where mean±stddev
+    breaks (a handful of giant docs inflate σ until nothing is an
+    outlier; the median pair is immune).
+
+    Interpolated medians are cross-engine exact at binary-exact fractions
+    (the q26 convention), both medians reduce per source (a small-keyed
+    aggregation), and the deviations join back via broadcast. Two passes
+    over the column by necessity — MAD is inherently two-phase (the
+    second median depends on the first)."""
+    d = load_table(spark, sf_dir, "documents")
+    med = d.groupBy(F.col("source").alias("m_source")).agg(
+        F.percentile("n_chars", 0.5).alias("med_chars")
+    )
+    dev = d.join(
+        F.broadcast(med), d.source == F.col("m_source")
+    ).select(
+        "source",
+        "n_chars",
+        "med_chars",
+        F.abs(F.col("n_chars") - F.col("med_chars")).alias("adev"),
+    )
+    mad = dev.groupBy(F.col("source").alias("d_source")).agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), dev.source == F.col("d_source"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("med_chars").alias("med_chars"),
+            F.max("mad").alias("mad_chars"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
