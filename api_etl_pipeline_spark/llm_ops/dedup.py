@@ -140,9 +140,7 @@ def dd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(spark, sf_dir)
 
 
-@query(
-    "dd04_minhash_lsh_pairs",
-    oracle=f"""
+_DUCK_LSH_PAIRS = f"""
     WITH sig AS ({_DUCK_SIGNATURES}),
     bands AS (
         SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
@@ -152,8 +150,10 @@ def dd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
     WHERE a.doc_id < b.doc_id
-    """,
-)
+"""
+
+
+@query("dd04_minhash_lsh_pairs", oracle=_DUCK_LSH_PAIRS)
 def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: 2 bands × 2 rows — docs agreeing on a whole band land
     in the same bucket; the bucket self-join emits candidate pairs only
@@ -380,13 +380,45 @@ def connected_components(
     return labels
 
 
-@query("dd09_dup_clusters", oracle=None)  # iterative — rows-only + pytest union-find
+_DUCK_CLOSURE = """
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, label) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.v
+    ),
+    comp AS (SELECT v AS vertex, MIN(label) AS component FROM reach GROUP BY v)
+"""
+
+
+@query(
+    "dd09_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({{_DUCK_LSH_PAIRS}}),
+    {{_DUCK_CLOSURE}},
+    sizes AS (
+        SELECT component, COUNT(*)::BIGINT AS cluster_size
+        FROM comp GROUP BY component
+    )
+    SELECT c.vertex AS doc_id, c.component AS cluster_keeper, s.cluster_size
+    FROM comp c JOIN sizes s ON c.component = s.component
+    """.format(_DUCK_LSH_PAIRS=_DUCK_LSH_PAIRS, _DUCK_CLOSURE=_DUCK_CLOSURE),
+)
 def dd09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the MinHash-LSH
     candidate pairs (dd04), plus the deterministic keeper (the minimum
-    doc_id IS the component label). Cluster sizes and membership are
-    pinned against a driver-side union-find in pytest — the driver
-    records a rows-only check (iterative ≠ SQL-expressible)."""
+    doc_id IS the component label). The Spark side iterates pointer-
+    jumping in the driver loop (log-depth); the DuckDB oracle reaches the
+    same fixpoint declaratively via WITH RECURSIVE transitive closure
+    (UNION-dedup guarantees termination) — two entirely different
+    algorithms agreeing on every component is the strongest differential
+    check in the dedup family. Cluster membership is additionally pinned
+    against a pytest union-find."""
     pairs = dd04_minhash_lsh_pairs(spark, sf_dir)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
@@ -400,7 +432,32 @@ def dd09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dd10_keep_best_dedup", oracle=None)  # builds on iterative dd09 — rows-only
+@query(
+    "dd10_keep_best_dedup",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({{_DUCK_LSH_PAIRS}}),
+    {{_DUCK_CLOSURE}},
+    quality AS (
+        SELECT doc_id AS vertex,
+               (len(list_distinct(string_split(text, ' ')))
+                / len(string_split(text, ' '))) AS distinct_ratio
+        FROM documents
+    ),
+    ranked AS (
+        SELECT c.component, c.vertex, q.distinct_ratio,
+               row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY q.distinct_ratio DESC, c.vertex ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+        FROM comp c JOIN quality q ON q.vertex = c.vertex
+    )
+    SELECT component AS cluster_id, vertex AS keeper_doc_id,
+           distinct_ratio AS keeper_quality,
+           cluster_size::BIGINT AS cluster_size
+    FROM ranked WHERE rn = 1
+    """.format(_DUCK_LSH_PAIRS=_DUCK_LSH_PAIRS, _DUCK_CLOSURE=_DUCK_CLOSURE),
+)
 def dd10_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup: within each near-dup cluster (dd09) keep the
     document with the highest lexical diversity (tx02's distinct_ratio),
