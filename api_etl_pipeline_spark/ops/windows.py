@@ -319,3 +319,43 @@ def w10_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("seg_bal_dec").over(w).cast("double")
         ).alias("share_of_total"),
     )
+
+
+@query(
+    "w11_rolling_percentile_bands",
+    oracle="""
+    SELECT user_id, event_id,
+           quantile_cont(value, 0.5) OVER w AS roll_p50,
+           quantile_cont(value, 0.75) OVER w AS roll_p75,
+           (value > 2 * quantile_cont(value, 0.5) OVER w) AS spike
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def w11_rolling_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling robust bands: per-user exact interpolated P50/P75 over the
+    trailing 10 events, plus a spike flag against 2× the rolling median —
+    the observability primitive for per-entity anomaly detection (robust
+    to the heavy tails that break rolling mean ± stddev).
+
+    Percentile fractions are binary-exact (0.5, 0.75 — the q26
+    convention) so the interpolation arithmetic is bit-identical across
+    engines even inside a moving frame. One exchange on user_id; the
+    frame is rows-bounded so state per key is O(10)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    p50 = F.percentile("value", 0.5).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        p50.alias("roll_p50"),
+        F.percentile("value", 0.75).over(w).alias("roll_p75"),
+        (F.col("value") > 2 * p50).alias("spike"),
+    )
