@@ -97,3 +97,62 @@ def pack01_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
     return d.groupBy("shard_id").applyInPandas(make_packer(TOKEN_BUDGET), schema=PACK_SCHEMA)
+
+
+@query(
+    "pack02_concat_cut",
+    oracle="""
+    WITH ordered AS (
+        SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               md5(doc_id::VARCHAR) AS ord
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM ordered
+    )
+    SELECT CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           CAST(MIN(cum_tokens - n_tokens) AS BIGINT) AS start_offset
+    FROM cum
+    GROUP BY 1
+    """,
+)
+def pack02_concat_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: documents are laid end-to-end in a
+    deterministic hash order and the stream is cut every 2048 tokens —
+    the packing most pretraining runs actually use (documents may
+    straddle a cut; attention masks handle the seam). Each doc's bin is
+    a pure function of the running-token prefix sum, so unlike pack01's
+    greedy bin-search there is NO per-bin state: one window cumsum and a
+    groupBy.
+
+    The global cumsum is the deliberate single-ordered-pass over doc
+    METADATA (two ints per doc); at 100 TB this runs per training shard
+    (shuf01's partitioning) with a prefix-carry of per-shard totals —
+    same operator, one extra tiny exchange. Every output is exact
+    integer arithmetic — hash-stable by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    ordered = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("ord"),
+    )
+    w = W.orderBy("ord", "doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = ordered.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return (
+        cum.groupBy(F.floor(start / 2048.0).cast("bigint").alias("bin_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.min(start).cast("bigint").alias("start_offset"),
+        )
+    )
