@@ -666,7 +666,12 @@ def ev12_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t"), F.col("d").desc(), F.col("user_id"), F.col("session_seq")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     swept = deltas.withColumn("conc", F.sum("d").over(sweep))
-    return swept.groupBy(F.date_trunc("hour", F.col("t")).alias("hour")).agg(
+    # date_trunc returns a ZONED timestamp even for NTZ input; cast back so
+    # collection is process-timezone-independent (the x05 convention —
+    # verified under TZ=America/New_York)
+    return swept.groupBy(
+        F.date_trunc("hour", F.col("t")).cast("timestamp_ntz").alias("hour")
+    ).agg(
         F.max("conc").cast("bigint").alias("peak_concurrent"),
         F.count("*").alias("n_boundaries"),
     )

@@ -74,6 +74,20 @@ def compare(spark_df, duck_con, oracle_sql: str) -> None:
         f"oracle-checked query returns complex-typed columns {complex_cols}; "
         "serialize them (array_join/to_json) — the driver cannot hash lists"
     )
+    # zoned timestamps collect through the PYTHON PROCESS timezone (not the
+    # pinned UTC session conf), silently shifting values on any non-UTC
+    # host — the ev12 date_trunc bug. Convention: oracle-checked results
+    # carry TIMESTAMP_NTZ or DATE only (cast zoned exprs like date_trunc
+    # back with .cast("timestamp_ntz"), the x05 pattern).
+    from pyspark.sql.types import TimestampType
+
+    zoned = [
+        f.name for f in spark_df.schema.fields if isinstance(f.dataType, TimestampType)
+    ]
+    assert not zoned, (
+        f"oracle-checked query returns ZONED timestamp columns {zoned}; "
+        "cast to timestamp_ntz so collection is process-timezone-independent"
+    )
     duck_types = {
         name: _norm_type(typ, _DUCK_TYPES)
         for name, typ in duck_con.execute(
