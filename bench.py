@@ -97,6 +97,16 @@ OPTIONAL = [
     # recursion cost note: the stop bound must ride as a column — a
     # scalar subquery in the recursive arm re-executes per step (8x)
     "qsql09_recursive_cte_shared_sql",  # recursive month axis, shared SQL
+    # round-3 closing wave
+    "tx14_bpe_merge_candidates",  # char-pair mining, one count shuffle
+    "x25_mad_outliers",  # two-phase robust MAD bands
+    "llm03_dataset_card",  # one-agg corpus observability
+    "mm05_caption_pairs",  # metadata-only multimodal pairing
+    "samp03_fixed_size_sample",  # TakeOrdered exact-N sample
+    "ev11_transition_matrix",  # lead-window Markov cells
+    "dd10_keep_best_dedup",  # CC + quality argmax keepers
+    "w11_rolling_percentile_bands",  # moving exact-percentile frame
+    "pack02_concat_cut",  # cumsum packing over doc metadata
 ]
 
 
