@@ -143,3 +143,30 @@ def test_zorder_compact_preserves_content_and_tiles_space(spark, tmp_path):
     avg_dd = sum(s[1] for s in spans) / len(spans)
     assert avg_ck < full["ck"] * 0.8
     assert avg_dd < full["dd"] * 0.8
+
+
+def test_bench_layout_preserves_tables(spark):
+    """bench.prepare_layout rewrites every table (range-clustered,
+    multi-file); a bug there would silently corrupt every benchmark
+    number. Pin: same row count and same value multiset per table at
+    sf0.001, and the file fan-out matches the sizing formula."""
+    from pathlib import Path
+
+    import bench
+    from api_etl_pipeline_spark.tables import TABLES, load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    bdir, _ = bench.prepare_layout(spark, sf_dir, 8)
+    for name in TABLES:
+        a = load_table(spark, sf_dir, name)
+        b = load_table(spark, bdir, name)
+        assert a.count() == b.count(), name
+        # order-insensitive multiset equality (full-width is fine at sf0.001)
+        assert a.exceptAll(b).count() == 0, name
+        assert b.exceptAll(a).count() == 0, name
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    expected = max(1, min(8, n_docs // bench._ROWS_PER_FILE_BY_TABLE["documents"]))
+    n_files = len(
+        [p for p in Path(f"{bdir}/documents.parquet").glob("part-*") if p.is_file()]
+    )
+    assert n_files == expected, f"documents split {n_files} != {expected}"
