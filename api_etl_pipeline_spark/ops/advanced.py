@@ -258,17 +258,60 @@ def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q27_approx_aggregates", oracle=None)  # approximate by nature: rows-only check
-def q27_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct + t-digest quantiles) — the
-    constant-memory path for 100 TB cardinality/quantile estimation.
-    Sketch values are engine-specific, so no SQL oracle; the pytest
-    bound-check pins them within tolerance of the exact values."""
+def _q27_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw approx + exact aggregates side-by-side (pytest inspects the raw
+    estimates; the registered q27 projects a deterministic view)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.round(F.percentile("l_extendedprice", 0.5), 2).alias("exact_median_price"),
         F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q27_approx_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median_price,
+           CAST(1 AS BIGINT) AS approx_parts_ok,
+           CAST(1 AS BIGINT) AS approx_median_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q27_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct + quantile sketch) — the
+    constant-memory path for 100 TB cardinality/quantile estimation.
+
+    Sketch estimates are engine-specific, so the raw values cannot
+    hash-match a DuckDB oracle. Instead the tolerance assertion rides IN
+    the driver-visible result: alongside the exact columns (which the
+    oracle recomputes), `approx_parts_ok` / `approx_median_ok` are 1 iff
+    the Spark-side estimate lands within the sketch's error envelope of
+    the exact value (HLL rsd=0.02 → 3-sigma 6%; percentile_approx
+    accuracy=1000 → 2% value tolerance is generous). The oracle asserts
+    the flags are 1, so an out-of-envelope sketch turns the row red.
+    Raw estimates remain inspectable via `_q27_estimates` (pytest)."""
+    est = _q27_estimates(spark, sf_dir)
+    parts_bound = F.greatest(F.lit(3.0), 0.06 * F.col("exact_parts"))
+    return est.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        "exact_median_price",
+        (F.abs(F.col("approx_parts") - F.col("exact_parts")) <= parts_bound)
+        .cast("bigint")
+        .alias("approx_parts_ok"),
+        (
+            F.abs(F.col("approx_median_price") - F.col("exact_median_price"))
+            <= 0.02 * F.col("exact_median_price")
+        )
+        .cast("bigint")
+        .alias("approx_median_ok"),
     )
 
 
@@ -366,22 +409,9 @@ def q28_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q51_hll_mergeable_distinct", oracle=None)  # sketch estimates: rows-only
-def q51_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches (Apache DataSketches HLL via
-    hll_sketch_agg): per-priority customer cardinality computed BOTH ways
-    — directly, and by building per-month sketches and hll_union_agg-ing
-    them — plus the exact count. The union path is NOT bit-identical to
-    the single-pass sketch (DataSketches unions operate in a coarser
-    target mode), so the pinned contract is bounded error: both sketch
-    paths land within the HLL error envelope of the exact count
-    (tests/test_properties.py).
-
-    This is THE scale pattern for distinct counts: exact count_distinct
-    shuffles every distinct key; sketches make the shuffle O(sketch size)
-    per group and let a 100 TB rollup be maintained incrementally —
-    yesterday's sketches merge with today's partition instead of
-    re-scanning (the approximate twin of ing20's exact merge)."""
+def _q51_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL estimates + exact count (pytest asserts the error bound on
+    the raw values; the registered q51 projects a deterministic view)."""
     o = load_table(spark, sf_dir, "orders")
     direct = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("hll_direct"),
@@ -395,6 +425,50 @@ def q51_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return direct.join(merged, "o_orderpriority").select(
         "o_orderpriority", "exact_distinct", "hll_direct", "hll_merged"
+    )
+
+
+@query(
+    "q51_hll_mergeable_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           CAST(1 AS BIGINT) AS hll_direct_ok,
+           CAST(1 AS BIGINT) AS hll_merged_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q51_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg): per-priority customer cardinality computed BOTH ways
+    — directly, and by building per-month sketches and hll_union_agg-ing
+    them — plus the exact count. The union path is NOT bit-identical to
+    the single-pass sketch (DataSketches unions operate in a coarser
+    target mode), so the pinned contract is bounded error, not identity.
+
+    The driver-visible result carries the exact count (oracle-recomputed)
+    plus `hll_direct_ok` / `hll_merged_ok`: 1 iff the sketch estimate is
+    within max(3, 5%) of the exact count — the same envelope
+    tests/test_properties.py asserts on the raw estimates
+    (`_q51_estimates`). The oracle pins the flags at 1, so an
+    out-of-envelope sketch fails the hash match.
+
+    This is THE scale pattern for distinct counts: exact count_distinct
+    shuffles every distinct key; sketches make the shuffle O(sketch size)
+    per group and let a 100 TB rollup be maintained incrementally —
+    yesterday's sketches merge with today's partition instead of
+    re-scanning (the approximate twin of ing20's exact merge)."""
+    est = _q51_estimates(spark, sf_dir)
+    bound = F.greatest(F.lit(3.0), 0.05 * F.col("exact_distinct"))
+    return est.select(
+        "o_orderpriority",
+        "exact_distinct",
+        (F.abs(F.col("hll_direct") - F.col("exact_distinct")) <= bound)
+        .cast("bigint")
+        .alias("hll_direct_ok"),
+        (F.abs(F.col("hll_merged") - F.col("exact_distinct")) <= bound)
+        .cast("bigint")
+        .alias("hll_merged_ok"),
     )
 
 

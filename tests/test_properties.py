@@ -234,10 +234,10 @@ def test_hll_merge_law_and_error_bound(spark):
     to single-pass sketching in DataSketches HLL (the union operates in a
     coarser target mode), so exact estimate equality is deliberately not
     asserted — the mergeability contract is bounded error, not identity."""
-    from api_etl_pipeline_spark.ops.advanced import q51_hll_mergeable_distinct
+    from api_etl_pipeline_spark.ops.advanced import _q51_estimates
     from tests.conftest import SF_DIR
 
-    rows = q51_hll_mergeable_distinct(spark, SF_DIR).collect()
+    rows = _q51_estimates(spark, SF_DIR).collect()
     assert rows
     for r in rows:
         bound = max(3, 0.05 * r["exact_distinct"])
