@@ -276,19 +276,39 @@ def tx08_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight is ONE IEEE division of exact integers (tf·N < 2^53), so the
     doubles are bit-identical across engines; ties break on term asc.
 
-    Plan shape: explode → two hash aggregations → broadcast join of the
-    tiny df table → per-doc window. At 100 TB the df table is vocabulary-
-    sized (fits broadcast); the only big shuffles are the (doc,term)
-    aggregation and the per-doc window, both keyed compatibly on doc_id.
-    (A COUNT(*) OVER (PARTITION BY term) formulation was measured and
-    rejected: the window's per-term sort costs more than the second hash
-    aggregation it replaces — hash-agg beats sort, same lesson as the
-    MinHash string-MIN regression.)
+    Plan shape (3 shuffle exchanges, round-4 rewrite from 5):
+
+    - tf: exploded tokens are hash-partitioned ONCE on `doc_id`; that
+      exchange satisfies BOTH the (doc_id, term) tf aggregation
+      (HashPartitioning(doc_id) clusters any superset containing doc_id)
+      AND the final per-doc argmax — so the argmax costs ZERO extra
+      exchange. doc_id is uniform high-cardinality → skew-free (keying
+      this shuffle on `term` was measured and rejected: stopword skew).
+    - df: a SEPARATE branch explodes array_distinct(tokens) and counts
+      per term. Because doc_id is not in the grouping key, map-side
+      partial aggregation collapses the shuffle to ~vocabulary ×
+      partitions rows — the df shuffle is vocab-bounded, not
+      token-bounded (deriving df from the tf relation, as before, ships
+      every distinct (doc, term) pair). The df table is
+      vocabulary-sized → broadcast.
+    - argmax: the old per-doc row_number window (exchange + full sort)
+      is a min-of-struct hash aggregation on the already-doc_id-
+      partitioned rows — no exchange, no sort; the argmax pattern that
+      survives 100 TB.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
-    tfc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfc = tfc.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tfc = (
+        toks.repartition(shuffle_n, "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = (
+        d.select(F.explode(F.array_distinct(_tokens())).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
     ndocs = d.agg(F.count("*").alias("n_docs"))
     scored = (
         tfc.join(F.broadcast(dfc), "term")
@@ -304,11 +324,20 @@ def tx08_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), "top_term")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    best = scored.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct("top_term", "tf", "df", "weight"),
+            # ordering key is unique per doc (term is unique within a
+            # doc), so min_by is deterministic: max weight, tie term asc
+            F.struct((-F.col("weight")).alias("negw"), F.col("top_term")),
+        ).alias("b")
+    )
+    return best.select(
+        "doc_id",
+        F.col("b.top_term").alias("top_term"),
+        F.col("b.tf").alias("tf"),
+        F.col("b.df").alias("df"),
+        F.col("b.weight").alias("weight"),
     )
 
 
