@@ -130,3 +130,40 @@ def test_stats01_profile_matches_direct_aggregates(spark):
     ).collect()[0]
     assert prof["l_suppkey"]["n_rows"] == direct["n"]
     assert prof["l_suppkey"]["ndv"] == direct["ndv"]
+
+
+def test_hashed_ngrams_agree_with_string_ngrams(spark):
+    """_hashed_word_ngrams is the membership-only twin of _word_ngrams
+    (the 100 TB flip for decon01 when the benchmark gram broadcast grows):
+    per doc it must yield the same distinct-gram COUNT, and two docs'
+    fingerprint sets must intersect exactly where their string-gram sets
+    do (no collisions across a real corpus slice)."""
+    from api_etl_pipeline_spark.llm_ops.curation import (
+        _hashed_word_ngrams,
+        _word_ngrams,
+    )
+    from api_etl_pipeline_spark.tables import load_table
+
+    d = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(200)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.array_distinct(_word_ngrams(F.col("w"), 3)).alias("sg"),
+            F.array_distinct(_hashed_word_ngrams(F.col("w"), 3)).alias("hg"),
+        )
+    )
+    mismatch = d.filter(F.size("sg") != F.size("hg"))
+    assert mismatch.count() == 0
+    pairs = (
+        d.alias("a")
+        .crossJoin(d.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.size(F.array_intersect("a.sg", "b.sg")).alias("s_overlap"),
+            F.size(F.array_intersect("a.hg", "b.hg")).alias("h_overlap"),
+        )
+        .filter(F.col("s_overlap") != F.col("h_overlap"))
+    )
+    assert pairs.count() == 0
