@@ -27,22 +27,43 @@ from pyspark.sql import DataFrame
 
 OUTPUT_SCHEMA = "user_id bigint, dominant_type string, dominant_count bigint, n_types bigint"
 
-try:  # transformWithState API — Spark 4.x only; gate for older runtimes.
-    # The state-server protocol also needs the python protobuf package
-    # (pyspark.sql.streaming.proto) which is an optional dependency — when
-    # absent the TWS driver worker crashes at startup, so treat it as part
-    # of the availability check rather than failing mid-query.
-    import google.protobuf  # noqa: F401
+def _tws_unavailable_reason() -> str | None:
+    """Why transformWithStateInPandas cannot run here, or None if it can.
+
+    Two independent prerequisites, checked separately so the skip reason
+    names the actual blocker:
+    - Spark 4.x (the API does not exist on 3.x);
+    - the python `protobuf` package — an OPTIONAL pyspark dependency that
+      the TWS state-server protocol (pyspark.sql.streaming.proto.
+      StateMessage_pb2) imports at worker startup; without it the worker
+      crashes mid-query, so treat it as an availability gate.
+    """
+    import pyspark
+
+    if int(pyspark.__version__.split(".", 1)[0]) < 4:
+        return f"transformWithStateInPandas requires Spark 4.x (runtime is {pyspark.__version__})"
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return (
+            f"Spark {pyspark.__version__} has the TWS API, but the python "
+            "'protobuf' package (optional pyspark dependency used by the "
+            "TWS state-server protocol) is not installed"
+        )
+    return None
+
+
+TWS_UNAVAILABLE_REASON = _tws_unavailable_reason()
+HAVE_TWS = TWS_UNAVAILABLE_REASON is None
+
+try:
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
-
-    HAVE_TWS = True
-except ImportError:  # pragma: no cover - env-dependent
+except ImportError:  # pragma: no cover - Spark 3.x
     StatefulProcessor = object  # type: ignore[assignment,misc]
     StatefulProcessorHandle = object  # type: ignore[assignment,misc]
-    HAVE_TWS = False
 
 
 class DominantTypeProcessor(StatefulProcessor):
@@ -90,7 +111,7 @@ def dominant_event_type(events: DataFrame) -> DataFrame:
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     """
     if not HAVE_TWS:  # pragma: no cover
-        raise NotImplementedError("transformWithStateInPandas requires Spark 4.x")
+        raise NotImplementedError(TWS_UNAVAILABLE_REASON)
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=DominantTypeProcessor(),
         outputStructType=OUTPUT_SCHEMA,

@@ -14,7 +14,10 @@ from tests.test_streaming import _events_stream
 
 pytestmark = pytest.mark.skipif(
     not transform_state.HAVE_TWS,
-    reason="transformWithState requires Spark 4.x + python protobuf",
+    # names the ACTUAL blocker for this runtime (Spark major version vs
+    # the optional python protobuf dependency of the state-server
+    # protocol) so a green-but-skipped CI run is self-explanatory
+    reason=str(transform_state.TWS_UNAVAILABLE_REASON),
 )
 
 _ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
