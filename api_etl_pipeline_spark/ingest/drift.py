@@ -44,6 +44,17 @@ def _walk(expected: T.DataType, observed: T.DataType, path: str, out: list) -> N
         _walk(expected.elementType, observed.elementType, f"{path}[]", out)
         return
     if isinstance(expected, T.MapType) and isinstance(observed, T.MapType):
+        # key type changes are drift too (map<string,_> -> map<bigint,_>
+        # must not report clean); keys are leaf-typed so compare direct
+        if expected.keyType.simpleString() != observed.keyType.simpleString():
+            out.append(
+                (
+                    f"{path}{{key}}",
+                    "type_changed",
+                    expected.keyType.simpleString(),
+                    observed.keyType.simpleString(),
+                )
+            )
         _walk(expected.valueType, observed.valueType, f"{path}{{}}", out)
         return
     if expected.simpleString() != observed.simpleString():

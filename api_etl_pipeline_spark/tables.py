@@ -75,19 +75,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# directory -> whether ts surfaced as bigint; the probe reads parquet
+# footers, so repeated stream constructions over the same directory
+# (st06/st07 build two streams each) shouldn't re-list and re-read them.
+# Keyed by path only: a directory's files are append-only within a test
+# run and a testdata generation never flips precision in place.
+_EVENTS_TS_PROBE_CACHE: dict[str, bool] = {}
+
+
+def _events_ts_is_long(spark: SparkSession, directory: str) -> bool:
+    if directory not in _EVENTS_TS_PROBE_CACHE:
+        try:
+            dtypes = dict(spark.read.parquet(directory).dtypes)
+        except Exception:
+            # empty staging directory: no footers to infer from. Fall
+            # back to the CURRENT testdata generation (TIMESTAMP_MICROS,
+            # i.e. not bigint) so callers can build the stream before the
+            # first file lands — the pre-probe behavior. Don't cache:
+            # once files arrive the probe should see them.
+            return False
+        _EVENTS_TS_PROBE_CACHE[directory] = dtypes.get("ts") == "bigint"
+    return _EVENTS_TS_PROBE_CACHE[directory]
+
+
 def load_events_stream(spark: SparkSession, directory: str) -> DataFrame:
     """Streaming twin of load_table('events'). The file stream source
     needs an explicit schema, and the events timestamp has shipped as
     both TIMESTAMP(NANOS) (rounds 1-2 testdata: surfaces as INT64 under
     nanosAsLong, needs a µs rebuild) and TIMESTAMP(MICROS) (current
-    testdata: reads natively) — so probe the directory with a one-file
-    batch read and build the matching stream schema instead of wiring in
-    either generation's layout."""
+    testdata: reads natively) — so probe the directory with a batch read
+    and build the matching stream schema instead of wiring in either
+    generation's layout. The probe is cached per directory and an EMPTY
+    directory falls back to the current-generation schema (stream can be
+    constructed before any file arrives)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     ensure_engine_confs(spark)
-    ts_is_long = dict(spark.read.parquet(directory).dtypes).get("ts") == "bigint"
+    ts_is_long = _events_ts_is_long(spark, directory)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),

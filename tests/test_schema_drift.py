@@ -70,3 +70,20 @@ def test_real_provider_contract_detects_envelope_variant(spark):
         for r in schema_drift(spark, contract, variant).collect()
     }
     assert ("results", "removed") in kinds and ("documents", "added") in kinds
+
+
+def test_map_key_type_change_is_drift(spark):
+    """A map KEY type change must not report clean (round-4 advice fix):
+    map<string,string> -> map<bigint,string> drifts at path 'h{key}'."""
+    expected = _s(("h", T.MapType(T.StringType(), T.StringType())))
+    observed = _s(("h", T.MapType(T.LongType(), T.StringType())))
+    rows = {
+        (r["path"], r["kind"], r["expected_type"], r["observed_type"])
+        for r in schema_drift(spark, expected, observed).collect()
+    }
+    assert rows == {("h{key}", "type_changed", "string", "bigint")}
+
+    # key AND value change -> both paths reported
+    observed2 = _s(("h", T.MapType(T.LongType(), T.BooleanType())))
+    rows2 = {(r["path"], r["kind"]) for r in schema_drift(spark, expected, observed2).collect()}
+    assert rows2 == {("h{key}", "type_changed"), ("h{}", "type_changed")}

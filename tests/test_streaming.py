@@ -252,3 +252,34 @@ def test_watermark_drops_late_rows_and_accounts_them(spark, qname, tmp_path):
     # the fresh window finalized with only the on-time events
     assert rows.get(t0 + dt.timedelta(minutes=60)) == 2
     assert dropped >= 1
+
+
+def test_events_stream_constructible_on_empty_directory(spark, tmp_path):
+    """An empty staging directory must not break stream construction
+    (round-4 advice fix): the probe falls back to the current-generation
+    MICROS schema, and once files arrive the stream reads them."""
+    from api_etl_pipeline_spark.tables import load_events_stream, load_table
+    from tests.conftest import SF_SMOKE
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    stream = load_events_stream(spark, str(staging))  # must not raise
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+    load_table(spark, SF_SMOKE, "events").limit(7).write.mode("append").parquet(
+        str(staging)
+    )
+    import uuid
+
+    qname = "t" + uuid.uuid4().hex[:10]
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql(f"SELECT * FROM {qname}").count() == 7
+    finally:
+        q.stop()
