@@ -186,6 +186,52 @@ def http_source(plan_df, transport_factory: Callable[[], Transport], **kwargs):
     return plan_df.mapInPandas(run, schema=ATTEMPT_SCHEMA)
 
 
+def live_transport_factory(timeout: float = 30.0) -> Callable[[], Transport]:
+    """OPTIONAL real-network transport for http_source — the runnable
+    counterpart of the reference's live httpx client
+    (http_client.py:121-216,218-313). Never used by tests or the driver
+    (both inject deterministic fakes); construction is gated behind
+    SPARK_GRAFT_LIVE_HTTP=1 so offline runs cannot reach the network by
+    accident. Prefers httpx (connection pooling, the reference's
+    library); falls back to stdlib urllib so the adapter works on images
+    without httpx. Non-2xx statuses are RETURNED, not raised — status
+    classification (retry/quarantine) is fetch_items' job."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_LIVE_HTTP") != "1":
+        raise RuntimeError(
+            "live HTTP transport is disabled; set SPARK_GRAFT_LIVE_HTTP=1 "
+            "to allow real network access"
+        )
+
+    def factory() -> Transport:
+        try:
+            import httpx
+
+            client = httpx.Client(timeout=timeout, follow_redirects=True)
+
+            def transport(method: str, url: str, headers: dict):
+                r = client.request(method, url, headers=headers or {})
+                return r.status_code, dict(r.headers), r.content
+
+            return transport
+        except ImportError:
+            import urllib.error
+            import urllib.request
+
+            def transport(method: str, url: str, headers: dict):
+                req = urllib.request.Request(url, headers=headers or {}, method=method)
+                try:
+                    with urllib.request.urlopen(req, timeout=timeout) as resp:
+                        return resp.status, dict(resp.headers), resp.read()
+                except urllib.error.HTTPError as e:  # non-2xx: classify, don't raise
+                    return e.code, dict(e.headers or {}), e.read() or b""
+
+            return transport
+
+    return factory
+
+
 def responses_from_attempts(attempts):
     """Derive the responses table (successful capture grain) from the
     attempts log — the reference's CapturedResponse is exactly the

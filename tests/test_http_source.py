@@ -162,3 +162,35 @@ def test_distributed_http_source(spark):
     assert len(rows) == 16 + 4 * 3
     assert len(ok) == 16
     assert {bytes(r.body).decode() for r in ok} == {f"body-{i}" for i in range(20) if i % 5}
+
+
+def test_live_transport_is_env_gated(monkeypatch):
+    """The real-network adapter must refuse to construct unless
+    SPARK_GRAFT_LIVE_HTTP=1 — offline CI can never reach the network by
+    accident."""
+    import pytest
+
+    from api_etl_pipeline_spark.ingest.http_source import live_transport_factory
+
+    monkeypatch.delenv("SPARK_GRAFT_LIVE_HTTP", raising=False)
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_LIVE_HTTP"):
+        live_transport_factory()
+
+
+def test_live_transport_round_trip_when_network_allowed(monkeypatch):
+    """Exercises the adapter for real — skipped wherever the network (or
+    the env opt-in) is absent, which includes this offline container."""
+    import socket
+
+    import pytest
+
+    from api_etl_pipeline_spark.ingest.http_source import live_transport_factory
+
+    monkeypatch.setenv("SPARK_GRAFT_LIVE_HTTP", "1")
+    try:
+        socket.create_connection(("example.com", 443), timeout=2).close()
+    except OSError:
+        pytest.skip("no outbound network in this environment")
+    transport = live_transport_factory(timeout=10.0)()
+    status, headers, body = transport("GET", "https://example.com/", {})
+    assert status == 200 and len(body) > 0
