@@ -60,6 +60,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_engine_confs(spark)
+    if sf_dir.startswith("catalog:"):
+        # catalog-registered tables (e.g. the bucketed layouts the scale
+        # probe materializes): "catalog:<prefix>" resolves <prefix><name>
+        # through the metastore, which is how bucket metadata reaches the
+        # planner — a plain parquet path read cannot carry it. Every
+        # query fn works unchanged against either scheme.
+        return spark.table(f"{sf_dir.removeprefix('catalog:')}{name}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # parquet TIMESTAMP(NANOS) read via nanosAsLong: truncate ns → µs

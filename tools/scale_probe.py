@@ -81,10 +81,36 @@ def build_10x(spark) -> None:
     marker.write_text("ok")
 
 
-def time_set(spark, sf_dir: str) -> dict[str, float]:
+# fact-fact queries whose 10x growth was shuffle-dominated (~9-11x in
+# the round-3 probe): re-run against a bucketed layout where both fact
+# tables are bucketed+sorted on the join key, so the lineitem-orders
+# edge plans with no exchange (tests/test_bucketing.py pins the shape).
+BUCKET_PREFIX = "b10x_"
+BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+BUCKETS = 32
+BUCKETED_QUERIES = ["q02_revenue_by_segment", "q18_multiway_join", "w04_running_sum"]
+
+
+def build_bucketed(spark) -> None:
+    """Register the 10x tables in the metastore, fact tables bucketed on
+    the join key. w04 is included as the honest control: its window
+    partitions on l_suppkey, orthogonal to the bucket key, so bucketing
+    must NOT help it — one physical sort order serves one key family."""
+    if spark.catalog.tableExists(f"{BUCKET_PREFIX}lineitem"):
+        return
+    for name in TABLES:
+        df = spark.read.parquet(f"{OUT}/{name}.parquet")
+        writer = df.write.mode("overwrite").format("parquet")
+        key = BUCKET_KEYS.get(name)
+        if key is not None:
+            writer = writer.bucketBy(BUCKETS, key).sortBy(key)
+        writer.saveAsTable(f"{BUCKET_PREFIX}{name}")
+
+
+def time_set(spark, sf_dir: str, queries=None) -> dict[str, float]:
     specs = all_queries()
     out: dict[str, float] = {}
-    for name in QUERIES:
+    for name in queries or QUERIES:
         fn = specs[name].fn
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
         best = None
@@ -104,12 +130,18 @@ def main() -> None:
 
     base_dir, _ = bench.prepare_layout(spark, SF_DIR, 32)
     build_10x(spark)
+    build_bucketed(spark)
     base = time_set(spark, base_dir)
     big = time_set(spark, OUT)
-    print(f"{'query':36s} {'1x':>8s} {'10x':>8s} {'ratio':>6s}")
+    bucketed = time_set(spark, f"catalog:{BUCKET_PREFIX}", BUCKETED_QUERIES)
+    print(f"{'query':36s} {'1x':>8s} {'10x':>8s} {'ratio':>6s} {'10x-bkt':>8s} {'b-ratio':>7s}")
     for name in QUERIES:
         r = big[name] / base[name] if base[name] else float("inf")
-        print(f"{name:36s} {base[name]:8.3f} {big[name]:8.3f} {r:6.1f}")
+        line = f"{name:36s} {base[name]:8.3f} {big[name]:8.3f} {r:6.1f}"
+        if name in bucketed:
+            br = bucketed[name] / base[name] if base[name] else float("inf")
+            line += f" {bucketed[name]:8.3f} {br:7.1f}"
+        print(line)
 
 
 if __name__ == "__main__":
