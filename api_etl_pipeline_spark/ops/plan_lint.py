@@ -76,6 +76,11 @@ ALLOWED: dict[tuple[str, str], str] = {
         "dropDuplicates keeps wide string first() buffers (not hash-mutable); "
         "single spillable sort shuffle on the dedup key"
     ),
+    ("tx08_tfidf_top_term", "SortAggregate"): (
+        "per-doc argmax is min_by over a struct (buffer not hash-mutable); "
+        "the sort rides the existing doc_id partitioning — replaced the "
+        "round-3 Window+row_number exchange, net one fewer shuffle"
+    ),
     ("ing18_bloom_dedup_insert", "SortAggregate"): (
         "same dropDuplicates batch-dedup as ing01 upstream of the bloom probe"
     ),
