@@ -51,6 +51,7 @@ QUERIES = [
     "shuf01_deterministic_shards",
     "sim05_ivf_probe_topk",
     "dd04_minhash_lsh_pairs",
+    "tx08_tfidf_top_term",  # round-4 3-exchange rewrite: verify it scales
 ]
 
 
@@ -98,13 +99,39 @@ def build_bucketed(spark) -> None:
     must NOT help it — one physical sort order serves one key family."""
     if spark.catalog.tableExists(f"{BUCKET_PREFIX}lineitem"):
         return
+    # the default catalog is in-memory and per-process while the
+    # warehouse files persist: if a previous probe already wrote the
+    # bucketed layout, re-REGISTER it as external bucketed tables (DDL,
+    # instant) instead of rewriting ~600 MB right before timing.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    marker = Path(warehouse) / f"{BUCKET_PREFIX}_READY"
+    if marker.exists():
+        for name in TABLES:
+            loc = f"{warehouse}/{BUCKET_PREFIX}{name}"
+            ddl = spark.read.parquet(loc).schema.toDDL()
+            key = BUCKET_KEYS.get(name)
+            clustered = (
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {BUCKETS} BUCKETS "
+                if key
+                else ""
+            )
+            spark.sql(
+                f"CREATE TABLE {BUCKET_PREFIX}{name} ({ddl}) USING parquet "
+                f"{clustered}LOCATION '{loc}'"
+            )
+        return
     for name in TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {BUCKET_PREFIX}{name}")
+        shutil.rmtree(f"{warehouse}/{BUCKET_PREFIX}{name}", ignore_errors=True)
         df = spark.read.parquet(f"{OUT}/{name}.parquet")
         writer = df.write.mode("overwrite").format("parquet")
         key = BUCKET_KEYS.get(name)
         if key is not None:
             writer = writer.bucketBy(BUCKETS, key).sortBy(key)
         writer.saveAsTable(f"{BUCKET_PREFIX}{name}")
+    marker.write_text("ok")
 
 
 def time_set(spark, sf_dir: str, queries=None) -> dict[str, float]:
