@@ -490,3 +490,93 @@ def dd10_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+WINNOW_K = 5  # tokens per k-gram (the exact-match granule)
+WINNOW_W = 8  # winnow window in k-grams; guarantee = K + W - 1 = 12 tokens
+
+
+@query(
+    "dd11_repeated_substrings",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    kh AS (
+        SELECT doc_id, i,
+               ('0x' || substr(md5(array_to_string(
+                    list_slice(w, i, i + {WINNOW_K - 1}), ' ')), 1, 8))::BIGINT AS h
+        FROM toks, UNNEST(generate_series(1, len(w) - {WINNOW_K - 1})) AS t(i)
+    ),
+    sel AS (
+        SELECT doc_id, i,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS nh
+        FROM kh
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM sel WHERE i <= nh - {WINNOW_W - 1}),
+    rep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 1)
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT)    AS n_fingerprints,
+           CAST(COUNT(r.fp) AS BIGINT) AS n_repeated,
+           CAST(COUNT(r.fp) AS DOUBLE) / COUNT(*) AS repeat_frac
+    FROM fps f LEFT JOIN rep r USING (fp)
+    GROUP BY f.doc_id
+    """,
+)
+def dd11_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal via WINNOWING (the MOSS fingerprint
+    algorithm; ExactSubstr's scalable cousin): hash every 5-token k-gram,
+    keep the minimum hash of each sliding window of 8 k-grams, and a
+    document's fingerprint set is the distinct selected minima. Any
+    exact run of ≥ K+W-1 = 12 tokens shared between two documents — AT
+    ANY OFFSET, which fixed-stride window hashing misses — is guaranteed
+    to contribute a shared fingerprint. Each doc reports its
+    cross-document repeated-fingerprint fraction: the boilerplate /
+    templated-content score used to trim or drop. (Within-doc
+    self-repetition is tx11's job; fingerprints are per-doc distinct.)
+
+    Scale shape: k-gram hashes and window minima are narrow per-row
+    array ops over MATERIALIZED columns (tokens, then the hash array —
+    the _shingles lesson: a transform lambda re-evaluates captured
+    expressions per element, so each stage is projected before the next
+    consumes it). One shuffle on the fingerprint (per-doc-distinct
+    before explode bounds it at ~n_tokens/W rows per doc), then the
+    repeated-fp set — proportional to the corpus DUPLICATION RATE, not
+    the corpus — joins back; the per-doc rollup partial-aggregates to
+    ~one row per doc per partition. The int32 hash granule reuses dd03's
+    md5-slice idiom (bit-identical in DuckDB via '0x'||substr)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    w = F.col("w")
+    kidx = F.when(
+        F.size(w) >= WINNOW_K,
+        F.sequence(F.lit(1), F.size(w) - (WINNOW_K - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    kgram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws(" ", F.slice(w, i, WINNOW_K)).cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = d.select("doc_id", F.transform(kidx, kgram_hash).alias("kh"))
+    kh = F.col("kh")
+    widx = F.when(
+        F.size(kh) >= WINNOW_W,
+        F.sequence(F.lit(1), F.size(kh) - (WINNOW_W - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    minima = F.transform(widx, lambda j: F.array_min(F.slice(kh, j, WINNOW_W)))
+    fps = hashed.select(
+        "doc_id", F.explode(F.array_distinct(minima)).alias("fp")
+    )
+    rep = fps.groupBy("fp").agg(F.count("*").alias("n_docs")).filter(
+        F.col("n_docs") > 1
+    )
+    return (
+        fps.join(rep.select("fp", F.lit(1).alias("hit")), "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.count("hit").alias("n_repeated"),
+            (F.count("hit").cast("double") / F.count("*")).alias("repeat_frac"),
+        )
+    )

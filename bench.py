@@ -107,6 +107,8 @@ OPTIONAL = [
     "dd10_keep_best_dedup",  # CC + quality argmax keepers
     "w11_rolling_percentile_bands",  # moving exact-percentile frame
     "pack02_concat_cut",  # cumsum packing over doc metadata
+    # round 4
+    "dd11_repeated_substrings",  # winnowed exact-substring repeats
 ]
 
 

@@ -86,3 +86,34 @@ def test_dd10_keeper_is_cluster_quality_argmax(spark):
     for root, (_, keeper) in want.items():
         assert got[root][0] == keeper, (root, got[root], keeper)
         assert got[root][1] == sizes[root]
+
+
+def test_dd11_detects_injected_repeated_span(spark, tmp_path):
+    """Two documents sharing an exact 25-token span at DIFFERENT offsets
+    must both report repeated fingerprints (winnowing's alignment
+    guarantee: any shared run >= K+W-1 = 12 tokens fingerprints
+    identically regardless of position — a fixed-stride window hasher
+    fails exactly this case); a document of unique tokens must report
+    zero. Constructed ground truth, independent of the synthetic
+    corpus's organic repeats."""
+    from api_etl_pipeline_spark.registry import all_queries
+
+    span = " ".join(f"shared{i}" for i in range(25))
+    docs = [
+        (1, "intro one " + span + " tail one"),  # span at offset 3
+        (2, "different opening words here " + span),  # span at offset 5
+        (3, " ".join(f"unique{i}" for i in range(40))),
+        (4, "short doc"),  # < 12 tokens: no fingerprints at all
+    ]
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.doc_id: r
+        for r in all_queries()["dd11_repeated_substrings"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1].n_repeated > 0 and out[2].n_repeated > 0
+    assert out[3].n_repeated == 0 and out[3].n_fingerprints > 0
+    assert 4 not in out  # sub-threshold doc drops out on both engines
