@@ -761,3 +761,70 @@ def tx14_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(rk).cast("bigint"))
         .filter(F.col("rk") <= 20)
     )
+
+
+RARE_DF_THRESHOLD = 2  # a term in <= 2 documents is "rare" for this corpus
+
+
+@query(
+    "tx15_rare_term_ratio",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dfc AS (
+        SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
+        FROM toks GROUP BY term
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN d.df <= {RARE_DF_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           CAST(COUNT(DISTINCT CASE WHEN d.df <= {RARE_DF_THRESHOLD}
+                                    THEN t.term END) AS BIGINT) AS n_rare_terms,
+           CAST(SUM(CASE WHEN d.df <= {RARE_DF_THRESHOLD} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS rare_ratio
+    FROM toks t JOIN dfc d ON t.term = d.term
+    GROUP BY t.doc_id
+    """,
+)
+def tx15_rare_term_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative rarity score (the OOV/noise quality signal, CCNet
+    lineage): the fraction of a document's tokens whose corpus-wide
+    document frequency is ≤ 2. High ratio flags garbled text, IDs and
+    boilerplate salt; near-zero flags paste-everywhere content. Unlike
+    tx02/tx13 (row-local ratios/entropy) this signal REQUIRES corpus
+    state — a df table — so it demonstrates the join-against-statistics
+    shape; everything stays integer counts and one int/int division, so
+    the result is hash-stable with no float-order caveats.
+
+    Plan shape = tx08's skeleton: one doc_id-keyed token shuffle that
+    serves both the per-doc rollup (partial agg → ~1 row/doc) and the
+    broadcast probe; df comes from the vocab-collapsed array_distinct
+    branch (map-side partial agg ships ~vocabulary, never token pairs).
+    At 100 TB the df table is the corpus statistic you materialize once
+    per snapshot and reuse across every quality query."""
+    d = load_table(spark, sf_dir, "documents")
+    dfc = (
+        d.select(F.explode(F.array_distinct(_tokens())).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = (
+        d.select("doc_id", F.explode(_tokens()).alias("term"))
+        .repartition(shuffle_n, "doc_id")
+    )
+    rare = F.when(F.col("df") <= RARE_DF_THRESHOLD, 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(dfc), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(rare).cast("bigint").alias("n_rare"),
+            F.count_distinct(
+                F.when(F.col("df") <= RARE_DF_THRESHOLD, F.col("term"))
+            ).alias("n_rare_terms"),
+            (F.sum(rare).cast("double") / F.count("*")).alias("rare_ratio"),
+        )
+    )

@@ -109,6 +109,7 @@ OPTIONAL = [
     "pack02_concat_cut",  # cumsum packing over doc metadata
     # round 4
     "dd11_repeated_substrings",  # winnowed exact-substring repeats
+    "tx15_rare_term_ratio",  # corpus-relative OOV/noise quality signal
 ]
 
 
