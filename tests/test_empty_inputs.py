@@ -22,6 +22,8 @@ _REPRESENTATIVE = [
     "sim01_cosine_topk",        # vector fold + window
     "x15_list_aggregation",     # collect_list
     "q48_range_join_banded",    # banded interval join
+    "dd11_repeated_substrings",  # winnowed fingerprints (round 4)
+    "tx15_rare_term_ratio",      # corpus-df join (round 4)
 ]
 
 
