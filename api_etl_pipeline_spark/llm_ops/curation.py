@@ -143,6 +143,97 @@ def decon01_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decon02_source_overlap",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT DISTINCT source,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    ),
+    sizes AS (SELECT source, COUNT(*)::BIGINT AS n FROM grams GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*)::BIGINT AS n_shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.n_shared,
+           sa.n AS n_grams_a, sb.n AS n_grams_b,
+           CAST(p.n_shared AS DOUBLE) / (sa.n + sb.n - p.n_shared) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.source_a = sa.source
+    JOIN sizes sb ON p.source_b = sb.source
+    """,
+)
+def decon02_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-contamination matrix: 3-gram Jaccard overlap
+    between every pair of sources — the dataset-forensics complement to
+    decon01 (that one checks the corpus against a held-out benchmark;
+    this one shows which SOURCES duplicate each other: mirrors,
+    syndicated feeds, re-crawls — the first thing to inspect before
+    assigning mixture weights).
+
+    Scale shape: grams are constructed ONCE (row-local array_distinct,
+    then one exchange into collect_set(source) per gram — the set is
+    bounded by the number of sources, a small constant, so the state per
+    key is fixed). Source pairs expand NARROWLY from each gram's sorted
+    source set (≤ C(sources,2) per gram, no self-join — a gram-keyed
+    self-join would evaluate the gram subtree twice and static-plan at 7
+    exchanges; this shape plans at 4). Per-source totals derive from the
+    same aggregated frame, and the two size lookups broadcast (one row
+    per source)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.split(F.col("text"), " ").alias("w")
+    )
+    sets = (
+        d.select(
+            "source",
+            F.explode(F.array_distinct(_word_ngrams(F.col("w"), 3))).alias("g"),
+        )
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+    )
+    ss = F.col("ss")
+    combos = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(ss, i + 2, F.size(ss)),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sizes = (
+        sets.select(F.explode(ss).alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_grams_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_grams_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_grams_a",
+            "n_grams_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
     "cur01_domain_cap",
     oracle="""
     WITH ranked AS (

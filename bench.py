@@ -110,6 +110,7 @@ OPTIONAL = [
     # round 4
     "dd11_repeated_substrings",  # winnowed exact-substring repeats
     "tx15_rare_term_ratio",  # corpus-relative OOV/noise quality signal
+    "decon02_source_overlap",  # pairwise source-contamination matrix
 ]
 
 
