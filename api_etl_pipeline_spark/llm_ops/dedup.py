@@ -22,7 +22,7 @@ no float accumulation anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from api_etl_pipeline_spark.registry import query
@@ -579,4 +579,95 @@ def dd11_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").alias("n_repeated"),
             (F.count("hit").cast("double") / F.count("*")).alias("repeat_frac"),
         )
+    )
+
+
+SEG_TOKENS = 10  # tokens per dedup segment (the CCNet "paragraph" unit)
+
+
+@query(
+    "dd12_segment_dedup_clean",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(
+                   list_slice(w, i * {SEG_TOKENS} + 1, i * {SEG_TOKENS} + {SEG_TOKENS}),
+                   ' ') AS seg
+        FROM toks,
+             UNNEST(generate_series(0, (len(w) + {SEG_TOKENS - 1}) // {SEG_TOKENS} - 1))
+               AS t(i)
+    ),
+    marked AS (
+        SELECT doc_id, seg_idx, seg,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1
+                 AS kept
+        FROM segs
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_segments,
+           SUM(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS kept_frac,
+           COALESCE(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx),
+                    '') AS clean_text
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dd12_segment_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-segment REMOVAL (the CCNet/Gopher
+    line-dedup stage, adapted to this corpus's newline-free text: the
+    dedup unit is a fixed 10-token segment). Every segment that appears
+    anywhere else in the corpus keeps exactly its FIRST occurrence
+    (global order = (doc_id, seg_idx)); later copies are dropped and the
+    surviving segments are reassembled into `clean_text`. This is the
+    cleaning TRANSFORM that complements dd11's detection signal — dd11
+    scores boilerplate, dd12 actually cuts it while preserving one copy
+    (dropping all copies, as a naive distinct would, deletes legitimate
+    content from the corpus).
+
+    Plan shape (2 exchanges, both linear): segmentation is a narrow
+    per-row array op (sequence → slice → concat_ws, zero Python); the
+    keep-first decision is ONE shuffle — a row_number window partitioned
+    by the segment text ordered by the unique (doc_id, seg_idx) — whose
+    group sizes equal each segment's duplication count (bounded by the
+    corpus duplication rate; a pathologically hot segment is exactly
+    what AQE skew-join/sort handling absorbs, and the 100 TB variant
+    would window on xxhash64(seg) to shrink shuffle bytes ~10x — kept as
+    plain text here so the oracle shares the key verbatim). Reassembly
+    is the second shuffle: per-doc collect of kept (seg_idx, seg)
+    structs, array_sort, join — ~n_docs rows. Segment count arithmetic
+    is integer-exact on both sides ((n+9)//10 — no float ceil)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    w = F.col("w")
+    nseg = F.floor((F.size(w) + F.lit(SEG_TOKENS - 1)) / F.lit(SEG_TOKENS)).cast(
+        "int"
+    )
+    idx = F.when(nseg > 0, F.sequence(F.lit(0), nseg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    seg_of = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(w, i * SEG_TOKENS + 1, SEG_TOKENS)
+    )
+    segs = d.select(
+        "doc_id", F.posexplode(F.transform(idx, seg_of)).alias("seg_idx", "seg")
+    )
+    first = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    marked = segs.withColumn("kept", F.row_number().over(first) == 1)
+    kept_struct = F.when(F.col("kept"), F.struct("seg_idx", "seg"))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        (
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("kept_frac"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]
+            ),
+            " ",
+        ).alias("clean_text"),
     )

@@ -828,3 +828,180 @@ def tx15_rare_term_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rare).cast("double") / F.count("*")).alias("rare_ratio"),
         )
     )
+
+
+# BM25 retrieval constants (Robertson/Okapi defaults) and a fixed query
+# workload. The numeric literals appear VERBATIM on both engine sides so
+# every IEEE operation sequence is identical; only ln() can differ in the
+# last ulp, hence the round(6) on the summed score (tx13 precedent).
+BM25_TOPK = 10
+BM25_QUERIES = (
+    ("q1", ("spark", "window", "agg")),
+    ("q2", ("customer", "order", "query")),
+    ("q3", ("vector", "scan", "stream")),
+)
+_BM25_TERMS = tuple(t for _, ts in BM25_QUERIES for t in ts)
+
+
+@query(
+    "tx16_bm25_topk",
+    oracle=f"""
+    WITH qterms(query_id, term) AS (VALUES {", ".join(
+        f"('{qid}', '{t}')" for qid, ts in BM25_QUERIES for t in ts
+    )}),
+    docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*)::BIGINT AS n_docs,
+               CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM docs
+    ),
+    toks AS (
+        SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS term FROM docs
+    ),
+    tfc AS (
+        SELECT doc_id, term, COUNT(*)::BIGINT AS tf, MAX(dl) AS dl
+        FROM toks WHERE term IN {_BM25_TERMS!r}
+        GROUP BY doc_id, term
+    ),
+    dfc AS (
+        SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
+        FROM toks WHERE term IN {_BM25_TERMS!r}
+        GROUP BY term
+    ),
+    scored AS (
+        SELECT q.query_id, t.doc_id, t.term,
+               ln(1.0 + ((s.n_docs - d.df) + 0.5) / (d.df + 0.5))
+                 * ((t.tf * 2.2)
+                    / (t.tf + 1.2 * (0.25 + (0.75 * t.dl) / s.avgdl))) AS s
+        FROM tfc t
+        JOIN dfc d USING (term)
+        JOIN qterms q USING (term), stats s
+    ),
+    agg AS (
+        SELECT query_id, doc_id,
+               COUNT(*)::BIGINT AS n_terms,
+               ROUND(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                                 (a, b) -> a + b), 6) + 0.0 AS score
+        FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+           doc_id, n_terms, score
+    FROM agg
+    QUALIFY rk <= {BM25_TOPK}
+    """,
+)
+def tx16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (k1=1.2, b=0.75) for a fixed query workload —
+    the lexical-search complement to the sim* vector family and the
+    standard first-stage retriever in RAG / hard-negative-mining data
+    pipelines. Per (query, doc): sum over matched terms of
+    idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), idf = ln(1+(N−df+.5)/(df+.5)).
+
+    Cross-engine float discipline: every arithmetic literal and paren is
+    written identically on both sides; per-(query,doc) term scores are
+    summed in TERM-ASCENDING order via an explicit fold (collect_list →
+    array_sort → F.aggregate here; list(s ORDER BY term) → list_reduce in
+    the oracle) so the accumulation sequence matches; ln()'s possible
+    last-ulp skew is absorbed by round(6), and the row_number ranks on
+    the ROUNDED score (unrounded ranking could flip neighbors across
+    engines) with doc_id as the unique tie-break.
+
+    Plan shape (3 exchanges): tf is extracted ARRAY-LOCALLY — per doc,
+    `size(filter(w, = term))` for each of the 9 query terms, unpivoted
+    and filtered to tf>0 — so the tf stage is map-only and the only
+    data ever shuffled is one row per (doc, MATCHED query term): the
+    scan-side-pruned inverted-index-probe shape that survives 100 TB.
+    df aggregates that same narrow relation (map-side partial agg →
+    ≤9 rows/partition, then broadcast); corpus stats (N, avgdl from
+    exact integer sums) are a single-row broadcast; qterms is a literal
+    broadcast. One explicit repartition on query_id then serves BOTH
+    the per-(query,doc) score aggregation (HashPartitioning(query_id)
+    clusters the superset key — the tx08 trick) AND the rank window,
+    which adds only an in-partition sort. That caps the scoring
+    parallelism at #queries — right for an analytics workload of few
+    queries over many docs; a 1000-query serving sweep would flip the
+    repartition key to (query_id, doc_id) and pre-truncate per
+    partition (sim06's partial-top-k combine) before the global rank."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("w")
+    )
+    terms = list(_BM25_TERMS)
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size("w")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    def _eq(term: str):
+        # NOTE: a two-parameter lambda here would be interpreted by
+        # pyspark as the (element, index) higher-order form — capture
+        # the term via closure, never via a defaulted second parameter.
+        return lambda x: x == F.lit(term)
+
+    per_term = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(F.filter("w", _eq(t))).cast("bigint").alias("tf"),
+            )
+            for t in terms
+        ]
+    )
+    tfc = (
+        d.select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("dl"),
+            F.explode(per_term).alias("m"),
+        )
+        .filter(F.col("m.tf") > 0)
+        .select("doc_id", "dl", F.col("m.term").alias("term"), F.col("m.tf").alias("tf"))
+    )
+    dfc = tfc.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id string, term string",
+    )
+    tf_d, df_d, dl_d = (
+        F.col("tf").cast("double"),
+        F.col("df").cast("double"),
+        F.col("dl").cast("double"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (df_d + F.lit(0.5))
+    )
+    tfn = (tf_d * F.lit(2.2)) / (
+        tf_d + F.lit(1.2) * (F.lit(0.25) + (F.lit(0.75) * dl_d) / F.col("avgdl"))
+    )
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = (
+        tfc.join(F.broadcast(dfc), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "term", (idf * tfn).alias("s"))
+        .repartition(shuffle_n, "query_id")
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("n_terms"),
+        (
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "s"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["s"],
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("score"),
+    )
+    rk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select("query_id", "rk", "doc_id", "n_terms", "score")
+    )

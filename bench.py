@@ -111,6 +111,8 @@ OPTIONAL = [
     "dd11_repeated_substrings",  # winnowed exact-substring repeats
     "tx15_rare_term_ratio",  # corpus-relative OOV/noise quality signal
     "decon02_source_overlap",  # pairwise source-contamination matrix
+    "dd12_segment_dedup_clean",  # CCNet-style duplicated-segment removal
+    "tx16_bm25_topk",  # lexical retrieval (query-vocab-bounded shuffle)
 ]
 
 

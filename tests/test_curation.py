@@ -167,3 +167,40 @@ def test_hashed_ngrams_agree_with_string_ngrams(spark):
         .filter(F.col("s_overlap") != F.col("h_overlap"))
     )
     assert pairs.count() == 0
+
+
+def test_tx16_bm25_ranking_semantics(spark, tmp_path):
+    """Constructed ground truth for BM25's two core orderings: (a) with
+    equal doc length, a doc matching MORE query terms outranks a doc
+    matching fewer; (b) among docs matching the same single term with
+    the same tf, the SHORTER doc ranks higher (length normalization).
+    Padding is unique filler so df of query terms stays fixed."""
+    from api_etl_pipeline_spark.llm_ops.text import BM25_QUERIES
+    from api_etl_pipeline_spark.registry import all_queries
+
+    qid, terms = BM25_QUERIES[0][0], list(BM25_QUERIES[0][1])
+
+    def pad(tag, n):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    docs = [
+        (1, " ".join(terms) + " " + pad("a", 17)),       # all 3 terms, len 20
+        (2, " ".join(terms[:2]) + " " + pad("b", 18)),   # 2 terms, len 20
+        (3, terms[0] + " " + pad("c", 9)),               # 1 term, len 10
+        (4, terms[0] + " " + pad("d", 39)),              # 1 term, len 40
+    ]
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.doc_id: r
+        for r in all_queries()["tx16_bm25_topk"]
+        .fn(spark, str(tmp_path))
+        .collect()
+        if r.query_id == qid
+    }
+    assert out[1].n_terms == 3 and out[2].n_terms == 2
+    assert out[1].score > out[2].score > out[4].score
+    assert out[3].score > out[4].score  # same tf/df, shorter doc wins
+    ranks = {d: out[d].rk for d in out}
+    assert ranks[1] == 1 and ranks[2] == 2

@@ -117,3 +117,41 @@ def test_dd11_detects_injected_repeated_span(spark, tmp_path):
     assert out[1].n_repeated > 0 and out[2].n_repeated > 0
     assert out[3].n_repeated == 0 and out[3].n_fingerprints > 0
     assert 4 not in out  # sub-threshold doc drops out on both engines
+
+
+def test_dd12_removes_later_segment_copies(spark, tmp_path):
+    """Constructed ground truth for the segment-dedup TRANSFORM: doc 2
+    repeats doc 1's first 10-token segment (same segment content, doc 2
+    comes later in (doc_id, seg_idx) order), so doc 1 keeps everything
+    and doc 2 loses exactly that one segment from clean_text; a fully
+    unique doc is untouched; an exact full duplicate of doc 1 keeps
+    NOTHING (every segment already seen) — one copy of each segment
+    survives corpus-wide, never zero."""
+    from api_etl_pipeline_spark.registry import all_queries
+
+    seg_a = " ".join(f"boiler{i}" for i in range(10))  # exactly one segment
+    own = " ".join(f"own{i}" for i in range(10))
+    uniq = " ".join(f"solo{i}" for i in range(15))
+    docs = [
+        (1, seg_a + " " + own),  # segments: [seg_a, own]
+        (2, seg_a + " " + " ".join(f"two{i}" for i in range(10))),
+        (3, uniq),  # 15 tokens -> 2 segments (10 + 5-token tail)
+        (4, seg_a + " " + own),  # full duplicate of doc 1
+    ]
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.doc_id: r
+        for r in all_queries()["dd12_segment_dedup_clean"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert (out[1].n_kept, out[1].n_segments) == (2, 2)
+    assert out[1].clean_text == seg_a + " " + own
+    assert (out[2].n_kept, out[2].n_segments) == (1, 2)
+    assert out[2].clean_text == " ".join(f"two{i}" for i in range(10))
+    assert (out[3].n_kept, out[3].n_segments) == (2, 2)
+    assert out[3].clean_text == uniq
+    assert (out[4].n_kept, out[4].n_segments) == (0, 2)
+    assert out[4].clean_text == ""

@@ -24,6 +24,8 @@ _REPRESENTATIVE = [
     "q48_range_join_banded",    # banded interval join
     "dd11_repeated_substrings",  # winnowed fingerprints (round 4)
     "tx15_rare_term_ratio",      # corpus-df join (round 4)
+    "dd12_segment_dedup_clean",  # segment window + rollup (round 4)
+    "tx16_bm25_topk",            # stats broadcast + rank (round 4)
 ]
 
 
