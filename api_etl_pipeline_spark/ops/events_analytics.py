@@ -675,3 +675,89 @@ def ev12_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").cast("bigint").alias("peak_concurrent"),
         F.count("*").alias("n_boundaries"),
     )
+
+
+@query(
+    "ev13_time_weighted_value",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, event_id, value,
+               epoch_us(ts) AS ts_us,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_us
+        FROM events
+    ),
+    terms AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN next_us IS NULL THEN 0
+                    ELSE next_us - ts_us END AS delta_us,
+               CASE WHEN next_us IS NULL THEN 0.0
+                    ELSE value * (next_us - ts_us) END AS term
+        FROM pts
+    )
+    SELECT user_id,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(delta_us)::BIGINT AS span_us,
+           CASE WHEN SUM(delta_us) > 0 THEN
+               list_reduce(list_prepend(0.0, list(term ORDER BY ts_us, event_id)),
+                           (a, b) -> a + b) / SUM(delta_us)
+           END AS twa_value
+    FROM terms GROUP BY user_id
+    """,
+)
+def ev13_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled metric per user
+    (the TimescaleDB `time_weight('locf')` / observability-gauge
+    operator): each event's value holds until the user's next event
+    (last-observation-carried-forward), so the mean weights every value
+    by how LONG it was in effect — the plain AVG over-counts bursts of
+    rapid events, which is exactly the bias this operator removes for
+    irregular telemetry. The final event holds for zero time by
+    definition (no successor to bound its interval).
+
+    Cross-engine float discipline: weights are exact integer
+    microseconds (unix_micros ≡ epoch_us, the ev10 convention); each
+    value·Δt product is one IEEE double·int multiplication of identical
+    inputs, and the products are summed by an explicit fold in
+    (ts_us, event_id)-ascending order on BOTH engines (the tx13/tx16
+    pattern) — bit-identical with no rounding needed. ORDER is total
+    because event_id is unique.
+
+    Plan shape: ONE exchange on user_id — the lead() window sorts within
+    the user partition and the per-user rollup reuses the same
+    HashPartitioning (zero extra exchange); group state is bounded by
+    events-per-user, the same per-entity bound every sessionization op
+    here already assumes."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).withColumn("next_us", F.lead("ts_us").over(w))
+    delta = F.when(F.col("next_us").isNull(), F.lit(0)).otherwise(
+        F.col("next_us") - F.col("ts_us")
+    )
+    term = F.when(F.col("next_us").isNull(), F.lit(0.0)).otherwise(
+        F.col("value") * (F.col("next_us") - F.col("ts_us"))
+    )
+    terms = pts.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        delta.alias("delta_us"),
+        term.alias("term"),
+    )
+    folded_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "term"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["term"],
+    )
+    return terms.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("delta_us").cast("bigint").alias("span_us"),
+        F.when(F.sum("delta_us") > 0, folded_sum / F.sum("delta_us")).alias(
+            "twa_value"
+        ),
+    )

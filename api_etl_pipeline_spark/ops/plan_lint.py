@@ -98,6 +98,7 @@ ALLOWED: dict[tuple[str, str], str] = {
 LOCAL_SCAN_OK = {
     "st06_streaming_tumbling_live",
     "st07_streaming_join_live",
+    "st09_streaming_enrich_live",
     "qsql08_values_decode_shared_sql",  # 3-row inline VALUES decode table
 }
 

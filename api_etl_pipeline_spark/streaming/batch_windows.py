@@ -271,3 +271,106 @@ def st07_streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c, t in out.dtypes
     ]
     return out.select(*ntz)
+
+
+@query(
+    "st08_enriched_segment_windows",
+    oracle="""
+    SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def st08_enriched_segment_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static ENRICHMENT pipeline (the missing
+    st-family member between pure windows and stream-stream joins):
+    every event is enriched with its user's market segment from the
+    static customer dimension, then rolled into 1-hour tumbling windows
+    per segment. In streaming this exact dataflow is
+    stream_ops.enrich_with_dimension + tumbling agg (st09 runs it live);
+    the batch form is fully SQL-expressible, so it carries the family's
+    differential oracle. (No distinct-user count: exact DISTINCT
+    aggregation is unsupported on streaming DataFrames, and the twins
+    keep IDENTICAL schemas so the pytest equality check is total —
+    streaming distinct-ish counts belong to q27/q51's approx family.)
+
+    Plan shape: the dimension BROADCASTS (customers are always dwarfed
+    by the event stream — the canonical stream-static asymmetry), so
+    the only exchange is the windowed aggregation on
+    (window, segment); the sum uses the exact-DECIMAL convention so the
+    cross-engine hash is order-free."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        e.join(F.broadcast(c), "user_id")
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("st09_streaming_enrich_live", oracle=None)  # live stream-static join: rows-only
+def st09_streaming_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st08's dataflow as an ACTUAL Structured Streaming run: the staged
+    events file stream is enriched per micro-batch against the static
+    customer dimension (stream_ops.enrich_with_dimension — broadcast, no
+    join state, no watermark needed on the static side) and aggregated
+    into watermarked 1-hour windows per segment into a memory sink.
+    Equality with the batch twin (st08) is pinned in
+    tests/test_streaming.py; the driver's rows-only check sees the live
+    path execute with a stable schema."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from api_etl_pipeline_spark.streaming.stream_ops import enrich_with_dimension
+    from api_etl_pipeline_spark.tables import load_events_stream
+
+    stage_dir = tempfile.mkdtemp(prefix="st09_events_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    stream = load_events_stream(spark, stage_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = enrich_with_dimension(stream, dim)
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = "st09_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )

@@ -113,6 +113,8 @@ OPTIONAL = [
     "decon02_source_overlap",  # pairwise source-contamination matrix
     "dd12_segment_dedup_clean",  # CCNet-style duplicated-segment removal
     "tx16_bm25_topk",  # lexical retrieval (query-vocab-bounded shuffle)
+    "ev13_time_weighted_value",  # LOCF time-weighted mean, single exchange
+    "st08_enriched_segment_windows",  # stream-static enrich batch twin
 ]
 
 

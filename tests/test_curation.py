@@ -204,3 +204,36 @@ def test_tx16_bm25_ranking_semantics(spark, tmp_path):
     assert out[3].score > out[4].score  # same tf/df, shorter doc wins
     ranks = {d: out[d].rk for d in out}
     assert ranks[1] == 1 and ranks[2] == 2
+
+
+def test_ev13_twa_weights_by_holding_time(spark, tmp_path):
+    """Constructed ground truth: user 1 holds value 10 for 1s then value
+    20 for 3s (last event holds for zero time) -> TWA = (10*1 + 20*3)/4
+    = 17.5, while the naive mean of observed values is 20 — the burst
+    bias the operator exists to remove. A single-event user has zero
+    span and a NULL TWA."""
+    import datetime as dt
+
+    from api_etl_pipeline_spark.registry import all_queries
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "m", 10.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=1), 1, "m", 20.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=4), 1, "m", 99.0, "{}"),
+        (4, t0, 2, "m", 7.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: r
+        for r in all_queries()["ev13_time_weighted_value"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1].span_us == 4_000_000
+    assert abs(out[1].twa_value - 17.5) < 1e-9
+    assert out[2].span_us == 0 and out[2].twa_value is None

@@ -26,6 +26,8 @@ _REPRESENTATIVE = [
     "tx15_rare_term_ratio",      # corpus-df join (round 4)
     "dd12_segment_dedup_clean",  # segment window + rollup (round 4)
     "tx16_bm25_topk",            # stats broadcast + rank (round 4)
+    "ev13_time_weighted_value",  # lead window + folded rollup (round 4)
+    "st08_enriched_segment_windows",  # dim join + windowed agg (round 4)
 ]
 
 

@@ -283,3 +283,21 @@ def test_events_stream_constructible_on_empty_directory(spark, tmp_path):
         assert spark.sql(f"SELECT * FROM {qname}").count() == 7
     finally:
         q.stop()
+
+
+def test_streaming_enrich_pipeline_equals_batch_twin(spark):
+    """The COMPOSED stream-static pipeline (enrich each micro-batch with
+    the customer dimension, then watermarked tumbling windows per
+    segment) must produce exactly the batch twin's result — this pins
+    st09 (live) to st08 (oracle-checked batch) end to end, not just the
+    join step."""
+    from api_etl_pipeline_spark.registry import all_queries
+
+    qs = all_queries()
+    live = qs["st09_streaming_enrich_live"].fn(spark, SF_SMOKE)
+    batch = qs["st08_enriched_segment_windows"].fn(spark, SF_SMOKE).withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
+    got = {tuple(r) for r in live.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
