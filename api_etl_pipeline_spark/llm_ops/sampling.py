@@ -148,3 +148,81 @@ def samp03_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.row_number().over(w).cast("bigint").alias("rk"),
     )
+
+
+TEMP_ALPHA = 0.5  # sampling temperature exponent: p_s ∝ n_s^alpha
+
+
+@query(
+    "samp04_temperature_mix",
+    oracle="""
+    WITH sizes AS (
+        SELECT source, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_chars)::BIGINT AS source_chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(source_chars)::BIGINT AS budget,
+               list_reduce(
+                   list_prepend(0.0, list(sqrt(source_chars) ORDER BY source)),
+                   (a, b) -> a + b
+               ) AS w_sum
+        FROM sizes
+    )
+    SELECT s.source, s.n_docs, s.source_chars,
+           CAST(s.source_chars AS DOUBLE) / t.budget AS natural_share,
+           sqrt(s.source_chars) / t.w_sum AS temp_prob,
+           (sqrt(s.source_chars) / t.w_sum) * t.budget / s.source_chars
+             AS epochs
+    FROM sizes s, tot t
+    """,
+)
+def samp04_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5/UniMax multilingual
+    recipe): sampling probability p_s ∝ n_s^0.5 flattens the source
+    distribution — small sources are UPsampled (epochs > 1: the source
+    is seen more than once per corpus-sized token budget) and dominant
+    sources downsampled, without the hard equal-share cap of mix01
+    (which zeroes the long tail's deficit instead of redistributing by
+    a power law). `epochs` = p_s·B/n_s is the number the data loader
+    actually consumes: repeat-factor per source for budget B = Σn_s.
+
+    Float determinism needs NO rounding: sqrt is correctly rounded by
+    IEEE-754 (bit-identical across engines on identical integer input,
+    unlike ln), the weight-sum is an explicit source-ascending fold on
+    both sides (tx13 pattern), and the remaining ops are identically
+    parenthesized divisions/multiplications of identical doubles.
+
+    Plan shape: per-source sizes are one vocab-bounded exchange
+    (map-side partial agg → #sources rows); the (budget, w_sum) pair is
+    a single-row agg over those few rows, cross-joined back as a
+    broadcast. Nothing here ever reshuffles the corpus — at 100 TB the
+    mixing table is kilobytes computed from table statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    sizes = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("source_chars"),
+    )
+    tot = sizes.agg(
+        F.sum("source_chars").cast("bigint").alias("budget"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("source", F.sqrt("source_chars").alias("w")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("w_sum"),
+    )
+    w = F.sqrt("source_chars")
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "source_chars",
+        (F.col("source_chars").cast("double") / F.col("budget")).alias(
+            "natural_share"
+        ),
+        (w / F.col("w_sum")).alias("temp_prob"),
+        ((w / F.col("w_sum")) * F.col("budget") / F.col("source_chars")).alias(
+            "epochs"
+        ),
+    )

@@ -63,6 +63,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("q34_dormant_rich_customers", "BroadcastNestedLoopJoin"): "single-row scalar avg broadcast",
     ("tx08_tfidf_top_term", "BroadcastNestedLoopJoin"): "single-row corpus-count broadcast",
     ("tx16_bm25_topk", "BroadcastNestedLoopJoin"): "single-row (N, avgdl) corpus-stats broadcast",
+    ("samp04_temperature_mix", "BroadcastNestedLoopJoin"): "single-row (budget, w_sum) broadcast",
     ("llm03_dataset_card", "BroadcastNestedLoopJoin"): "single-row corpus-total broadcast",
     ("sim01_cosine_topk", "BroadcastNestedLoopJoin"): "5-row query-vector broadcast, non-equi self-exclusion",
     ("sim07_pq_codes", "BroadcastNestedLoopJoin"): "8-row PQ codebook broadcast cross join",

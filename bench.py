@@ -115,6 +115,7 @@ OPTIONAL = [
     "tx16_bm25_topk",  # lexical retrieval (query-vocab-bounded shuffle)
     "ev13_time_weighted_value",  # LOCF time-weighted mean, single exchange
     "st08_enriched_segment_windows",  # stream-static enrich batch twin
+    "samp04_temperature_mix",  # UniMax-style source temperature weights
 ]
 
 

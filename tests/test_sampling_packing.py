@@ -149,3 +149,25 @@ def test_pretrain_export_end_to_end(spark, tmp_path):
 
     assert os.path.isdir(f"{out}/docs/split=train")
     assert os.path.isdir(f"{out}/manifest/split=train")
+
+
+def test_samp04_temperature_mix_invariants(spark):
+    """The temperature mix must be a probability distribution that
+    conserves the token budget and flattens toward small sources:
+    sum(temp_prob) == 1, sum(epochs * source_chars) == budget, and any
+    source smaller than the mean gets epochs > 1 (upsampled) while the
+    largest source gets epochs < 1 iff its natural share exceeds its
+    temperature share."""
+    from api_etl_pipeline_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        all_queries()["samp04_temperature_mix"].fn(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) > 1
+    budget = sum(r.source_chars for r in rows)
+    assert abs(sum(r.temp_prob for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r.epochs * r.source_chars for r in rows) - budget) < 1e-6 * budget
+    for r in rows:
+        # alpha=0.5 orders epochs opposite to size: smaller -> more epochs
+        assert (r.epochs > 1.0) == (r.temp_prob > r.natural_share)
