@@ -293,3 +293,43 @@ def test_samp03_plans_take_ordered(spark):
     # never a global Sort of the corpus
     p = _plan(spark, "samp03_fixed_size_sample")
     assert "TakeOrderedAndProject" in p
+
+
+def test_dd12_two_exchanges_no_joins(spark):
+    # round-4 shape: ONE segment-keyed window shuffle (keep-first) + ONE
+    # per-doc rollup — the keep-first decision must never become a
+    # self-join (agg + join back would shuffle the segment relation twice)
+    import re
+
+    p = _plan(spark, "dd12_segment_dedup_clean")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", p, flags=re.M))
+    assert n_exchanges == 2, f"expected 2 exchanges, got {n_exchanges}"
+    assert "Join" not in p
+
+
+def test_tx16_tf_stage_is_map_only(spark):
+    # round-4 shape: tf extraction is array-local on the scan; the only
+    # exchanges are the query_id repartition (shared by score agg + rank
+    # window), the ≤9-row df agg, and the single-row stats agg — 3 total,
+    # all small sides broadcast
+    import re
+
+    p = _plan(spark, "tx16_bm25_topk")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", p, flags=re.M))
+    assert n_exchanges == 3, f"expected 3 exchanges, got {n_exchanges}"
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_ev13_window_and_rollup_share_one_exchange(spark):
+    # lead() window and the per-user rollup both partition on user_id
+    import re
+
+    p = _plan(spark, "ev13_time_weighted_value")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", p, flags=re.M))
+    assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}"
+
+
+def test_st08_dimension_broadcasts(spark):
+    p = _plan(spark, "st08_enriched_segment_windows")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
