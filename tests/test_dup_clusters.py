@@ -155,3 +155,35 @@ def test_dd12_removes_later_segment_copies(spark, tmp_path):
     assert out[3].clean_text == uniq
     assert (out[4].n_kept, out[4].n_segments) == (0, 2)
     assert out[4].clean_text == ""
+
+
+def test_dd12_conserves_distinct_segments(spark):
+    """Corpus-level conservation law: keep-first dedup keeps EXACTLY one
+    copy of every distinct segment, so sum(n_kept) over the corpus must
+    equal the number of distinct segment strings, and no document may
+    gain segments."""
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.llm_ops.dedup import SEG_TOKENS
+    from api_etl_pipeline_spark.registry import all_queries
+    from api_etl_pipeline_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = all_queries()["dd12_segment_dedup_clean"].fn(spark, SF_SMOKE)
+    kept_total = out.agg(F.sum("n_kept")).collect()[0][0]
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        F.split("text", " ").alias("w")
+    )
+    nseg = F.floor((F.size("w") + F.lit(SEG_TOKENS - 1)) / F.lit(SEG_TOKENS)).cast("int")
+    idx = F.when(nseg > 0, F.sequence(F.lit(0), nseg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = d.select(
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("w", i * SEG_TOKENS + 1, SEG_TOKENS)))
+        ).alias("seg")
+    )
+    distinct_total = segs.distinct().count()
+    assert kept_total == distinct_total
+    assert out.filter(F.col("n_kept") > F.col("n_segments")).count() == 0

@@ -52,6 +52,8 @@ QUERIES = [
     "sim05_ivf_probe_topk",
     "dd04_minhash_lsh_pairs",
     "tx08_tfidf_top_term",  # round-4 3-exchange rewrite: verify it scales
+    "dd12_segment_dedup_clean",  # segment window: volume ∝ duplication rate
+    "tx16_bm25_topk",  # map-only tf: shuffle must stay query-vocab-bounded
 ]
 
 
