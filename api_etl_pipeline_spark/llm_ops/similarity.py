@@ -823,3 +823,69 @@ def sim09_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.round(F.sum("d2"), 6).alias("inertia"),
     )
+
+
+# JL sign matrix: k=8 output dims × 64 input dims of ±1, derived once
+# from md5 parity so the "random" matrix is a fixed public constant both
+# engines can inline as literals (signs via runtime hashing would force
+# 512 md5 calls PER ROW; as literals the projection is pure codegen).
+_JL_K, _JL_D = 8, 64
+
+
+def _jl_signs() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{j}:{i}".encode()).digest()[0] % 2 == 0 else -1.0
+            for i in range(_JL_D)
+        ]
+        for j in range(_JL_K)
+    ]
+
+
+_JL = _jl_signs()
+
+
+def _duck_jl_row(j: int) -> str:
+    lits = "[" + ", ".join(str(x) for x in _JL[j]) + "]::DOUBLE[]"
+    return _DUCK_DOT.format(a="embedding::DOUBLE[]", b=lits)
+
+
+@query(
+    "sim10_random_projection",
+    oracle=f"""
+    SELECT vec_id, label,
+           {", ".join(f"{_duck_jl_row(j)} AS p{j}" for j in range(_JL_K))}
+    FROM embeddings
+    """,
+)
+def sim10_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 8 dims (±1 sign
+    matrix — the Achlioptas database-friendly variant): the standard
+    embedding-compression stage before LSH bucketing or IVF training
+    when the full vectors are too wide to shuffle. Pairwise geometry is
+    preserved in expectation (tested statistically in pytest); each
+    output dim is one `_dot` fold against a CONSTANT ±1 row, so the
+    whole operator is a narrow scan-project — ZERO exchanges, zero
+    Python, pure whole-stage codegen.
+
+    Determinism: the sign matrix is a fixed md5-parity constant folded
+    into the plan as literals (identical on the DuckDB side), the fold
+    order is index-ascending on both engines, and multiplying by ±1.0
+    is IEEE-exact — bit-identical outputs, no rounding.
+
+    100 TB shape: projection shrinks shuffle bytes 8× for every
+    downstream ANN stage; at cluster scale the same literal-matrix
+    pattern holds (a learned k×d projection of kilobytes is folded as a
+    broadcast or literal, never joined)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = _dvec("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        *[
+            _dot(d, F.array(*[F.lit(x) for x in _JL[j]])).alias(f"p{j}")
+            for j in range(_JL_K)
+        ],
+    )

@@ -116,6 +116,7 @@ OPTIONAL = [
     "ev13_time_weighted_value",  # LOCF time-weighted mean, single exchange
     "st08_enriched_segment_windows",  # stream-static enrich batch twin
     "samp04_temperature_mix",  # UniMax-style source temperature weights
+    "sim10_random_projection",  # JL ±1 sketch, zero-exchange scan-project
 ]
 
 

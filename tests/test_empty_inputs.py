@@ -28,6 +28,7 @@ _REPRESENTATIVE = [
     "tx16_bm25_topk",            # stats broadcast + rank (round 4)
     "ev13_time_weighted_value",  # lead window + folded rollup (round 4)
     "st08_enriched_segment_windows",  # dim join + windowed agg (round 4)
+    "sim10_random_projection",   # literal-matrix scan-project (round 4)
 ]
 
 

@@ -333,3 +333,14 @@ def test_st08_dimension_broadcasts(spark):
     p = _plan(spark, "st08_enriched_segment_windows")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_sim10_is_pure_scan_project(spark):
+    # the JL sign matrix folds in as literals: no exchange, no join, no
+    # Python — a narrow map stage end to end
+    import re
+
+    p = _plan(spark, "sim10_random_projection")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", p, flags=re.M))
+    assert n_exchanges == 0, f"expected 0 exchanges, got {n_exchanges}"
+    assert "Join" not in p

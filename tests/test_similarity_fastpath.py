@@ -61,3 +61,67 @@ def test_sim09_kmeans_matches_numpy_reference(spark):
     }
     assert {c: n for c, (n, _) in got.items()} == want_counts
     assert math.isclose(sum(i for _, i in got.values()), want_inertia, rel_tol=1e-9)
+
+
+def test_sim10_projection_linearity_and_scale(spark, tmp_path):
+    """The ±1 JL projection is LINEAR, so constructed geometry checks
+    are exact, not statistical: identical vectors project identically;
+    scaling a displacement by c scales the projected squared distance by
+    exactly c². On the real corpus only the AGGREGATE is testable
+    (synthetic 64-dim distances concentrate within ~11% while k=8 JL
+    noise is ~35%/pair — per-pair correlation is ill-posed by
+    construction), so the mean projected squared distance, rescaled by
+    1/k (unnormalized ±1 signs give E[||Pv||²] = k·||v||²), must be
+    unbiased within the concentration envelope."""
+    from api_etl_pipeline_spark.llm_ops.similarity import _JL_D, _JL_K
+    from api_etl_pipeline_spark.registry import all_queries
+    from api_etl_pipeline_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    base = [float((i * 7) % 5 - 2) for i in range(_JL_D)]
+    delta = [float((i * 3) % 7 - 3) / 10 for i in range(_JL_D)]
+    rows = [
+        (0, [b for b in base], 0),
+        (1, [b for b in base], 0),                                # dist 0
+        (2, [b + d for b, d in zip(base, delta)], 0),             # small
+        (3, [b + 10 * d for b, d in zip(base, delta)], 0),        # 10x
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    proj = {
+        r.vec_id: [r[f"p{j}"] for j in range(_JL_K)]
+        for r in all_queries()["sim10_random_projection"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+
+    def d2(a, b):
+        return sum((p - q) ** 2 for p, q in zip(proj[a], proj[b]))
+
+    assert d2(0, 1) == 0.0
+    small, large = d2(0, 2), d2(0, 3)
+    assert small > 0
+    # float32 storage of base+delta quantizes the inputs; linearity holds
+    # to float32 relative precision, far tighter than any JL bound
+    assert abs(large / small - 100.0) < 0.1
+
+    # aggregate unbiasedness on the real corpus
+    proj_r = {
+        r.vec_id: [r[f"p{j}"] for j in range(_JL_K)]
+        for r in all_queries()["sim10_random_projection"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    orig = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF_SMOKE, "embeddings").limit(40).collect()
+    }
+    ids = sorted(orig)
+    num = den = 0.0
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        den += sum((p - q) ** 2 for p, q in zip(orig[a], orig[b]))
+        # unnormalized ±1 signs: E[||P v||²] = k·||v||², so /k rescales
+        num += sum((p - q) ** 2 for p, q in zip(proj_r[a], proj_r[b])) / _JL_K
+    assert 0.6 < num / den < 1.6, f"biased estimator: ratio={num/den:.3f}"
