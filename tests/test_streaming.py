@@ -301,3 +301,62 @@ def test_streaming_enrich_pipeline_equals_batch_twin(spark):
     got = {tuple(r) for r in live.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_checkpointed_restart_is_exactly_once(spark, tmp_path):
+    """T3 checkpoint semantics, actually exercised: run a checkpointed
+    file-source→file-sink stream over half the data, STOP it, drop the
+    second half into the source directory, and restart with the SAME
+    checkpoint — the union of outputs must equal the full input exactly
+    (no replayed rows from before the stop, no losses across it), and a
+    restart with no new data must emit nothing."""
+    from api_etl_pipeline_spark.tables import load_events_stream, load_table
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    half1 = batch.filter(F.col("event_id") % 2 == 0)
+    half2 = batch.filter(F.col("event_id") % 2 == 1)
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def add_file(df, name):
+        # the file stream source lists FILES; a nested .write.parquet
+        # directory would be invisible to it — stage a single part file
+        import shutil
+
+        tmp = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        shutil.copy(part, src / name)
+
+    add_file(half1, "part1.parquet")
+
+    def run_once():
+        stream = load_events_stream(spark, str(src)).select(
+            "event_id", "user_id", "event_type"
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("checkpointLocation", str(ckpt))
+            .option("path", str(out))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    n_after_first = spark.read.parquet(str(out)).count()
+    assert n_after_first == half1.count()
+
+    add_file(half2, "part2.parquet")
+    run_once()  # restart from the same checkpoint picks up ONLY part2
+    got = {r.event_id for r in spark.read.parquet(str(out)).collect()}
+    want = {r.event_id for r in batch.select("event_id").collect()}
+    assert got == want  # set equality: nothing lost, nothing replayed
+    total = spark.read.parquet(str(out)).count()
+    assert total == len(want)  # count equality: no duplicate rows either
+
+    run_once()  # idle restart: no new input -> no new output
+    assert spark.read.parquet(str(out)).count() == total
