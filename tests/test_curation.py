@@ -237,3 +237,37 @@ def test_ev13_twa_weights_by_holding_time(spark, tmp_path):
     assert out[1].span_us == 4_000_000
     assert abs(out[1].twa_value - 17.5) < 1e-9
     assert out[2].span_us == 0 and out[2].twa_value is None
+
+
+def test_ev13_twa_invariants_constant_and_shift(spark, tmp_path):
+    """Two algebraic invariants: (a) a constant-valued series has TWA ==
+    that constant no matter how irregular the spacing; (b) shifting all
+    timestamps by a uniform offset changes nothing (TWA depends only on
+    deltas)."""
+    import datetime as dt
+
+    from api_etl_pipeline_spark.registry import all_queries
+
+    t0 = dt.datetime(2024, 3, 1)
+    gaps = [0, 1, 4, 9, 11, 60]  # seconds, deliberately irregular
+    rows = [
+        (i, t0 + dt.timedelta(seconds=g), 1, "m", 42.5, "{}")
+        for i, g in enumerate(gaps)
+    ] + [
+        (100 + i, t0 + dt.timedelta(hours=7, seconds=g), 2, "m", 42.5, "{}")
+        for i, g in enumerate(gaps)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: r
+        for r in all_queries()["ev13_time_weighted_value"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1].twa_value == 42.5  # constant series: exactly the constant
+    assert out[2].twa_value == out[1].twa_value  # shift invariance
+    assert out[2].span_us == out[1].span_us == 60_000_000
