@@ -23,7 +23,7 @@ per-stage funnel counts (the data-loss audit every corpus build needs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from api_etl_pipeline_spark.llm_ops.dedup import _DUCK_SIGNATURES, _signatures
@@ -69,18 +69,24 @@ _DUCK_NEAR = f"""
 """
 
 
+def _quality_flag(toks) -> "F.Column":
+    """tx02 quality rules as a boolean expression — shared by the
+    filtering stage (quality_gate) and the flag-based funnel audit
+    (llm02) so the two can never drift."""
+    return (
+        (F.size(toks) >= 8)
+        & ((F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.3)
+        & (
+            (F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / F.size(toks))
+            <= 0.5
+        )
+    )
+
+
 def quality_gate(d: DataFrame) -> DataFrame:
-    toks = F.col("toks")
     return (
         d.withColumn("toks", F.split("text", " "))
-        .filter(
-            (F.size(toks) >= 8)
-            & ((F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.3)
-            & (
-                (F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) / F.size(toks))
-                <= 0.5
-            )
-        )
+        .filter(_quality_flag(F.col("toks")))
         .drop("toks")
     )
 
@@ -94,7 +100,13 @@ def exact_dedup_keep_min(d: DataFrame) -> DataFrame:
     return d.join(keepers, d.doc_id == keepers.keeper, "left_semi")
 
 
-def near_dedup_keep_min(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataFrame:
+def near_dup_demoted_ids(
+    spark: SparkSession, sf_dir: str, survivors: DataFrame
+) -> DataFrame:
+    """doc_ids DEMOTED by the MinHash band rule among `survivors` (any
+    doc sharing a band bucket with a lower surviving doc_id). Exposed
+    separately from the filtering wrapper so flag-style consumers
+    (llm02's single-pass funnel) can mark instead of drop."""
     sig = _signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -105,14 +117,13 @@ def near_dedup_keep_min(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataF
             )
         ).alias("bucket"),
     )
-    survivors = d.select("doc_id")
     # the band table is tiny (2 rows per doc) but sits on BOTH sides of the
     # self-join — materialize it once instead of recomputing the whole
     # shingle->signature subtree per side (localCheckpoint truncates the
     # lineage; at cluster scale use a reliable checkpoint dir)
     live_bands = bands.join(survivors, "doc_id", "left_semi").localCheckpoint(eager=False)
     a, b = live_bands.alias("a"), live_bands.alias("b")
-    demoted = (
+    return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -120,6 +131,10 @@ def near_dedup_keep_min(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataF
         .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
     )
+
+
+def near_dedup_keep_min(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataFrame:
+    demoted = near_dup_demoted_ids(spark, sf_dir, d.select("doc_id"))
     return d.join(demoted, "doc_id", "left_anti")
 
 
@@ -191,16 +206,43 @@ def run_corpus_workload(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """,
 )
 def llm02_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stage funnel counts — the survival audit of the corpus build."""
+    """Per-stage funnel counts — the survival audit of the corpus build.
+
+    Round-4 rewrite — FLAGS, not four branch aggregates: the old
+    formulation crossJoined one count per stage frame, and because the
+    stage frames nest (near ⊃ exact ⊃ quality ⊃ input) the corpus
+    subtree re-executed per branch (6 parquet scans; pruning-divergent
+    branches defeat ReusedExchange — the decon02 lesson). Now every doc
+    flows through ONCE carrying (quality, exact-keeper) flags — the
+    exact keeper is a min-over-content-hash window on the same pass,
+    using the SAME _quality_flag expression the filtering stages use so
+    semantics cannot drift — then the near-dup demote set (the one
+    genuinely separate subtree: signatures + band self-join) marks
+    instead of drops, and ONE aggregation emits all four counts.
+    2 scans, and the funnel cost no longer multiplies with the number
+    of audited stages."""
     d = load_table(spark, sf_dir, "documents")
-    q = quality_gate(d)
-    e = exact_dedup_keep_min(q)
-    n = near_dedup_keep_min(spark, sf_dir, e)
+    q_flag = _quality_flag(F.split("text", " "))
+    keeper = F.min(F.when(F.col("q"), F.col("doc_id"))).over(
+        Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256))
+    )
+    flags = (
+        d.select("doc_id", "text", q_flag.alias("q"))
+        .withColumn("e", F.col("q") & (F.col("doc_id") == keeper))
+        .select("doc_id", "q", "e")
+        .localCheckpoint(eager=False)
+    )
+    demoted = near_dup_demoted_ids(
+        spark, sf_dir, flags.filter(F.col("e")).select("doc_id")
+    ).withColumn("dem", F.lit(1))
     return (
-        d.agg(F.count("*").alias("n_input"))
-        .crossJoin(q.agg(F.count("*").alias("n_quality")))
-        .crossJoin(e.agg(F.count("*").alias("n_exact_unique")))
-        .crossJoin(n.agg(F.count("*").alias("n_clean")))
+        flags.join(F.broadcast(demoted), "doc_id", "left")
+        .agg(
+            F.count("*").alias("n_input"),
+            F.count(F.when(F.col("q"), 1)).alias("n_quality"),
+            F.count(F.when(F.col("e"), 1)).alias("n_exact_unique"),
+            F.count(F.when(F.col("e") & F.col("dem").isNull(), 1)).alias("n_clean"),
+        )
     )
 
 

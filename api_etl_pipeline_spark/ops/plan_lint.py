@@ -57,8 +57,6 @@ ALLOWED: dict[tuple[str, str], str] = {
     ),
     ("q36_market_share", "SortMergeJoin"): "lineitem⋈orders fact-fact join",
     ("llm01_clean_corpus", "SortMergeJoin"): "near-dup candidate self-join is fact-fact",
-    ("llm02_corpus_funnel", "SortMergeJoin"): "same corpus self-join via llm01",
-    ("llm02_corpus_funnel", "BroadcastNestedLoopJoin"): "single-row funnel counters cross-joined",
     ("q09_cross_join", "BroadcastNestedLoopJoin"): "intentional cross join, 5×25-row dims",
     ("q34_dormant_rich_customers", "BroadcastNestedLoopJoin"): "single-row scalar avg broadcast",
     ("tx08_tfidf_top_term", "BroadcastNestedLoopJoin"): "single-row corpus-count broadcast",

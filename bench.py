@@ -117,6 +117,7 @@ OPTIONAL = [
     "st08_enriched_segment_windows",  # stream-static enrich batch twin
     "samp04_temperature_mix",  # UniMax-style source temperature weights
     "sim10_random_projection",  # JL ±1 sketch, zero-exchange scan-project
+    "q38_funnel_steps",  # single-pass ordered funnel fold (was 6 scans)
 ]
 
 
