@@ -538,26 +538,33 @@ def x25_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Interpolated medians are cross-engine exact at binary-exact fractions
     (the q26 convention), both medians reduce per source (a small-keyed
-    aggregation), and the deviations join back via broadcast. Two passes
-    over the column by necessity — MAD is inherently two-phase (the
-    second median depends on the first)."""
+    aggregation), and the stage results join back via broadcast.
+
+    Traversal accounting (scan-audit finding): exact MAD needs THREE
+    sequential data passes — median, then median of deviations, then
+    the outlier count against 3×MAD — and not one more. The previous
+    formulation planned FOUR (the `med` subtree fed both later passes
+    and re-executed per branch), so the ≤#sources-row median frame is
+    localCheckpointed (the llm02/near-dup precedent for tiny shared
+    frames) and the deviation is recomputed inline per pass instead of
+    being a shared named subtree."""
     d = load_table(spark, sf_dir, "documents")
-    med = d.groupBy(F.col("source").alias("m_source")).agg(
-        F.percentile("n_chars", 0.5).alias("med_chars")
+    med = (
+        d.groupBy(F.col("source").alias("m_source"))
+        .agg(F.percentile("n_chars", 0.5).alias("med_chars"))
+        .localCheckpoint(eager=False)
     )
-    dev = d.join(
-        F.broadcast(med), d.source == F.col("m_source")
-    ).select(
-        "source",
-        "n_chars",
-        "med_chars",
-        F.abs(F.col("n_chars") - F.col("med_chars")).alias("adev"),
-    )
-    mad = dev.groupBy(F.col("source").alias("d_source")).agg(
-        F.percentile("adev", 0.5).alias("mad")
+    adev = F.abs(F.col("n_chars") - F.col("med_chars")).alias("adev")
+    mad = (
+        d.join(F.broadcast(med), d.source == F.col("m_source"))
+        .select("source", adev)
+        .groupBy(F.col("source").alias("d_source"))
+        .agg(F.percentile("adev", 0.5).alias("mad"))
     )
     return (
-        dev.join(F.broadcast(mad), dev.source == F.col("d_source"))
+        d.join(F.broadcast(med), d.source == F.col("m_source"))
+        .select("source", "n_chars", "med_chars", adev)
+        .join(F.broadcast(mad), F.col("source") == F.col("d_source"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
