@@ -8,7 +8,8 @@ ReusedExchange, so the shared subtree EXECUTES once per branch. Locally
 the branches overlap in wall-clock and the waste is invisible — at
 cluster scale each extra traversal is a full extra pass of scan +
 explode + aggregate cost. Round-4 fixes driven by this audit: decon02
-(3 scans → 1), q38 (6 → 1), llm02 (6 → 2).
+(3 scans → 1), q38 (6 → 1), llm02 (6 → 2), x25 (4 → 3, the exact-MAD
+floor).
 
 A repeated scan is NOT automatically a bug — the legitimate classes are
 listed in SCALE.md §"Same-table traversal audit" (self-joins, set ops,
