@@ -49,20 +49,26 @@ from api_etl_pipeline_spark.tables import load_table
 )
 def ev01_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-seen month, counted in
-    each later month they were active. Both the cohort assignment and the
-    activity dedup group on user_id, so one exchange feeds both sides and
-    the self-join co-locates without a new shuffle; the final rollup is a
-    few (cohort × offset) cells."""
+    each later month they were active.
+
+    Round-4 single-pass rewrite (scan-audit): the firsts⋈activity join
+    formulation scanned events twice (branch recompute — the decon02
+    lesson). The cohort month IS min(act_month) over the user's DISTINCT
+    activity months (date_trunc is monotone in ts, so min commutes with
+    it), so one scan feeds the (user, month) dedup and a user-window min
+    replaces the join: the dedup collapses the relation to ~users×months
+    rows BEFORE the window, and the final rollup is a few
+    (cohort × offset) cells."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     month = lambda c: F.date_trunc("month", c).cast("timestamp_ntz")  # noqa: E731
-    firsts = ev.groupBy("user_id").agg(month(F.min("ts")).alias("cohort_month"))
     activity = ev.select("user_id", month(F.col("ts")).alias("act_month")).distinct()
+    cohort = F.min("act_month").over(Window.partitionBy("user_id"))
     moff = (
         (F.year("act_month") * 12 + F.month("act_month"))
         - (F.year("cohort_month") * 12 + F.month("cohort_month"))
     ).cast("bigint")
     return (
-        firsts.join(activity, "user_id")
+        activity.withColumn("cohort_month", cohort)
         .groupBy("cohort_month", moff.alias("month_offset"))
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
@@ -180,9 +186,19 @@ def ev04_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     one distinct-agg per window end — O(7·|daily actives|) instead of a
     range self-join, and the explode factor IS the window length, fixed
     and known. The semi join keeps only observed days (matching the
-    oracle's days CTE)."""
+    oracle's days CTE).
+
+    The deduped (day, user) relation feeds BOTH the observed-day spine
+    and the explode, and the pruning-divergent branches would re-scan
+    events (scan-audit finding) — so it is localCheckpointed: two ints
+    per daily-active row, orders of magnitude smaller than the raw
+    events it replaces re-reading."""
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    du = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     days = du.select("d").distinct()
     served = du.select(
         "user_id",
