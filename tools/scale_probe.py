@@ -54,6 +54,8 @@ QUERIES = [
     "tx08_tfidf_top_term",  # round-4 3-exchange rewrite: verify it scales
     "dd12_segment_dedup_clean",  # segment window: volume ∝ duplication rate
     "tx16_bm25_topk",  # map-only tf: shuffle must stay query-vocab-bounded
+    "q38_funnel_steps",  # single-pass funnel fold (round-4 rewrite)
+    "llm02_corpus_funnel",  # flag-based funnel audit (round-4 rewrite)
 ]
 
 
