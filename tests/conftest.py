@@ -11,7 +11,12 @@ REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-SF_DIR = "/root/testdata/sf0.01"
+# SPARK_GRAFT_TEST_SF_DIR overrides the differential-oracle scale — used
+# for the periodic "same hashes at 10x the data and partitions" sweep
+# (run the oracle mirror with /root/testdata/sf0.1)
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
