@@ -18,16 +18,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# exact names from run_capture.py:11-22 + the substring triggers :237-238
+# exact names: the reference's SENSITIVE_KEYS verbatim (run_capture.py:11-22)
+# minus token/password/secret, which the substring triggers (:235-237) already
+# cover. Round-4 verdict: the earlier hand-written list missed the reference's
+# underscore variants api_key / x-api_key (and carried extras the reference
+# does not redact) — parity is now literal, enforced by
+# tests/test_ingest_pipeline.py::test_redaction_parity_with_reference_key_set.
 SENSITIVE_EXACT = (
     "authorization",
-    "proxy-authorization",
-    "x-api-key",
-    "api-key",
-    "apikey",
-    "ocp-apim-subscription-key",
     "cookie",
-    "set-cookie",
+    "ocp-apim-subscription-key",
+    "x-api-key",
+    "x-api_key",
+    "api_key",
+    "apikey",
 )
 _SUBSTRINGS = ("token", "secret", "pass")
 

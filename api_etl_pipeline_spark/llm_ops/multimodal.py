@@ -7,11 +7,17 @@ and the metadata struct travels with the row; decode/feature-extract run
 as Arrow-batched Pandas UDFs over mapInPandas (the only Python in the
 engine, batched so the interpreter cost amortizes per ~10k rows).
 
-The actual image/audio decoders are NOT available in this environment —
-`decode_image` raises NotImplementedError by design, and the pipeline is
-exercised with `fake_decode_features` (a deterministic byte-level
-featurizer) so the Spark-side plumbing — schema, batching, partition
-behavior — is real and tested (tests/test_multimodal.py).
+Codec libraries (PIL/libvips/ffmpeg) are NOT available in this
+environment, so `decode_image` implements the formats a pure header
+parse can serve — binary PPM/PGM and uncompressed 24-bit BMP — and the
+`decode_image_features` mapInPandas stage runs that REAL decode
+end-to-end (tests/test_multimodal.py decodes actual fixtures through
+Spark). Compressed formats route to the per-row `decode_error`
+quarantine column until a codec is swapped in at deploy time. The
+synthetic corpus queries (mm01-mm04) use `fake_decode_features` — a
+deterministic byte-level featurizer — because testdata payloads are
+text bytes, not images; the plumbing (schema, batching, partitioning)
+is identical.
 """
 
 from __future__ import annotations
@@ -31,13 +37,83 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub by design
-    """Real decoder hook (PIL/libvips/ffmpeg are not in this container).
+def decode_image(content: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free image decoder for the uncompressed formats a
+    header parse can serve: binary PPM (P6), binary PGM (P5, expanded to
+    RGB), and 24-bit uncompressed BMP. Returns (width, height, rgb) with
+    `rgb` as height*width*3 bytes in row-major top-down order.
 
-    Swap in an actual implementation where available; everything
-    downstream only sees the feature schema.
+    Compressed formats (PNG/JPEG) still need a codec library at deploy
+    time — swap this hook; everything downstream only sees (w, h, rgb).
+    Raises ValueError on anything it cannot decode, which mm-pipeline
+    stages route to a quarantine column exactly like corrupt JSON (F10).
     """
-    raise NotImplementedError("image decoding requires an image library at deploy time")
+    if content[:2] in (b"P6", b"P5"):
+        return _decode_pnm(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    raise ValueError(f"undecodable image header {content[:4]!r}")
+
+
+def _decode_pnm(content: bytes) -> tuple[int, int, bytes]:
+    """Netpbm binary: 'P6'/'P5', whitespace/comment-separated width,
+    height, maxval, single whitespace, then raw samples (spec:
+    netpbm.sourceforge.net/doc/ppm.html)."""
+    magic = content[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and content[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PNM header")
+        fields.append(int(content[start:pos]))
+    pos += 1  # exactly one whitespace byte before raster data
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    n = w * h * (3 if magic == b"P6" else 1)
+    raster = content[pos : pos + n]
+    if len(raster) < n:
+        raise ValueError("truncated PNM raster")
+    if magic == b"P5":  # grey → RGB triplets
+        raster = bytes(b for g in raster for b in (g, g, g))
+    return w, h, raster
+
+
+def _decode_bmp(content: bytes) -> tuple[int, int, bytes]:
+    """BMP, BITMAPINFOHEADER, 24bpp, BI_RGB (uncompressed): little-endian
+    header fields, BGR pixel order, rows padded to 4 bytes, bottom-up
+    unless height is negative (spec: Windows BITMAPINFOHEADER docs)."""
+    import struct
+
+    if len(content) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", content, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", content, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(content) < data_offset + stride * h:
+        raise ValueError("truncated BMP raster")
+    import numpy as np
+
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1].tobytes()  # BGR → RGB
 
 
 def _make_fake_decoder():
@@ -71,6 +147,55 @@ def _make_fake_decoder():
 # deterministic stand-in decoder: byte-level statistics per Arrow batch,
 # shape-identical to a real decoder stage
 fake_decode_features = _make_fake_decoder()
+
+
+DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pixels bigint, "
+    "mean_r double, mean_g double, mean_b double, decode_error string"
+)
+
+
+def _make_image_decoder():
+    """Arrow-batched REAL decode stage over (doc_id, content): parses
+    PPM/PGM/BMP payloads with `decode_image` and emits per-image pixel
+    statistics; rows that fail to decode carry the error in
+    `decode_error` instead of killing the job (the F10 quarantine
+    pattern applied to media). Closure for the same cloudpickle-by-value
+    reason as the fake decoder."""
+    import numpy as np
+    import pandas as _pd
+
+    def decode_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_pixels",
+                "mean_r", "mean_g", "mean_b", "decode_error",
+            )}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    w, h, rgb = decode_image(bytes(content))
+                    px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+                    means = px.mean(axis=0) if len(px) else np.zeros(3)
+                    vals = (w, h, w * h, *map(float, means), None)
+                except ValueError as exc:
+                    vals = (0, 0, 0, 0.0, 0.0, 0.0, str(exc))
+                for k, v in zip(
+                    ("width", "height", "n_pixels", "mean_r", "mean_g", "mean_b",
+                     "decode_error"),
+                    vals,
+                ):
+                    rows[k].append(v)
+                rows["doc_id"].append(doc_id)
+            out = _pd.DataFrame(rows)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            out["n_pixels"] = out["n_pixels"].astype("int64")
+            yield out
+
+    return decode_features
+
+
+decode_image_features = _make_image_decoder()
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,11 +268,39 @@ def sample_frames(media: DataFrame, frame_size: int = 32, every_n: int = 4) -> D
     )
 
 
-@query("mm02_frame_sampling", oracle=None)  # binary slicing: rows-only + pytest
+@query(
+    "mm02_frame_sampling",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, text AS content,
+               (octet_length(encode(text)) // 32)::INT AS n_frames
+        FROM documents
+        WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 32
+    ),
+    frames AS (
+        SELECT doc_id, content, unnest(range(0, n_frames, 4))::INT AS frame_no
+        FROM sized
+    )
+    SELECT doc_id, frame_no,
+           (frame_no::BIGINT * 32) AS frame_offset,
+           octet_length(encode(substring(content, frame_no * 32 + 1, 32)))::BIGINT
+               AS frame_bytes,
+           sha256(substring(content, frame_no * 32 + 1, 32)) AS frame_sha256
+    FROM frames
+    """,
+)
 def mm02_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample the synthetic video rows (every 4th 32-byte window) —
     the decode-free half of a video ingestion pipeline; per-frame hashes
-    feed frame-level dedup exactly like document hashes feed text dedup."""
+    feed frame-level dedup exactly like document hashes feed text dedup.
+
+    Oracle promotion (round-5; was rows-only): the whole stage is JVM
+    byte arithmetic — no Pandas UDF — so DuckDB can state it exactly.
+    DuckDB lacks BLOB substring/sha256, so the oracle slices the VARCHAR
+    and hashes that; byte slicing ≡ char slicing because the synthetic
+    corpus is pure ASCII (octet_length(encode(text)) = length(text) for
+    every row — would surface as an oracle mismatch if the generator
+    ever changed)."""
     media = media_table(spark, sf_dir).filter(F.col("media_type") == "video/mp4")
     return sample_frames(media)
 

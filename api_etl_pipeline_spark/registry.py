@@ -82,22 +82,23 @@ def _load_all() -> None:
 
 
 # Driver-coverage rotation. The driver's per-round correctness gate samples
-# the FIRST 50 entries of queries() in dict order; rounds 1-3 sampled the
-# same 50 keys, so 122 queries were only ever verified by the (method-
-# identical, always-green) pytest DuckDB mirror in
-# tests/test_queries_oracle.py. This prefix front-loads the families the
-# driver has never checked (ing*, dd*, sim*, w*) plus the two queries whose
-# oracle was added in round 4 (q27, q51), so CORRECTNESS_r04 lands on fresh
-# ground. Nothing is removed — every query stays registered and the pytest
-# mirror still covers all of them. Rotate again next round (st*, qsql*,
-# tx*, llm* are the remaining never-sampled families).
+# the FIRST 50 entries of queries() in dict order. Rounds 1-4 cumulatively
+# drove 115 of 199 names; this round-5 prefix front-loads 50 of the 84
+# never-driver-checked queries (qsql*, tx*, llm*, decon/cur/mix/shuf/chunk,
+# samp*, pack*, st01-05/st08, plus ev13/x13/dd11/dd12), all oracle-bearing,
+# lifting cumulative coverage to 165/199. The remaining 34 (x14-x24,
+# q39-q50, mm*, sim06/09/10, st live twins) rotate in next round. Nothing
+# is removed — every query stays registered and the pytest mirror in
+# tests/test_queries_oracle.py still covers all of them.
 _DRIVER_SAMPLE_PREFIX = [
-    "q27_approx_aggregates",
-    "q51_hll_mergeable_distinct",
-    *[f"ing{i:02d}" for i in range(1, 21)],  # resolved by prefix below
-    *[f"dd{i:02d}" for i in range(1, 11)],
-    "sim01", "sim02", "sim03", "sim04", "sim05", "sim07", "sim08",
-    *[f"w{i:02d}" for i in range(1, 12)],
+    *[f"qsql{i:02d}" for i in range(1, 10)],
+    *[f"tx{i:02d}" for i in range(1, 17)],
+    "llm01", "llm02", "llm03",
+    "decon01", "decon02", "cur01", "mix01", "shuf01", "chunk01",
+    "samp01", "samp02", "samp03", "samp04",
+    "pack01", "pack02",
+    "st01", "st02", "st03", "st04", "st05", "st08",
+    "ev13", "x13", "dd11", "dd12",
 ]
 
 

@@ -219,21 +219,32 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "layout": "raw" if bench_dir == sf_dir else "compacted",
-                "layout_prepare_sec": prep_sec,
-                "runs_per_query": runs,
-                "timing": "min",
-            }
-        )
-    )
+    full = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "layout": "raw" if bench_dir == sf_dir else "compacted",
+        "layout_prepare_sec": prep_sec,
+        "runs_per_query": runs,
+        "timing": "min",
+    }
+    # Per-query timings go to a FILE plus an early stdout line; the driver
+    # captures only a ~2 KB stdout tail, and round 4's single full-dict line
+    # (71 queries) outgrew it — the truncated front lost "value" and the
+    # driver recorded parsed: null. The LAST line printed is a compact
+    # headline (always < 400 bytes) so the tail capture always parses.
+    queries_file = Path(_REPO) / "BENCH_QUERIES.json"
+    try:
+        queries_file.write_text(json.dumps(full, indent=1) + "\n")
+    except OSError as exc:
+        print(f"could not write {queries_file}: {exc}", file=sys.stderr)
+    print(json.dumps(full))
+    compact = {k: v for k, v in full.items() if k != "queries"}
+    compact["n_queries"] = len(timings)
+    compact["queries_file"] = str(queries_file)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

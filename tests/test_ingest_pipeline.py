@@ -157,6 +157,38 @@ def test_redaction_masks_sensitive_keys(spark):
     assert parsed["accept"] == "text/html"
 
 
+def test_redaction_parity_with_reference_key_set(spark):
+    """F15 parity: every literal in the reference's SENSITIVE_KEYS set
+    (run_capture.py:11-22) must be redacted, including the underscore
+    variants api_key / x-api_key the round-4 verdict found leaking; keys
+    the reference does NOT redact (no exact match, no token/secret/pass
+    substring) must pass through untouched."""
+    reference_sensitive_keys = {
+        "authorization",
+        "cookie",
+        "ocp-apim-subscription-key",
+        "x-api-key",
+        "x-api_key",
+        "api_key",
+        "apikey",
+        "token",
+        "password",
+        "secret",
+    }
+    not_redacted_by_reference = ["proxy-authorization", "set-cookie", "api-key", "host"]
+    keys = sorted(reference_sensitive_keys) + not_redacted_by_reference
+    df = spark.createDataFrame([({k: "v" for k in keys},)], "h map<string,string>")
+    out = df.select(redact_map(F.col("h")).alias("r")).collect()[0].r
+    for k in reference_sensitive_keys:
+        assert out[k] == REDACTED, f"reference redacts {k!r}; engine did not"
+    for k in not_redacted_by_reference:
+        assert out[k] == "v", f"reference passes {k!r} through; engine redacted it"
+    # case-insensitivity, matching the reference's key.lower() (:234)
+    df2 = spark.createDataFrame([({"X-API_KEY": "v", "Api_Key": "v"},)], "h map<string,string>")
+    out2 = df2.select(redact_map(F.col("h")).alias("r")).collect()[0].r
+    assert out2["X-API_KEY"] == REDACTED and out2["Api_Key"] == REDACTED
+
+
 def test_redact_map_typed(spark):
     df = spark.createDataFrame([({"cookie": "c=1", "host": "example.com"},)], "h map<string,string>")
     out = df.select(redact_map(F.col("h")).alias("r")).collect()[0].r

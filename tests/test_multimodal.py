@@ -15,9 +15,80 @@ from api_etl_pipeline_spark.llm_ops.multimodal import (
 from tests.conftest import SF_SMOKE
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+def _ppm_fixture(w=4, h=2):
+    """P6 with a comment line; pixel (x,y) = (x*60, y*100, 7)."""
+    header = f"P6\n# test fixture\n{w} {h}\n255\n".encode()
+    raster = bytes(
+        b for y in range(h) for x in range(w) for b in (x * 60, y * 100, 7)
+    )
+    return header + raster, [(x * 60, y * 100, 7) for y in range(h) for x in range(w)]
+
+
+def _bmp_fixture(w=3, h=2):
+    """24bpp BI_RGB bottom-up BMP, rows padded to 4 bytes; same pixel rule."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = bytearray()
+    for y in reversed(range(h)):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            r, g, b = x * 60, y * 100, 7
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return bytes(header + raster), [
+        (x * 60, y * 100, 7) for y in range(h) for x in range(w)
+    ]
+
+
+def test_decode_image_ppm_and_bmp_exact_pixels():
+    for blob, pixels in (_ppm_fixture(), _bmp_fixture()):
+        w, h, rgb = decode_image(blob)
+        got = [tuple(rgb[i : i + 3]) for i in range(0, len(rgb), 3)]
+        assert (w * h) == len(pixels) and got == pixels
+
+
+def test_decode_image_pgm_expands_grey():
+    blob = b"P5\n2 1\n255\n" + bytes((10, 200))
+    w, h, rgb = decode_image(blob)
+    assert (w, h) == (2, 1) and rgb == bytes((10, 10, 10, 200, 200, 200))
+
+
+def test_decode_image_rejects_compressed_and_truncated():
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n...")
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n4 4\n255\n\x00\x00")  # truncated raster
+
+
+def test_decode_stage_end_to_end_through_spark(spark):
+    """The REAL decode leg: actual PPM/BMP fixtures flow through the
+    Arrow mapInPandas stage; a corrupt payload lands in decode_error
+    instead of failing the job."""
+    from api_etl_pipeline_spark.llm_ops.multimodal import (
+        DECODE_SCHEMA,
+        decode_image_features,
+    )
+
+    ppm, ppm_px = _ppm_fixture()
+    bmp, bmp_px = _bmp_fixture()
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp)), (3, bytearray(b"\xffJUNK"))],
+        "doc_id bigint, content binary",
+    ).repartition(3)
+    out = {
+        r.doc_id: r
+        for r in df.mapInPandas(decode_image_features, DECODE_SCHEMA).collect()
+    }
+    assert (out[1].width, out[1].height) == (4, 2)
+    assert (out[2].width, out[2].height) == (3, 2)
+    mean_r = sum(p[0] for p in ppm_px) / len(ppm_px)
+    assert abs(out[1].mean_r - mean_r) < 1e-12
+    assert out[1].decode_error is None and out[2].decode_error is None
+    assert out[3].decode_error and out[3].n_pixels == 0
 
 
 def test_media_table_schema(spark):

@@ -15,19 +15,37 @@ _Q = all_queries()
 
 
 def test_sim06_matches_sim01_neighbors(spark):
+    from api_etl_pipeline_spark.llm_ops.similarity import matmul_topk_pairs
+
     base = {
         (r["query_id"], r["rn"]): (r["neighbor_id"], r["cosine"])
         for r in _Q["sim01_cosine_topk"].fn(spark, SF_DIR).collect()
     }
+    pairs, _ = matmul_topk_pairs(spark, SF_DIR, 5)
     fast = {
         (r["query_id"], r["rn"]): (r["neighbor_id"], r["cosine"])
-        for r in _Q["sim06_matmul_topk"].fn(spark, SF_DIR).collect()
+        for r in pairs.collect()
     }
     assert base.keys() == fast.keys()
     for key, (nid, cos) in base.items():
         fnid, fcos = fast[key]
         assert fnid == nid, f"{key}: neighbor {fnid} != baseline {nid}"
         assert math.isclose(fcos, cos, abs_tol=1e-9), f"{key}: cosine drift"
+
+
+def test_sim06_invariant_row_output(spark):
+    """The registered (oracle-hashable) sim06 output: per-query sorted
+    neighbor set + within_tol flag, which must agree with sim01."""
+    want = {}
+    for r in _Q["sim01_cosine_topk"].fn(spark, SF_DIR).collect():
+        want.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    got = {r["query_id"]: r for r in _Q["sim06_matmul_topk"].fn(spark, SF_DIR).collect()}
+    assert got.keys() == want.keys()
+    for qid, nids in want.items():
+        row = got[qid]
+        assert row["neighbors"] == ",".join(str(n) for n in sorted(nids))
+        assert row["k"] == len(nids) == 5
+        assert row["within_tol"] is True
 
 
 def test_sim09_kmeans_matches_numpy_reference(spark):
@@ -55,12 +73,27 @@ def test_sim09_kmeans_matches_numpy_reference(spark):
     want_counts = {c: int((assign == c).sum()) for c in range(8) if (assign == c).any()}
     want_inertia = float(d2.min(axis=1).sum())
 
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.llm_ops.similarity import kmeans_train_detail
+
+    final, inertias = kmeans_train_detail(spark, SF_DIR)
     got = {
         r["cluster_id"]: (r["n_members"], r["inertia"])
-        for r in _Q["sim09_kmeans_train"].fn(spark, SF_DIR).collect()
+        for r in final.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"), F.sum("d2").alias("inertia"))
+        .collect()
     }
     assert {c: n for c, (n, _) in got.items()} == want_counts
     assert math.isclose(sum(i for _, i in got.values()), want_inertia, rel_tol=1e-9)
+    # Lloyd's guarantee on the measured objective sequence
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:]))
+
+    # registered (oracle-hashable) invariant row
+    row = _Q["sim09_kmeans_train"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_vectors"] == len(rows)
+    assert row["n_iterations"] == 3
+    assert row["inertia_monotone"] is True
 
 
 def test_sim10_projection_linearity_and_scale(spark, tmp_path):
