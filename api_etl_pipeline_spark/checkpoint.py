@@ -1,0 +1,43 @@
+"""Lineage-truncation helper shared by the iterative / reused-subtree
+operators (dd09/dd10 connected components, llm01/llm02 near-dup band
+reuse, ev04/x25 tiny shared aggregates).
+
+Why localCheckpoint: these plans either iterate (lineage grows per
+round) or reuse one small subtree from two pruning-divergent branches
+(ReusedExchange does not fire); truncating the lineage materializes the
+subtree once instead of recomputing it per consumer.
+
+CLUSTER-SCALE CAVEAT (stated once here, inherited by every call site):
+`localCheckpoint` stores blocks on executors and is NOT fault-tolerant —
+an executor loss invalidates the checkpoint and fails the query. On a
+real cluster, set a reliable checkpoint directory
+(`spark.sparkContext.setCheckpointDir("hdfs://…")`) and flip
+RELIABLE=True (or export SPARK_GRAFT_RELIABLE_CHECKPOINT=1) so these
+sites use `DataFrame.checkpoint` instead; local[...] test runs keep the
+executor-local fast path, where driver==executor makes the caveat moot.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+RELIABLE = bool(os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT"))
+
+
+def lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate lineage without forcing immediate materialization (the
+    first action pays it). See module docstring for the cluster-scale
+    fault-tolerance caveat."""
+    if RELIABLE:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
+def eager_checkpoint(df: DataFrame) -> DataFrame:
+    """Materialize now — for iterative loops that immediately fan out
+    multiple consumers of the checkpointed state (dd09's CC rounds)."""
+    if RELIABLE:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

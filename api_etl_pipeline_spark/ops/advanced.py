@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
 
@@ -552,7 +553,7 @@ def x25_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = (
         d.groupBy(F.col("source").alias("m_source"))
         .agg(F.percentile("n_chars", 0.5).alias("med_chars"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     adev = F.abs(F.col("n_chars") - F.col("med_chars")).alias("adev")
     mad = (

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
 
@@ -197,7 +198,7 @@ def ev04_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = (
         ev.select(F.to_date("ts").alias("d"), "user_id")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     days = du.select("d").distinct()
     served = du.select(

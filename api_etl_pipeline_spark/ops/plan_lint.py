@@ -57,6 +57,13 @@ ALLOWED: dict[tuple[str, str], str] = {
     ),
     ("q36_market_share", "SortMergeJoin"): "lineitem⋈orders fact-fact join",
     ("llm01_clean_corpus", "SortMergeJoin"): "near-dup candidate self-join is fact-fact",
+    ("llm02_corpus_funnel", "SortMergeJoin"): (
+        "flags⋈demoted without a broadcast hint (round-5 advice): the "
+        "demoted id set scales with the corpus duplication rate, so a "
+        "forced broadcast would exceed the 8 GB limit at 100 TB — the "
+        "static plan is SMJ and AQE flips it to broadcast at runtime "
+        "when the set is actually small"
+    ),
     ("q09_cross_join", "BroadcastNestedLoopJoin"): "intentional cross join, 5×25-row dims",
     ("q34_dormant_rich_customers", "BroadcastNestedLoopJoin"): "single-row scalar avg broadcast",
     ("tx08_tfidf_top_term", "BroadcastNestedLoopJoin"): "single-row corpus-count broadcast",

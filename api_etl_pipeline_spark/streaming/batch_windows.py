@@ -20,6 +20,26 @@ from pyspark.sql import functions as F
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
 
+# per-(process, sf_dir) staging cache for the live-stream twins: the
+# file-stream source needs a directory it can list, so events.parquet is
+# copied once per sf_dir, reused across invocations (bench runs a query
+# 5x), and removed at interpreter exit — round-4 advice flagged the
+# previous copy-per-invocation/never-delete pattern as a disk leak
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def _stage_events_dir(sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if sf_dir not in _STAGE_CACHE:
+        stage_dir = tempfile.mkdtemp(prefix="st_live_events_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+        _STAGE_CACHE[sf_dir] = stage_dir
+    return _STAGE_CACHE[sf_dir]
+
 
 @query(
     "st01_tumbling_window",
@@ -206,15 +226,12 @@ def st06_streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     result. Equality with the batch twin (st01) is pinned in
     tests/test_streaming.py; here the driver sees that the streaming
     path executes and yields a stable schema."""
-    import shutil
-    import tempfile
     import uuid
 
     from api_etl_pipeline_spark.streaming.stream_ops import tumbling_counts
     from api_etl_pipeline_spark.tables import load_events_stream
 
-    stage_dir = tempfile.mkdtemp(prefix="st06_events_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    stage_dir = _stage_events_dir(sf_dir)
     stream = load_events_stream(spark, stage_dir)
     name = "st06_" + uuid.uuid4().hex[:10]
     q = (
@@ -239,8 +256,6 @@ def st07_streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stream Structured Streaming run into a memory sink — the driver's
     rows-only check sees the live path execute; equality with the batch
     range join is pinned in tests/test_streaming.py."""
-    import shutil
-    import tempfile
     import uuid
 
     from api_etl_pipeline_spark.streaming.stream_ops import (
@@ -248,8 +263,7 @@ def st07_streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from api_etl_pipeline_spark.tables import load_events_stream
 
-    stage_dir = tempfile.mkdtemp(prefix="st07_events_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    stage_dir = _stage_events_dir(sf_dir)
     s1 = load_events_stream(spark, stage_dir)
     s2 = load_events_stream(spark, stage_dir)
     joined = purchase_click_stream_join(
@@ -333,15 +347,12 @@ def st09_streaming_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equality with the batch twin (st08) is pinned in
     tests/test_streaming.py; the driver's rows-only check sees the live
     path execute with a stable schema."""
-    import shutil
-    import tempfile
     import uuid
 
     from api_etl_pipeline_spark.streaming.stream_ops import enrich_with_dimension
     from api_etl_pipeline_spark.tables import load_events_stream
 
-    stage_dir = tempfile.mkdtemp(prefix="st09_events_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+    stage_dir = _stage_events_dir(sf_dir)
     stream = load_events_stream(spark, stage_dir)
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
