@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
 
@@ -1004,4 +1005,114 @@ def tx16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rk", F.row_number().over(rk).cast("bigint"))
         .filter(F.col("rk") <= BM25_TOPK)
         .select("query_id", "rk", "doc_id", "n_terms", "score")
+    )
+
+
+@query(
+    "tx17_lm_familiarity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    doc_bg AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg, COUNT(*)::BIGINT AS c_doc
+        FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+        GROUP BY doc_id, bg
+    ),
+    lm AS (SELECT bg, SUM(c_doc)::BIGINT AS c_bg FROM doc_bg GROUP BY bg),
+    pre AS (
+        SELECT string_split(bg, ' ')[1] AS w1, SUM(c_bg)::BIGINT AS c_pre
+        FROM lm GROUP BY 1
+    ),
+    terms AS (
+        SELECT d.doc_id, d.bg, d.c_doc,
+               d.c_doc * log2(CAST(l.c_bg AS DOUBLE) / p.c_pre) AS term
+        FROM doc_bg d
+        JOIN lm l ON d.bg = l.bg
+        JOIN pre p ON string_split(d.bg, ' ')[1] = p.w1
+    ),
+    folds AS (
+        SELECT doc_id,
+               SUM(c_doc)::BIGINT AS n_bigrams,
+               list_reduce(
+                   list_prepend(0.0, list(term ORDER BY bg ASC)),
+                   (a, b) -> a + b
+               ) AS s
+        FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           ROUND(s / n_bigrams, 6) + 0.0 AS avg_logprob
+    FROM folds
+    """,
+)
+def tx17_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM familiarity score — the in-corpus analog of
+    CCNet's KenLM perplexity filter (the step that splits a crawl into
+    head/middle/tail quality buckets): score each document by the mean
+    log₂-probability of its word bigrams under the corpus's own maximum-
+    likelihood bigram model, p(w₂|w₁) = c(w₁w₂)/c(w₁·). Boilerplate and
+    formulaic text score high (familiar transitions), garbled or
+    keyword-stuffed text scores low; thresholding on the distribution is
+    the production filter. No smoothing is needed because the scoring
+    set IS the training corpus, so every bigram has positive count.
+
+    Plan shape: the corpus collapses ONCE per branch into per-doc bigram
+    counts (composite-key shuffle) and the LM aggregates that compressed
+    relation — counts, never raw token pairs, cross the wire. The prefix
+    totals derive from the LM itself (vocabulary-sized re-agg, broadcast
+    back), so the probe side joins doc-bigrams⋈LM on the bigram key —
+    fact-fact by design, the LM scales with bigram vocabulary (plan-lint
+    reason recorded; at 100 TB the LM is the materialize-once corpus
+    statistic, tx15's df-table discipline). Two documents traversals
+    (LM branch + probe branch), the tx15/tx08 legitimate class. Per-doc
+    float accumulation folds in bigram-ascending order on BOTH engines
+    (tx13 convention), and the mean rounds to 6 dp because log2's last
+    ulp is libm- vs JVM-dependent."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    bg_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select("doc_id", _tokens().alias("toks")).select(
+        "doc_id", F.explode(bg_arr).alias("bg")
+    )
+    doc_bg = base.groupBy("doc_id", "bg").agg(F.count("*").alias("c_doc"))
+    # the LM feeds BOTH the probe join and the prefix-total derivation;
+    # without lineage truncation the pruning-divergent branches would
+    # re-run the corpus explode+aggregate a third time (measured: 3
+    # parquet scans -> 2). The LM is bigram-vocabulary-scale — exactly
+    # the materialize-once statistic the docstring describes.
+    lm = lazy_checkpoint(base.groupBy("bg").agg(F.count("*").alias("c_bg")))
+    pre = lm.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")).agg(
+        F.sum("c_bg").alias("c_pre")
+    )
+    term = F.col("c_doc") * F.log2(F.col("c_bg").cast("double") / F.col("c_pre"))
+    scored = (
+        doc_bg.join(lm, "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(pre), "w1")
+        .select("doc_id", "bg", "c_doc", term.alias("term"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c_doc").alias("n_bigrams"),
+        (
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("bg", "term"))),
+                        lambda x: x["term"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+                / F.sum("c_doc"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("avg_logprob"),
     )

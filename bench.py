@@ -118,6 +118,8 @@ OPTIONAL = [
     "samp04_temperature_mix",  # UniMax-style source temperature weights
     "sim10_random_projection",  # JL ±1 sketch, zero-exchange scan-project
     "q38_funnel_steps",  # single-pass ordered funnel fold (was 6 scans)
+    # round 5
+    "tx17_lm_familiarity",  # corpus bigram-LM scoring (CCNet ppl-filter analog)
 ]
 
 
