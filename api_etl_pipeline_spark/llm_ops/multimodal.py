@@ -499,3 +499,86 @@ def mm05_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("caption").cast("bigint").alias("caption_chars"),
         )
     )
+
+
+def _ahash_oracle() -> str:
+    """Generate the mm06 oracle with the 64 grid-sample expressions
+    spelled out from the SAME Python loop that builds the Spark side, so
+    the sampling positions cannot drift between engines."""
+    samples = [
+        f"ascii(substring(text, ({gy} * src_h) // 8 * 32 + {(gx * 32) // 8} + 1, 1))"
+        for gy in range(8)
+        for gx in range(8)
+    ]
+    total = " + ".join(f"s[{i + 1}]" for i in range(64))
+    bits = ", ".join(
+        f"CASE WHEN s[{i + 1}] * 64 > tot THEN '1' ELSE '0' END" for i in range(64)
+    )
+    return f"""
+    WITH media AS (
+        SELECT doc_id, text, (length(text) // 32)::INT AS src_h
+        FROM documents
+        WHERE doc_id % 3 = 0 AND length(text) >= 32
+    ),
+    sampled AS (
+        SELECT doc_id, [{", ".join(samples)}] AS s FROM media
+    ),
+    hashed AS (
+        SELECT doc_id, concat({bits}) AS ahash
+        FROM (SELECT doc_id, s, ({total}) AS tot FROM sampled)
+    )
+    SELECT ahash,
+           substring(ahash, 1, 16) AS band16,
+           COUNT(*)::BIGINT AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM hashed GROUP BY ahash
+    """
+
+
+@query("mm06_perceptual_hash_groups", oracle=_ahash_oracle())
+def mm06_perceptual_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) bucketing over image payloads —
+    the multimodal twin of dd01's content-hash dedup: two images whose
+    8×8 luma downsample brightens/darkens the same way collide on the
+    64-bit hash even when their bytes differ (re-encodes, metadata
+    edits), and the 16-bit band prefix is the LSH-style coarse key for
+    Hamming-near candidate pairing. Payloads follow mm03's convention —
+    the byte stream viewed as a 32-wide single-channel image — so the
+    grid sample is plain JVM integer arithmetic: pixel value at grid
+    cell (gy, gx) = byte at row (gy·src_h)//8, col (gx·32)//8; bit =
+    sample·64 > Σsamples (integer-only mean comparison, no float
+    anywhere, hence hash-exact cross-engine). Both engines' 64 sample
+    expressions are generated by the same Python loop.
+
+    Scale shape: narrow per-row projection (64 substring/ascii ops,
+    whole-stage codegen) then ONE hash shuffle on the 64-bit key —
+    dd01's linear-dedup cost model applied to media. A real deployment
+    swaps the byte view for decode_image output at the same schema; the
+    grouping/banding plumbing is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter((F.col("doc_id") % 3 == 0) & (F.length("text") >= 32)).select(
+        "doc_id", "text", F.floor(F.length("text") / 32).cast("int").alias("src_h")
+    )
+    samples = [
+        F.ascii(
+            F.substring(
+                "text",
+                (F.floor(F.lit(gy) * F.col("src_h") / 8) * 32 + (gx * 32) // 8 + 1).cast("int"),
+                1,
+            )
+        )
+        for gy in range(8)
+        for gx in range(8)
+    ]
+    sampled = media.select(
+        "doc_id", F.array(*samples).alias("s")
+    ).withColumn("tot", F.aggregate(F.col("s"), F.lit(0), lambda a, b: a + b))
+    bit = lambda i: F.when(F.element_at("s", i + 1) * 64 > F.col("tot"), "1").otherwise("0")  # noqa: E731
+    hashed = sampled.select(
+        "doc_id", F.concat(*[bit(i) for i in range(64)]).alias("ahash")
+    )
+    return hashed.groupBy("ahash").agg(
+        F.substring("ahash", 1, 16).alias("band16"),
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )

@@ -120,6 +120,7 @@ OPTIONAL = [
     "q38_funnel_steps",  # single-pass ordered funnel fold (was 6 scans)
     # round 5
     "tx17_lm_familiarity",  # corpus bigram-LM scoring (CCNet ppl-filter analog)
+    "mm06_perceptual_hash_groups",  # aHash bucketing, dd01 cost model on media
 ]
 
 

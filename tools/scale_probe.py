@@ -56,6 +56,9 @@ QUERIES = [
     "tx16_bm25_topk",  # map-only tf: shuffle must stay query-vocab-bounded
     "q38_funnel_steps",  # single-pass funnel fold (round-4 rewrite)
     "llm02_corpus_funnel",  # flag-based funnel audit (round-4 rewrite)
+    "tx17_lm_familiarity",  # round-5: LM probe join must stay shuffle-bound
+    "mm06_perceptual_hash_groups",  # round-5: narrow project + 1 hash shuffle
+    "decon02_source_overlap",  # round-5 broadcast-totals rewrite
 ]
 
 
