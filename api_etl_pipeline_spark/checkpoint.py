@@ -23,7 +23,12 @@ import os
 
 from pyspark.sql import DataFrame
 
-RELIABLE = bool(os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT"))
+RELIABLE = os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT", "").lower() not in (
+    "",
+    "0",
+    "false",
+    "no",
+)
 
 
 def lazy_checkpoint(df: DataFrame) -> DataFrame:

@@ -79,10 +79,17 @@ def _decode_pnm(content: bytes) -> tuple[int, int, bytes]:
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PNM not supported")
+    if maxval < 1:
+        raise ValueError("malformed PNM maxval")
     n = w * h * (3 if magic == b"P6" else 1)
     raster = content[pos : pos + n]
     if len(raster) < n:
         raise ValueError("truncated PNM raster")
+    if maxval != 255:
+        # spec-legal low-maxval images store samples in [0, maxval];
+        # rescale to 8-bit (round-half-up) or stats come out dark
+        table = bytes(min(255, (v * 255 + maxval // 2) // maxval) for v in range(256))
+        raster = raster.translate(table)
     if magic == b"P5":  # grey → RGB triplets
         raster = bytes(b for g in raster for b in (g, g, g))
     return w, h, raster

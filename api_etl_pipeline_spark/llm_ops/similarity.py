@@ -483,7 +483,14 @@ def sim06_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul cosine agrees to 1e-9 — so the driver verifies both "matmul
     picked exactly the exact-arithmetic top-k" and "its scores are
     numerically faithful", while the full per-pair output remains pinned
-    by tests/test_similarity_fastpath.py.
+    by tests/test_similarity_fastpath.py. Known limit of the invariant:
+    if two candidates' exact cosines ever differ by less than matmul
+    rounding (~1e-15) right at the k-boundary, the two engines may rank
+    them oppositely and the neighbor strings diverge — no such pair
+    exists in the fixed synthetic corpus at any shipped sf (measured
+    min rank5→rank6 gap: 2.0e-4 at sf0.01, 5.5e-4 at sf0.1); on
+    regenerated data, re-check before trusting a hash mismatch here as
+    a code bug.
 
     Reference parity: no ANN exists in the reference — BASELINE.json's
     similarity-search mandate; pattern follows SNIPPETS.md mapInPandas
@@ -919,10 +926,11 @@ def kmeans_train_detail(spark: SparkSession, sf_dir: str):
 
     inertias: list[float] = []
     for _ in range(3):
-        assigned = v.select(
-            "e",
-            best(cents)["cid"].alias("cid"),
-            best(cents)["d2"].alias("d2"),
+        # single best() evaluation, fields extracted from the one struct
+        # (two best() calls would lean on codegen CSE to dedupe the 8x64
+        # distance tree per row)
+        assigned = v.select("e", best(cents).alias("b")).select(
+            "e", F.col("b")["cid"].alias("cid"), F.col("b")["d2"].alias("d2")
         )
         stats = (
             assigned.select("cid", "d2", F.posexplode("e").alias("pos", "val"))

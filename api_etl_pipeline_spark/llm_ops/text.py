@@ -1057,14 +1057,17 @@ def tx17_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production filter. No smoothing is needed because the scoring
     set IS the training corpus, so every bigram has positive count.
 
-    Plan shape: the corpus collapses ONCE per branch into per-doc bigram
-    counts (composite-key shuffle) and the LM aggregates that compressed
-    relation — counts, never raw token pairs, cross the wire. The prefix
-    totals derive from the LM itself (vocabulary-sized re-agg, broadcast
-    back), so the probe side joins doc-bigrams⋈LM on the bigram key —
-    fact-fact by design, the LM scales with bigram vocabulary (plan-lint
-    reason recorded; at 100 TB the LM is the materialize-once corpus
-    statistic, tx15's df-table discipline). Two documents traversals
+    Plan shape: the probe branch collapses the corpus into per-doc
+    bigram counts (composite-key shuffle, map-side combined); the LM
+    branch counts per bigram the same way (partial aggregation ships
+    ~bigram-vocabulary partials, never raw token pairs). The prefix
+    totals derive from the LM itself (vocabulary-sized re-agg,
+    broadcast back), so the probe side joins doc-bigrams⋈LM on the
+    bigram key — fact-fact by design since the LM scales with bigram
+    vocabulary; at test scales AQE broadcasts the LM (no SMJ fires —
+    if it ever outgrows the threshold, plan-lint will demand an ALLOWED
+    reason at that point). At 100 TB the LM is the materialize-once
+    corpus statistic, tx15's df-table discipline. Two documents traversals
     (LM branch + probe branch), the tx15/tx08 legitimate class. Per-doc
     float accumulation folds in bigram-ascending order on BOTH engines
     (tx13 convention), and the mean rounds to 6 dp because log2's last

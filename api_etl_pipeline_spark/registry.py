@@ -84,11 +84,13 @@ def _load_all() -> None:
 # Driver-coverage rotation. The driver's per-round correctness gate samples
 # the FIRST 50 entries of queries() in dict order. Rounds 1-4 cumulatively
 # drove 115 of 199 names; this round-5 prefix front-loads 50 of the 84
-# never-driver-checked queries (qsql*, tx*, llm*, decon/cur/mix/shuf/chunk,
-# samp*, pack*, st01-05/st08, plus ev13/x13/dd11/dd12), all oracle-bearing,
-# lifting cumulative coverage to 165/199. The remaining 34 (x14-x24,
-# q39-q50, mm*, sim06/09/10, st live twins) rotate in next round. Nothing
-# is removed — every query stays registered and the pytest mirror in
+# then-never-driver-checked queries (qsql*, tx01-16, llm*,
+# decon/cur/mix/shuf/chunk, samp*, pack*, st01-05/st08, plus
+# ev13/x13/dd11/dd12), all oracle-bearing, lifting cumulative coverage to
+# 165. Round 5 also ADDED tx17 and mm06, so the registry is 201 and the
+# never-driver-checked remainder for the round-6 rotation is 36: x14-x24,
+# q39-q50, mm01-mm06, sim06/09/10, st06/07/09, tx17. Nothing is removed —
+# every query stays registered and the pytest mirror in
 # tests/test_queries_oracle.py still covers all of them.
 _DRIVER_SAMPLE_PREFIX = [
     *[f"qsql{i:02d}" for i in range(1, 10)],

@@ -57,6 +57,15 @@ def test_decode_image_pgm_expands_grey():
     assert (w, h) == (2, 1) and rgb == bytes((10, 10, 10, 200, 200, 200))
 
 
+def test_decode_image_low_maxval_rescales():
+    """Spec-legal maxval<255 samples must rescale to 8-bit, not pass
+    through dark (review finding): maxval=15 full-white == 255."""
+    blob = b"P6\n2 1\n15\n" + bytes((15, 0, 7, 3, 15, 15))
+    w, h, rgb = decode_image(blob)
+    assert (w, h) == (2, 1)
+    assert tuple(rgb) == (255, 0, 119, 51, 255, 255)  # (v*255+7)//15
+
+
 def test_decode_image_rejects_compressed_and_truncated():
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n...")
