@@ -844,9 +844,10 @@ BM25_QUERIES = (
 _BM25_TERMS = tuple(t for _, ts in BM25_QUERIES for t in ts)
 
 
-@query(
-    "tx16_bm25_topk",
-    oracle=f"""
+# full BM25 ranked-top-k SQL — tx16's oracle, and reused as a CTE by the
+# hybrid-retrieval oracle (llm_ops/retrieval.py) so the lexical leg's
+# float sequence is ONE definition on each engine
+_BM25_RANKED_SQL = f"""
     WITH qterms(query_id, term) AS (VALUES {", ".join(
         f"('{qid}', '{t}')" for qid, ts in BM25_QUERIES for t in ts
     )}),
@@ -893,8 +894,10 @@ _BM25_TERMS = tuple(t for _, ts in BM25_QUERIES for t in ts)
            doc_id, n_terms, score
     FROM agg
     QUALIFY rk <= {BM25_TOPK}
-    """,
-)
+"""
+
+
+@query("tx16_bm25_topk", oracle=_BM25_RANKED_SQL)
 def tx16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval (k1=1.2, b=0.75) for a fixed query workload —
     the lexical-search complement to the sim* vector family and the
@@ -927,6 +930,12 @@ def tx16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries over many docs; a 1000-query serving sweep would flip the
     repartition key to (query_id, doc_id) and pre-truncate per
     partition (sim06's partial-top-k combine) before the global rank."""
+    return bm25_ranked(spark, sf_dir)
+
+
+def bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx16's ranked BM25 output as a reusable building block (the
+    hybrid-retrieval fusion in llm_ops/retrieval.py consumes it)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", _tokens().alias("w")
     )

@@ -71,6 +71,16 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("samp04_temperature_mix", "BroadcastNestedLoopJoin"): "single-row (budget, w_sum) broadcast",
     ("llm03_dataset_card", "BroadcastNestedLoopJoin"): "single-row corpus-total broadcast",
     ("sim01_cosine_topk", "BroadcastNestedLoopJoin"): "5-row query-vector broadcast, non-equi self-exclusion",
+    ("ret01_hybrid_rrf", "BroadcastNestedLoopJoin"): (
+        "3-row seed-vector broadcast against the embedding corpus — the "
+        "sim01 semantic-leg shape"
+    ),
+    ("ret01_hybrid_rrf", "SortMergeJoin"): (
+        "RRF fusion is a FULL OUTER join of the two ≤k·#queries rank "
+        "legs — full outer cannot broadcast either side by definition; "
+        "both inputs are top-k-truncated (kilobytes) so the SMJ sorts "
+        "~30 rows"
+    ),
     ("sim07_pq_codes", "BroadcastNestedLoopJoin"): "8-row PQ codebook broadcast cross join",
     ("q48_range_join_banded", "SortMergeJoin"): (
         "purchases×clicks on (user, hour-bucket) is fact-fact by design — "

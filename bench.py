@@ -121,6 +121,7 @@ OPTIONAL = [
     # round 5
     "tx17_lm_familiarity",  # corpus bigram-LM scoring (CCNet ppl-filter analog)
     "mm06_perceptual_hash_groups",  # aHash bucketing, dd01 cost model on media
+    "ret01_hybrid_rrf",  # BM25+cosine RRF hybrid retrieval
 ]
 
 
