@@ -228,11 +228,60 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm01_multimodal_features", oracle=None)  # not SQL-expressible: Pandas-UDF stage
+@query(
+    "mm01_multimodal_features",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               length(text)::BIGINT AS n_bytes
+        FROM documents
+    ),
+    chars AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(text)),
+                                     i -> ascii(text[i]))) AS b
+        FROM media
+    ),
+    mode AS (
+        SELECT doc_id, b AS byte_mode FROM (
+            SELECT doc_id, b,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY COUNT(*) DESC, b ASC
+                   ) AS rn
+            FROM chars GROUP BY doc_id, b
+        ) WHERE rn = 1
+    ),
+    mean AS (
+        SELECT doc_id, list_sum(list_transform(generate_series(1, length(text)),
+                                               i -> ascii(text[i]))) / length(text)
+                       AS byte_mean
+        FROM media
+    )
+    SELECT m.doc_id, m.media_type, m.n_bytes,
+           mn.byte_mean, md.byte_mode::INT AS byte_mode,
+           lower(hex(encode(substring(m.text, 1, 4)))) AS header_hex,
+           sha256(m.text) AS sha256,
+           m.n_bytes AS declared_bytes,
+           TRUE AS size_matches
+    FROM media m JOIN mode md USING (doc_id) JOIN mean mn USING (doc_id)
+    """,
+)
 def mm01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary media columns via mapInPandas —
-    the Arrow-batched slow-path pattern (SURVEY §2.10 U-rows). Driver
-    records a rows-only check; tests/test_multimodal.py pins values."""
+    the Arrow-batched slow-path pattern (SURVEY §2.10 U-rows).
+
+    Oracle promotion (round-5; rows-only through round 4): because the
+    synthetic payloads are the documents' ASCII bytes, every feature the
+    Arrow stage computes (byte sum/mean as one int/int division, modal
+    byte with count-desc/value-asc tie-break, first-4-bytes hex, sha256)
+    has an exact SQL twin — so the driver now differentially verifies
+    the ACTUAL mapInPandas Python stage end-to-end against DuckDB, the
+    strongest check a Pandas-UDF stage can get. (The real-image decode
+    leg is exercised separately via decode_image_features on PPM/BMP
+    fixtures.)"""
     media = media_table(spark, sf_dir)
     feats = media.select("doc_id", "media_type", "content").mapInPandas(
         fake_decode_features, schema=FEATURE_SCHEMA
@@ -364,7 +413,47 @@ def _make_fake_resizer(dst_w: int, dst_h: int):
     return resize
 
 
-@query("mm03_image_resize", oracle=None)  # Pandas-UDF pixel gather: rows-only + pytest
+def _mm03_oracle() -> str:
+    """mm03 oracle: the same floor nearest-neighbor gather, spelled out
+    as 256 per-cell char lookups (dst (dy,dx) ← src byte at row
+    (dy·src_h)//16, col (dx·32)//16), concatenated in dst row-major
+    order and sha256'd — generated from one Python loop, like mm06."""
+    cells = ", ".join(
+        f"text[(({dy} * src_h) // 16) * 32 + {(dx * 32) // 16} + 1]"
+        for dy in range(16)
+        for dx in range(16)
+    )
+    return f"""
+    WITH media AS (
+        SELECT doc_id, text, 32 AS src_w, (length(text) // 32)::INT AS src_h
+        FROM documents
+        WHERE doc_id % 3 = 0 AND length(text) >= 32
+    )
+    SELECT doc_id, src_w::INT AS src_w, src_h,
+           16 AS dst_w, 16 AS dst_h,
+           sha256(concat({cells})) AS resized_sha256
+    FROM media
+    """
+
+
+def image_resize_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full resize stage including the raw `resized` thumbnail bytes
+    (RESIZE_SCHEMA); mm03 registers the hash-bearing projection so the
+    gather is oracle-checkable (binary columns don't hash cross-engine,
+    their sha256 does)."""
+    media = media_table(spark, sf_dir).filter(
+        (F.col("media_type") == "image/png") & (F.length("content") >= 32)
+    )
+    src = media.select(
+        "doc_id",
+        "content",
+        F.lit(32).cast("int").alias("src_w"),
+        F.floor(F.length("content") / 32).cast("int").alias("src_h"),
+    )
+    return src.mapInPandas(_make_fake_resizer(16, 16), schema=RESIZE_SCHEMA)
+
+
+@query("mm03_image_resize", oracle=_mm03_oracle())
 def mm03_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch image resize to a 16×16 thumbnail (the resize leg of the
     decode / feature-extract / resize / frame-sample quartet). Source
@@ -373,17 +462,20 @@ def mm03_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     resample itself is an Arrow-batched mapInPandas stage whose
     nearest-neighbor gather is vectorized per image. Narrow plan — no
     shuffle; thumbnails feed perceptual dedup like frame hashes feed
-    frame dedup."""
-    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image/png")
-    src = media.select(
-        "doc_id",
-        "content",
-        F.lit(32).cast("int").alias("src_w"),
-        F.greatest(
-            F.floor(F.length("content") / 32), F.lit(1)
-        ).cast("int").alias("src_h"),
+    frame dedup.
+
+    Oracle promotion (round-5; rows-only through round 4): the
+    registered output carries the thumbnail's sha256 instead of its raw
+    bytes, and DuckDB reproduces the identical 256-cell floor gather
+    over the ASCII payload and hashes the same 256-char string — the
+    driver differentially verifies the numpy fancy-indexing gather
+    inside the Arrow UDF. Rows shorter than 32 bytes are excluded on
+    both sides (the zero-padding path has no SQL twin; no shipped sf
+    has such rows — min length 44); the full binary output remains
+    available via image_resize_full and its pytest."""
+    return image_resize_full(spark, sf_dir).select(
+        "doc_id", "src_w", "src_h", "dst_w", "dst_h", "resized_sha256"
     )
-    return src.mapInPandas(_make_fake_resizer(16, 16), schema=RESIZE_SCHEMA)
 
 
 AUDIO_SCHEMA = (
@@ -433,12 +525,63 @@ def _make_audio_profiler(frame_samples: int = 256):
     return profile
 
 
-@query("mm04_audio_frame_energy", oracle=None)  # Pandas-UDF int16 view: rows-only
+@query(
+    "mm04_audio_frame_energy",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, text,
+               (length(text) // 2)::BIGINT AS n_samples,
+               ((length(text) // 2) // 256)::INT AS n_frames
+        FROM documents
+        WHERE doc_id % 3 = 1 AND (length(text) // 2) // 256 >= 1
+    ),
+    frames AS (
+        SELECT doc_id, n_samples, n_frames, f,
+               list_sum(list_transform(
+                   generate_series(f * 256 + 1, f * 256 + 256),
+                   k -> (
+                       CASE WHEN ascii(text[2*k-1]) + 256 * ascii(text[2*k]) >= 32768
+                            THEN ascii(text[2*k-1]) + 256 * ascii(text[2*k]) - 65536
+                            ELSE ascii(text[2*k-1]) + 256 * ascii(text[2*k]) END
+                   )::BIGINT * (
+                       CASE WHEN ascii(text[2*k-1]) + 256 * ascii(text[2*k]) >= 32768
+                            THEN ascii(text[2*k-1]) + 256 * ascii(text[2*k]) - 65536
+                            ELSE ascii(text[2*k-1]) + 256 * ascii(text[2*k]) END
+                   )::BIGINT
+               ))::BIGINT AS energy
+        FROM sized, UNNEST(generate_series(0, n_frames - 1)) AS t(f)
+    ),
+    peak AS (
+        SELECT doc_id, f AS peak_frame, energy AS peak_energy FROM (
+            SELECT doc_id, f, energy,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY energy DESC, f ASC
+                   ) AS rn
+            FROM frames
+        ) WHERE rn = 1
+    )
+    SELECT s.doc_id, s.n_samples, s.n_frames,
+           p.peak_frame::INT AS peak_frame, p.peak_energy,
+           (SELECT SUM(energy) FROM frames fr WHERE fr.doc_id = s.doc_id)
+               / s.n_frames AS mean_energy
+    FROM sized s JOIN peak p USING (doc_id)
+    """,
+)
 def mm04_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio frame-energy profile (256-sample frames over int16 PCM):
     per-clip sample/frame counts, the deterministic peak frame, and
     exact-integer energy stats — the silence-trim / VAD precursor. All
-    arithmetic is int64; only the final mean is one division."""
+    arithmetic is int64; only the final mean is one division.
+
+    Oracle promotion (round-5; rows-only through round 4): the int16
+    little-endian view of the ASCII payload is exact integer
+    arithmetic — sample k = b[2k] + 256·b[2k+1], signed via the 32768
+    wrap — so DuckDB reproduces the frame energies (BIGINT squares),
+    the first-max peak, and the single int/int mean division
+    bit-for-bit. The driver therefore differentially verifies the numpy
+    `<i2` reinterpret + reshape + square-sum inside the Arrow UDF.
+    Clips shorter than one frame are dropped identically on both
+    sides."""
     media = media_table(spark, sf_dir).filter(F.col("media_type") == "audio/wav")
     return media.select("doc_id", "content").mapInPandas(
         _make_audio_profiler(), schema=AUDIO_SCHEMA

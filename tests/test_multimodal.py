@@ -173,15 +173,18 @@ def test_mm03_resize_shapes_and_determinism(spark):
     from api_etl_pipeline_spark.registry import all_queries
     from tests.conftest import SF_SMOKE
 
-    q = all_queries()["mm03_image_resize"]
-    rows = q.fn(spark, SF_SMOKE).collect()
+    from api_etl_pipeline_spark.llm_ops.multimodal import image_resize_full
+
+    rows = image_resize_full(spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         assert r.dst_w == 16 and r.dst_h == 16
         assert len(r.resized) == 16 * 16
-    # deterministic across runs (same hashes)
-    again = {r.doc_id: r.resized_sha256 for r in q.fn(spark, SF_SMOKE).collect()}
-    assert {r.doc_id: r.resized_sha256 for r in rows} == again
+    # registered (oracle-checkable) projection: same hashes, no binary
+    q = all_queries()["mm03_image_resize"]
+    reg = {r.doc_id: r.resized_sha256 for r in q.fn(spark, SF_SMOKE).collect()}
+    assert {r.doc_id: r.resized_sha256 for r in rows} == reg
+    assert "resized" not in q.fn(spark, SF_SMOKE).columns
 
 
 def test_mm03_nearest_neighbor_gather_is_exact(spark):
