@@ -1017,9 +1017,10 @@ def bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tx17_lm_familiarity",
-    oracle="""
+# tx17's full oracle SQL, named so tx18's bucketing oracle can reuse it
+# as a CTE (one definition of the LM-score float sequence per engine —
+# the _BM25_RANKED_SQL pattern)
+_TX17_SQL = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
@@ -1053,8 +1054,10 @@ def bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_bigrams,
            ROUND(s / n_bigrams, 6) + 0.0 AS avg_logprob
     FROM folds
-    """,
-)
+"""
+
+
+@query("tx17_lm_familiarity", oracle=_TX17_SQL)
 def tx17_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram-LM familiarity score — the in-corpus analog of
     CCNet's KenLM perplexity filter (the step that splits a crawl into
@@ -1127,4 +1130,56 @@ def tx17_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("avg_logprob"),
+    )
+
+
+@query(
+    "tx18_ppl_buckets",
+    oracle=f"""
+    WITH t17 AS ({_TX17_SQL}),
+    scored AS (
+        SELECT t.doc_id, d.lang, t.n_bigrams, t.avg_logprob,
+               ntile(3) OVER (
+                   PARTITION BY d.lang ORDER BY t.avg_logprob DESC, t.doc_id
+               ) AS tertile
+        FROM t17 t JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, n_bigrams, avg_logprob, tertile::INT AS tertile,
+           CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+    FROM scored
+    """,
+)
+def tx18_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: per-language perplexity tertiles
+    over the tx17 LM familiarity score — the bucketing that decides
+    which third of a crawl becomes premium pretraining data, which gets
+    resampled, and which is dropped. head = most LM-familiar (lowest
+    perplexity) third within its language; ties break on doc_id so the
+    ntile assignment is total-ordered and cross-engine identical.
+
+    Plan shape: tx17's score relation (~1 row/doc) joins the lang
+    column (broadcast-sized projection of documents at test scale;
+    co-partitioned on doc_id at warehouse scale) and one window sort
+    per language partition. At 100 TB a full per-language sort for an
+    exact ntile is the wrong tool — production computes two
+    percentile_approx thresholds per language (a kilobyte-sized agg),
+    broadcasts them, and buckets with two comparisons; the exact ntile
+    here is what makes the result oracle-checkable."""
+    scores = tx17_lm_familiarity(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    tertile = F.ntile(3).over(w)
+    bucket = (
+        F.when(F.col("tertile") == 1, "head")
+        .when(F.col("tertile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        scores.join(d, "doc_id")
+        .withColumn("tertile", tertile)
+        .select("doc_id", "lang", "n_bigrams", "avg_logprob", "tertile",
+                bucket.alias("bucket"))
     )

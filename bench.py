@@ -122,6 +122,7 @@ OPTIONAL = [
     "tx17_lm_familiarity",  # corpus bigram-LM scoring (CCNet ppl-filter analog)
     "mm06_perceptual_hash_groups",  # aHash bucketing, dd01 cost model on media
     "ret01_hybrid_rrf",  # BM25+cosine RRF hybrid retrieval
+    "tx18_ppl_buckets",  # CCNet head/middle/tail LM-score tertiles
 ]
 
 
