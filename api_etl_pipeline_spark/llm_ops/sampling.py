@@ -226,3 +226,61 @@ def samp04_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs"
         ),
     )
+
+
+SAMP05_N = 50  # reservoir size
+
+
+@query(
+    "samp05_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+                  / 4294967296.0) / n_chars AS raw_key
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           ROUND(raw_key, 9) + 0.0 AS sample_key,
+           CAST(row_number() OVER (
+               ORDER BY ROUND(raw_key, 9) DESC, doc_id
+           ) AS BIGINT) AS rk
+    FROM keyed
+    QUALIFY rk <= {SAMP05_N}
+    """,
+)
+def samp05_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-ES:
+    each row draws key = ln(u)/w (u uniform, w = n_chars); the global
+    top-N by key is an exact weighted sample — the distributed-safe way
+    to take 'N docs, longer docs proportionally more likely' that a
+    naive rand()<p filter cannot give (no fixed N, not rerun-stable).
+
+    Deterministic u: the md5-hex prefix of doc_id (this module's shared
+    entropy source) mapped into (0,1) as (h+0.5)/2^32 — reproducible on
+    any engine/retry/partitioning, never exactly 0 so ln() is finite.
+    Cross-engine float discipline: ln and one division per row with the
+    identical literal sequence on both engines; the key ROUNDS to 9 dp
+    before ranking (ln's last ulp is libm- vs JVM-dependent; ranking on
+    the rounded value with the doc_id tie-break makes the order
+    total and engine-independent — the tx16 rank-on-rounded pattern).
+
+    Plan shape: one narrow projection + TakeOrderedAndProject (global
+    top-N via per-partition partial top-N, no full sort, no shuffle of
+    non-winners) — at 100 TB this is a scan plus N·partitions rows of
+    combine traffic. A-ES is also the streaming/mergeable form: unions
+    of per-shard top-N reservoirs re-top-N to the exact global sample."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key = (F.round(F.log(u) / F.col("n_chars"), 9) + F.lit(0.0)).alias("sample_key")
+    keyed = d.select("doc_id", "source", "n_chars", key)
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition partial
+    # top-N, no global sort); a global row_number window here would
+    # funnel every row through ONE partition — the q16 lesson. The rank
+    # column is re-derived by a window over the 50 surviving rows only.
+    top = keyed.orderBy(F.col("sample_key").desc(), F.col("doc_id")).limit(SAMP05_N)
+    w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w).cast("bigint"))

@@ -123,6 +123,7 @@ OPTIONAL = [
     "mm06_perceptual_hash_groups",  # aHash bucketing, dd01 cost model on media
     "ret01_hybrid_rrf",  # BM25+cosine RRF hybrid retrieval
     "tx18_ppl_buckets",  # CCNet head/middle/tail LM-score tertiles
+    "samp05_weighted_reservoir",  # A-ES weighted top-N, TakeOrdered plan
 ]
 
 
