@@ -271,3 +271,36 @@ def test_ev13_twa_invariants_constant_and_shift(spark, tmp_path):
     assert out[1].twa_value == 42.5  # constant series: exactly the constant
     assert out[2].twa_value == out[1].twa_value  # shift invariance
     assert out[2].span_us == out[1].span_us == 60_000_000
+def test_ret01_degrades_to_lexical_when_seed_has_no_embedding(spark, tmp_path):
+    """If a query's BM25 rank-1 document has no embedding row, the
+    semantic leg is empty and RRF must degrade to lexical-only —
+    deterministically, not error (the sf0.1 shipped data has docs
+    without vectors, so this path is real)."""
+    from api_etl_pipeline_spark.llm_ops.retrieval import ret01_hybrid_rrf
+
+    docs = [
+        # doc 0 is the strongest lexical match for q1 (spark/window/agg)
+        (0, "spark window agg spark window agg filler one two", "en", "s1", 48),
+        (1, "spark window agg other words here padding x y", "en", "s1", 45),
+        (2, "spark only appears here with words padding a b", "en", "s2", 46),
+        (3, "nothing relevant at all just plain filler words", "en", "s2", 47),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    # embeddings ONLY for docs 2 and 3 — the lexical winners 0/1 have none
+    vecs = [(2, [1.0] * 64, 0), (3, [0.5] * 64, 0)]
+    spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    rows = ret01_hybrid_rrf(spark, str(tmp_path)).collect()
+    assert rows, "lexical-only fusion must still produce results"
+    for r in rows:
+        assert r.query_id == "q1"  # q2/q3 terms absent from the corpus
+        assert r.sem_rk is None, "no seed embedding -> semantic leg must be empty"
+        assert r.lex_rk is not None
+        assert abs(r.rrf - 1.0 / (60 + r.lex_rk)) < 1e-15
+    # rank-1 by fusion == rank-1 lexical
+    top = min(rows, key=lambda r: r.rrf_rk)
+    assert top.lex_rk == 1 and top.doc_id == 0

@@ -244,3 +244,47 @@ def test_hll_merge_law_and_error_bound(spark):
         assert abs(r["hll_direct"] - r["exact_distinct"]) <= bound
         assert abs(r["hll_merged"] - r["exact_distinct"]) <= bound
         assert abs(r["hll_merged"] - r["hll_direct"]) <= bound
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_decode_image_roundtrip_ppm_and_bmp(w, h, data):
+    """decode_image law: encoding arbitrary RGB pixels as P6 and as
+    24bpp BMP (both storage orders) must decode back to the identical
+    (w, h, rgb) — random odd widths exercise BMP's 4-byte row padding,
+    which is where off-by-ones live."""
+    import struct
+
+    from api_etl_pipeline_spark.llm_ops.multimodal import decode_image
+
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    # PPM P6
+    assert decode_image(b"P6\n%d %d\n255\n" % (w, h) + pixels) == (w, h, pixels)
+    # BMP, both row orders
+    stride = ((w * 3 + 3) // 4) * 4
+    for top_down in (False, True):
+        raster = bytearray()
+        rows = range(h) if top_down else reversed(range(h))
+        for y in rows:
+            row = bytearray()
+            for x in range(w):
+                r, g, b = pixels[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+                row += bytes((b, g, r))
+            row += b"\x00" * (stride - len(row))
+            raster += row
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+        hdr += struct.pack(
+            "<IiiHHIIiiII", 40, w, (h if not top_down else -h), 1, 24, 0,
+            len(raster), 0, 0, 0, 0,
+        )
+        assert decode_image(bytes(hdr) + bytes(raster)) == (w, h, pixels)
