@@ -385,3 +385,55 @@ def st09_streaming_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).withColumn(
         "window_start", F.col("window_start").cast("timestamp_ntz")
     )
+
+
+@query(
+    "st10_interval_left_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS p_ts,
+           c.event_id AS click_id,
+           c.ts AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    """,
+)
+def st10_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream interval join
+    (stream_ops.purchase_click_left_join): every purchase with its
+    preceding-hour clicks, or NULL click columns when none — the
+    attribution query where "no click" is itself the signal. In
+    streaming, null emission is watermark-gated (state for a purchase
+    is released once no future click can match); the live run is
+    pinned against this twin in tests/test_streaming.py with the
+    final-watermark cutoff rule. Plan: one shuffle per side on
+    user_id; the interval predicate keeps per-key state bounded by the
+    hour window at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "p_ts",
+        "click_id",
+        "c_ts",
+    )

@@ -146,3 +146,33 @@ def purchase_click_stream_join(purchases: DataFrame, clicks: DataFrame,
         c,
         F.expr("c_user = p_user AND c_ts > p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"),
     ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id", "c_ts")
+
+
+def purchase_click_left_join(purchases: DataFrame, clicks: DataFrame,
+                             watermark: str = "2 hours") -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the attribution shape
+    "every purchase, with its preceding-hour clicks IF any": matched
+    rows emit like the inner join; unmatched purchases emit with NULL
+    click columns only once the watermark passes p_ts (no future click
+    can still match), which is how Spark bounds the left side's state.
+    Purchases newer than (max event time - watermark delay) are still
+    held in state when a bounded source drains — the live run is a
+    PREFIX of the batch twin's null rows (pinned precisely in
+    tests/test_streaming.py via the query's final watermark)."""
+    from pyspark.sql import functions as F
+
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    return p.join(
+        c,
+        F.expr("c_user = p_user AND c_ts > p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"),
+        "left_outer",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id", "c_ts")

@@ -124,6 +124,7 @@ OPTIONAL = [
     "ret01_hybrid_rrf",  # BM25+cosine RRF hybrid retrieval
     "tx18_ppl_buckets",  # CCNet head/middle/tail LM-score tertiles
     "samp05_weighted_reservoir",  # A-ES weighted top-N, TakeOrdered plan
+    "st10_interval_left_join",  # outer stream-stream join batch twin
 ]
 
 

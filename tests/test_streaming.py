@@ -360,3 +360,45 @@ def test_checkpointed_restart_is_exactly_once(spark, tmp_path):
 
     run_once()  # idle restart: no new input -> no new output
     assert spark.read.parquet(str(out)).count() == total
+
+
+def test_stream_stream_left_join_equals_batch_up_to_watermark(spark, qname):
+    """LEFT OUTER stream-stream join: matched rows must equal the batch
+    twin exactly; NULL (no-click) rows are watermark-gated, so the live
+    set must equal the batch twin's null rows with p_ts strictly below
+    the query's FINAL watermark (state still held for newer purchases
+    when a bounded source drains)."""
+    from datetime import datetime
+
+    from api_etl_pipeline_spark.streaming.batch_windows import st10_interval_left_join
+    from api_etl_pipeline_spark.streaming.stream_ops import purchase_click_left_join
+
+    stream, _ = _events_stream(spark)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    out = purchase_click_left_join(purchases, clicks)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.processAllAvailable()
+    wm_str = (q.lastProgress or {}).get("eventTime", {}).get("watermark")
+    q.stop()
+    assert wm_str, "no watermark reported by the streaming query"
+    wm = datetime.fromisoformat(wm_str.replace("Z", ""))
+
+    live = spark.sql(f"SELECT * FROM {qname}").collect()
+    live_matched = {(r.purchase_id, r.click_id) for r in live if r.click_id is not None}
+    live_nulls = {r.purchase_id for r in live if r.click_id is None}
+
+    batch = st10_interval_left_join(spark, SF_SMOKE).collect()
+    want_matched = {(r.purchase_id, r.click_id) for r in batch if r.click_id is not None}
+    want_nulls = {r.purchase_id for r in batch if r.click_id is None and r.p_ts < wm}
+
+    assert live_matched == want_matched and len(live_matched) > 0
+    assert live_nulls == want_nulls and len(live_nulls) > 0
+    # and nothing else leaked: every live null is a batch null
+    all_batch_nulls = {r.purchase_id for r in batch if r.click_id is None}
+    assert live_nulls <= all_batch_nulls
