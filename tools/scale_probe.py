@@ -59,6 +59,11 @@ QUERIES = [
     "tx17_lm_familiarity",  # round-5: LM probe join must stay shuffle-bound
     "mm06_perceptual_hash_groups",  # round-5: narrow project + 1 hash shuffle
     "decon02_source_overlap",  # round-5 broadcast-totals rewrite
+    "ret01_hybrid_rrf",  # round-5: hybrid fusion, checkpointed lex leg
+    "tx18_ppl_buckets",  # round-5: tx17 + per-lang ntile window
+    "samp05_weighted_reservoir",  # round-5: TakeOrdered global top-N
+    "st10_interval_left_join",  # round-5: outer interval join batch twin
+    "mm01_multimodal_features",  # round-5 promotion: Arrow featurizer
 ]
 
 
