@@ -778,3 +778,67 @@ def ev13_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twa_value"
         ),
     )
+
+
+@query(
+    "ev14_stickiness",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        FROM events
+    ),
+    dau AS (SELECT d, COUNT(*)::BIGINT AS dau FROM du GROUP BY d),
+    days AS (SELECT DISTINCT d FROM du),
+    wau AS (
+        SELECT days.d, COUNT(DISTINCT du.user_id)::BIGINT AS wau
+        FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+        GROUP BY days.d
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def ev14_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio product teams
+    watch (1.0 = everyone active daily; ~1/7 = weekly visitors). DAU is
+    a plain count over the deduped (day, user) relation; WAU reuses
+    ev04's banded-explode sliding distinct; the ratio is one exact
+    int/int division so the hash is float-discipline-free.
+
+    The deduped (day, user) relation feeds THREE pruning-divergent
+    consumers (DAU, the observed-day spine, the WAU explode) — lineage
+    truncation materializes it once (ev04's scan-audit fix; two ints
+    per daily-active row)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .transform(lazy_checkpoint)
+    )
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    days = du.select("d").distinct()
+    served = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "window_end_day"
+        ),
+    )
+    wau = (
+        served.join(
+            F.broadcast(days.select(F.col("d").alias("window_end_day"))),
+            "window_end_day",
+            "left_semi",
+        )
+        .groupBy("window_end_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.window_end_day)
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )

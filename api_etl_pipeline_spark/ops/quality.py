@@ -1,0 +1,202 @@
+"""Data-quality validation report (dq01) — the Great-Expectations-style
+check suite a warehouse runs after every load: null gates, value
+ranges, primary-key uniqueness, and referential integrity, emitted as
+one auditable report table instead of scattered asserts.
+
+Scan discipline: all row-local checks on a table share ONE scan (a
+single aggregate computes every violation counter as a conditional
+sum; the per-check rows unpivot from that one row afterwards — tiny).
+Each FK check is one LEFT join probing the parent's key projection:
+customer broadcasts; the lineitem→orders edge joins on the fact key
+and is written as a plain left join here — at 100 TB that edge becomes
+a bloom-filter pre-pass + left_semi on the survivors (the ing18
+pattern) so the probe never shuffles the full child table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+
+def _unpivot_checks(agg_row: DataFrame, target: str, checks: list[str]) -> DataFrame:
+    """One aggregate row {n_rows, <check>: violations...} → one row per
+    check (check_name, target, n_rows, n_violations, pass)."""
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias("check_name"),
+            F.col(c).cast("bigint").alias("n_violations"),
+        )
+        for c in checks
+    ])
+    return (
+        agg_row.select(F.col("n_rows").cast("bigint").alias("n_rows"), entries.alias("e"))
+        .select("n_rows", F.explode("e").alias("c"))
+        .select(
+            F.col("c.check_name").alias("check_name"),
+            F.lit(target).alias("target"),
+            "n_rows",
+            F.col("c.n_violations").alias("n_violations"),
+            (F.col("c.n_violations") == 0).alias("pass"),
+        )
+    )
+
+
+def _viol(cond) -> F.Column:
+    """Count rows VIOLATING the expectation `cond`."""
+    return F.sum(F.when(~cond, 1).otherwise(0))
+
+
+@query(
+    "dq01_quality_report",
+    oracle="""
+    SELECT 'lineitem_qty_range' AS check_name, 'lineitem' AS target,
+           (SELECT COUNT(*) FROM lineitem)::BIGINT AS n_rows,
+           (SELECT COUNT(*) FROM lineitem
+             WHERE NOT (l_quantity >= 1 AND l_quantity <= 50))::BIGINT AS n_violations,
+           (SELECT COUNT(*) FROM lineitem
+             WHERE NOT (l_quantity >= 1 AND l_quantity <= 50)) = 0 AS pass
+    UNION ALL
+    SELECT 'lineitem_discount_range', 'lineitem',
+           (SELECT COUNT(*) FROM lineitem)::BIGINT,
+           (SELECT COUNT(*) FROM lineitem
+             WHERE NOT (l_discount >= 0 AND l_discount <= 0.1))::BIGINT,
+           (SELECT COUNT(*) FROM lineitem
+             WHERE NOT (l_discount >= 0 AND l_discount <= 0.1)) = 0
+    UNION ALL
+    SELECT 'lineitem_tax_range', 'lineitem',
+           (SELECT COUNT(*) FROM lineitem)::BIGINT,
+           (SELECT COUNT(*) FROM lineitem
+             WHERE NOT (l_tax >= 0 AND l_tax <= 0.08))::BIGINT,
+           (SELECT COUNT(*) FROM lineitem
+             WHERE NOT (l_tax >= 0 AND l_tax <= 0.08)) = 0
+    UNION ALL
+    SELECT 'orders_totalprice_positive', 'orders',
+           (SELECT COUNT(*) FROM orders)::BIGINT,
+           (SELECT COUNT(*) FROM orders
+             WHERE NOT (o_totalprice > 0))::BIGINT,
+           (SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice > 0)) = 0
+    UNION ALL
+    SELECT 'orders_orderkey_unique', 'orders',
+           (SELECT COUNT(*) FROM orders)::BIGINT,
+           ((SELECT COUNT(*) FROM orders)
+            - (SELECT COUNT(DISTINCT o_orderkey) FROM orders))::BIGINT,
+           (SELECT COUNT(*) FROM orders)
+            = (SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'events_ts_nonnull', 'events',
+           (SELECT COUNT(*) FROM events)::BIGINT,
+           (SELECT COUNT(*) FROM events WHERE ts IS NULL)::BIGINT,
+           (SELECT COUNT(*) FROM events WHERE ts IS NULL) = 0
+    UNION ALL
+    SELECT 'events_event_id_unique', 'events',
+           (SELECT COUNT(*) FROM events)::BIGINT,
+           ((SELECT COUNT(*) FROM events)
+            - (SELECT COUNT(DISTINCT event_id) FROM events))::BIGINT,
+           (SELECT COUNT(*) FROM events)
+            = (SELECT COUNT(DISTINCT event_id) FROM events)
+    UNION ALL
+    SELECT 'orders_custkey_fk', 'orders->customer',
+           (SELECT COUNT(*) FROM orders)::BIGINT,
+           (SELECT COUNT(*) FROM orders o
+             LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL)::BIGINT,
+           (SELECT COUNT(*) FROM orders o
+             LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL) = 0
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', 'lineitem->orders',
+           (SELECT COUNT(*) FROM lineitem)::BIGINT,
+           (SELECT COUNT(*) FROM lineitem l
+             LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL)::BIGINT,
+           (SELECT COUNT(*) FROM lineitem l
+             LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL) = 0
+    """,
+)
+def dq01_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-load data-quality report: range gates, tax/discount gates,
+    primary-key uniqueness, null gates, and two referential-integrity
+    edges — one row per check with its violation count and pass flag.
+    The report is idempotent, append-able to a history table, and the
+    natural gate a scheduler checks before promoting a load.
+
+    Scan accounting: lineitem's three row-local checks share ONE
+    aggregate (conditional sums), orders' two likewise, events' two
+    likewise; each FK edge is one LEFT join + one conditional count.
+    The uniqueness checks use count - count_distinct in the same
+    aggregate — no self-join, no window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    cu = load_table(spark, sf_dir, "customer")
+
+    li_checks = _unpivot_checks(
+        li.agg(
+            F.count("*").alias("n_rows"),
+            _viol((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)).alias(
+                "lineitem_qty_range"
+            ),
+            _viol((F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1)).alias(
+                "lineitem_discount_range"
+            ),
+            _viol((F.col("l_tax") >= 0) & (F.col("l_tax") <= 0.08)).alias(
+                "lineitem_tax_range"
+            ),
+        ),
+        "lineitem",
+        ["lineitem_qty_range", "lineitem_discount_range", "lineitem_tax_range"],
+    )
+    od_checks = _unpivot_checks(
+        od.agg(
+            F.count("*").alias("n_rows"),
+            _viol(F.col("o_totalprice") > 0).alias("orders_totalprice_positive"),
+            (F.count("*") - F.count_distinct("o_orderkey")).alias(
+                "orders_orderkey_unique"
+            ),
+        ),
+        "orders",
+        ["orders_totalprice_positive", "orders_orderkey_unique"],
+    )
+    ev_checks = _unpivot_checks(
+        ev.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias(
+                "events_ts_nonnull"
+            ),
+            (F.count("*") - F.count_distinct("event_id")).alias(
+                "events_event_id_unique"
+            ),
+        ),
+        "events",
+        ["events_ts_nonnull", "events_event_id_unique"],
+    )
+
+    def fk_check(child, child_key, parent_keys, name, target, broadcast_parent):
+        pk = parent_keys.withColumnRenamed(parent_keys.columns[0], "_pk")
+        if broadcast_parent:
+            pk = F.broadcast(pk)
+        joined = child.join(pk, F.col(child_key) == F.col("_pk"), "left")
+        agg = joined.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).alias(name),
+        )
+        return _unpivot_checks(agg, target, [name]).withColumn(
+            "target", F.lit(target)
+        )
+
+    fk1 = fk_check(
+        od.select("o_custkey"), "o_custkey", cu.select("c_custkey"),
+        "orders_custkey_fk", "orders->customer", True,
+    )
+    fk2 = fk_check(
+        li.select("l_orderkey"), "l_orderkey", od.select("o_orderkey"),
+        "lineitem_orderkey_fk", "lineitem->orders", False,
+    )
+    return li_checks.unionByName(od_checks).unionByName(ev_checks).unionByName(
+        fk1
+    ).unionByName(fk2)

@@ -125,6 +125,8 @@ OPTIONAL = [
     "tx18_ppl_buckets",  # CCNet head/middle/tail LM-score tertiles
     "samp05_weighted_reservoir",  # A-ES weighted top-N, TakeOrdered plan
     "st10_interval_left_join",  # outer stream-stream join batch twin
+    "dq01_quality_report",  # one-scan-per-table DQ gates + FK probes
+    "ev14_stickiness",  # DAU/WAU ratio on the checkpointed (day,user) relation
 ]
 
 
