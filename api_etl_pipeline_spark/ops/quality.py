@@ -102,19 +102,23 @@ def _viol(cond) -> F.Column:
     SELECT 'orders_custkey_fk', 'orders->customer',
            (SELECT COUNT(*) FROM orders)::BIGINT,
            (SELECT COUNT(*) FROM orders o
-             LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+             LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+               ON o.o_custkey = c.c_custkey
             WHERE c.c_custkey IS NULL)::BIGINT,
            (SELECT COUNT(*) FROM orders o
-             LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+             LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+               ON o.o_custkey = c.c_custkey
             WHERE c.c_custkey IS NULL) = 0
     UNION ALL
     SELECT 'lineitem_orderkey_fk', 'lineitem->orders',
            (SELECT COUNT(*) FROM lineitem)::BIGINT,
            (SELECT COUNT(*) FROM lineitem l
-             LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+             LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+               ON l.l_orderkey = o.o_orderkey
             WHERE o.o_orderkey IS NULL)::BIGINT,
            (SELECT COUNT(*) FROM lineitem l
-             LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+             LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+               ON l.l_orderkey = o.o_orderkey
             WHERE o.o_orderkey IS NULL) = 0
     """,
 )
@@ -177,7 +181,10 @@ def dq01_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fk_check(child, child_key, parent_keys, name, target, broadcast_parent):
-        pk = parent_keys.withColumnRenamed(parent_keys.columns[0], "_pk")
+        # DISTINCT parent keys: a parent with duplicated keys (itself a
+        # DQ failure the uniqueness checks catch) must not fan out the
+        # child rows and corrupt this check's n_rows/violation counts
+        pk = parent_keys.withColumnRenamed(parent_keys.columns[0], "_pk").distinct()
         if broadcast_parent:
             pk = F.broadcast(pk)
         joined = child.join(pk, F.col(child_key) == F.col("_pk"), "left")
