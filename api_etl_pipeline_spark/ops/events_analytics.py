@@ -842,3 +842,66 @@ def ev14_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@query(
+    "ev15_ohlc_bars",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_start,
+               value,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                 || lpad(event_id::VARCHAR, 12, '0') AS ord_key
+        FROM events
+    )
+    SELECT event_type, bar_start,
+           arg_min(value, ord_key) AS open,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS high,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS low,
+           arg_max(value, ord_key) AS close,
+           COUNT(*)::BIGINT AS n_trades,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM keyed GROUP BY event_type, bar_start
+    """,
+)
+def ev15_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling per event type — the time-series
+    rendering/rollup primitive (TimescaleDB candlestick_agg /
+    first-last-min-max parity): open/close are the values at the bar's
+    first/last tick, high/low the extrema, plus tick count and volume.
+
+    Determinism: open/close use min_by/max_by over a FIXED-WIDTH
+    composite key — microsecond-zero-padded timestamp text plus a
+    zero-padded event_id tie-break — so the selection is total-ordered
+    on both engines even under equal timestamps (the shipped data has
+    no intra-bar ts ties, but the operator must not depend on that).
+    high/low/volume go through the exact-DECIMAL convention.
+
+    Plan: ONE map-side-combined hash aggregate on (type, hour) — the
+    canonical mergeable-rollup shape: per-partition partial OHLC states
+    combine associatively, which is also exactly how a streaming
+    version maintains bars under a watermark (st01's groupBy window)."""
+    ev = load_table(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bar_start"),
+            "value",
+            ord_key.alias("ord_key"),
+        )
+        .groupBy("event_type", "bar_start")
+        .agg(
+            F.min_by("value", "ord_key").alias("open"),
+            F.max(dec).cast("double").alias("high"),
+            F.min(dec).cast("double").alias("low"),
+            F.max_by("value", "ord_key").alias("close"),
+            F.count("*").alias("n_trades"),
+            F.sum(dec).cast("double").alias("volume"),
+        )
+    )

@@ -127,6 +127,7 @@ OPTIONAL = [
     "st10_interval_left_join",  # outer stream-stream join batch twin
     "dq01_quality_report",  # one-scan-per-table DQ gates + FK probes
     "ev14_stickiness",  # DAU/WAU ratio on the checkpointed (day,user) relation
+    "ev15_ohlc_bars",  # mergeable OHLC rollup, one hash agg
 ]
 
 
