@@ -1183,3 +1183,101 @@ def tx18_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_bigrams", "avg_logprob", "tertile",
                 bucket.alias("bucket"))
     )
+
+
+@query(
+    "tx19_pmi_collocations",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS tokens FROM documents),
+    uni AS (
+        SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS u
+        FROM (SELECT unnest(tokens) AS t FROM toks)
+        GROUP BY t
+    ),
+    n1 AS (SELECT SUM(u) AS n1 FROM uni),
+    bi AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM (
+            SELECT tokens[i] AS w1, tokens[i + 1] AS w2
+            FROM toks, UNNEST(generate_series(1, len(tokens) - 1)) AS g(i)
+            WHERE len(tokens) >= 2
+        )
+        GROUP BY w1, w2
+    ),
+    n2 AS (SELECT SUM(nb) AS n2 FROM bi),
+    scored AS (
+        SELECT b.w1, b.w2, b.nb,
+               ROUND(ln((CAST(b.nb AS DOUBLE) * n1.n1 * n1.n1)
+                        / (CAST(n2.n2 AS DOUBLE) * ua.u * ub.u)), 6) AS pmi
+        FROM bi b
+        JOIN uni ua ON b.w1 = ua.w
+        JOIN uni ub ON b.w2 = ub.w
+        CROSS JOIN n1 CROSS JOIN n2
+        WHERE b.nb >= 5
+    )
+    SELECT w1, w2, nb, pmi FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def tx19_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 token bigrams by pointwise mutual
+    information, min count 5 — the classic phrase-mining signal
+    (PMI = ln(p(a,b) / (p(a) p(b))), Church & Hanks 1990) that a
+    tokenizer-training pipeline runs to pick merge candidates.
+
+    One checkpointed pass derives the per-doc token arrays; unigram and
+    bigram counts both come from that materialized projection (llm02's
+    single-traversal discipline — the raw scan is not re-read). The
+    unigram relation is vocabulary-sized, so both PMI joins hash on a
+    vocab table that AQE broadcasts; corpus totals fold in as broadcast
+    1-row aggregates. The PMI expression is written with the IDENTICAL
+    association order on both engines ((nb*N1*N1)/(N2*ua*ub), casts
+    before multiply so 100 TB counts can't overflow int64 products) and
+    ln's last-ulp libm skew is absorbed by round(6); ranking orders on
+    the ROUNDED score with (w1, w2) tie-breaks, so the top-20 cut is
+    cross-engine total. The final top-k is TakeOrderedAndProject — a
+    per-partition heap merge, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = lazy_checkpoint(d.select(_tokens().alias("tokens")))
+    uni = (
+        toks.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("u"))
+    )
+    n1 = F.broadcast(uni.agg(F.sum("u").alias("n1")))
+    t = F.col("tokens")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("nb"))
+    )
+    n2 = F.broadcast(bi.agg(F.sum("nb").alias("n2")))
+    ua = uni.select(F.col("w").alias("w1"), F.col("u").alias("ua"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("u").alias("ub"))
+    pmi = F.round(
+        F.log(
+            (F.col("nb").cast("double") * F.col("n1") * F.col("n1"))
+            / (F.col("n2").cast("double") * F.col("ua") * F.col("ub"))
+        ),
+        6,
+    )
+    return (
+        bi.filter(F.col("nb") >= 5)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(n1)
+        .crossJoin(n2)
+        .select("w1", "w2", "nb", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -576,3 +576,85 @@ def x25_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+HH_K = 30  # heavy-hitter threshold: frequency > total_tokens / HH_K
+
+
+@query(
+    "hh01_heavy_hitter_tokens",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM total), 6) AS share
+    FROM toks
+    GROUP BY token
+    HAVING COUNT(*) * {HH_K} > (SELECT n FROM total)
+    """,
+)
+def hh01_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-sketch heavy hitters: every token with frequency
+    > N/30 (k=HH_K=30) over the corpus token stream — the frequent-items
+    companion to q51's HLL distinct sketch (think Misra-Gries /
+    Space-Saving, Metwally et al. 2005).
+
+    Two-pass candidate/verify shape, which is how a sketch beats a full
+    groupBy at 100 TB when the token vocabulary itself is shuffle-hostile
+    (web-scale corpora have billions of distinct tokens; the heavy-hitter
+    set is tiny):
+
+    1. **Candidate pass** (Arrow-batched mapInPandas, one scan): each
+       batch emits only its LOCAL heavy hitters (count*k > batch_size)
+       plus one batch-size marker row. By the averaging argument, any
+       global heavy hitter is a local heavy hitter in >=1 batch (if
+       cnt_b*k <= n_b for every batch, summing gives cnt*k <= N), so the
+       union of candidates is a guaranteed superset — at most k non-trivial
+       rows per batch cross the wire instead of the whole vocabulary.
+    2. **Verify pass**: exact recount of ONLY the candidate tokens (the
+       candidate set broadcast as a left-semi join, so the filter reaches
+       the scan side), thresholded against the exact total from the
+       marker rows.
+
+    The final output is therefore EXACT (deterministic regardless of
+    batching — candidates are a superset, the recount prunes it), which
+    is what makes a sketch op fully oracle-checkable. The two corpus
+    scans are inherent to candidate/verify (same as any MG rescan);
+    `share` divides two exact ints and rounds at 6."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(F.split("text", " ")).alias("token"))
+
+    def local_heavy(batches):
+        for pdf in batches:
+            n = len(pdf)
+            vc = pdf["token"].value_counts()
+            cand = vc[vc * HH_K > n]
+            yield pd.DataFrame(
+                {
+                    "token": list(cand.index) + [None],
+                    "cnt": [int(c) for c in cand.values] + [n],
+                }
+            )
+
+    sketch = tokens.mapInPandas(local_heavy, "token string, cnt bigint")
+    candidates = sketch.filter(F.col("token").isNotNull()).select("token").distinct()
+    total = F.broadcast(
+        sketch.filter(F.col("token").isNull()).agg(F.sum("cnt").alias("n"))
+    )
+    return (
+        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(total)
+        .filter(F.col("cnt") * HH_K > F.col("n"))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias("share"),
+        )
+    )
+

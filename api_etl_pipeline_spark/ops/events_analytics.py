@@ -878,7 +878,9 @@ def ev15_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     no intra-bar ts ties, but the operator must not depend on that).
     high/low/volume go through the exact-DECIMAL convention.
 
-    Plan: ONE map-side-combined hash aggregate on (type, hour) — the
+    Plan: ONE map-side-combined aggregate on (type, hour) (SortAggregate,
+    not hash — the string tie key's buffer is not hash-mutable; see
+    plan_lint.ALLOWED) — the
     canonical mergeable-rollup shape: per-partition partial OHLC states
     combine associatively, which is also exactly how a streaming
     version maintains bars under a watermark (st01's groupBy window)."""

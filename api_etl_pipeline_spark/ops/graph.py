@@ -1,0 +1,215 @@
+"""Iterative graph analytics on DataFrames — weighted PageRank.
+
+The reference engine has no graph operators; this module extends the
+engine the same way dd09/dd10 (connected components over the near-dup
+graph) do: iterative algorithms expressed as a bounded loop of
+join + aggregate rounds over an edge DataFrame, with lineage truncated
+per round (see `api_etl_pipeline_spark/checkpoint.py`).
+
+PageRank is THE canonical iterative workload for a 100 TB engine:
+each round is one shuffle of the edge list on `src` (to attach ranks)
+plus one on `dst` (to sum incoming mass). The edge relation is static
+across rounds, so at cluster scale you pre-partition it once on `src`
+(bucketed table or `repartition`) and every round's first join is
+shuffle-free; rank vectors are node-sized, orders of magnitude smaller
+than edges. Dangling mass and the node count are single-row aggregates
+folded in via broadcast — never a driver round-trip inside the loop.
+
+gr01 runs it on the event-type transition graph (ev11's parity-proven
+edge extraction: LEAD over (user_id, ts, event_id)); the same
+`pagerank()` helper accepts any (src, dst, w) edge DataFrame — e.g. the
+dd04 near-dup candidate graph for picking canonical documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.checkpoint import eager_checkpoint
+from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
+
+DAMPING = 0.85
+ITERATIONS = 5
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = DAMPING,
+    iterations: int = ITERATIONS,
+) -> DataFrame:
+    """Weighted PageRank over an edge DataFrame (src, dst, w > 0).
+
+    Semantics (matched exactly by the gr01 oracle's unrolled CTEs):
+      rank_0(v)   = 1 / N
+      rank_k(v)   = (1-d)/N + d * (  sum_{u->v} rank_{k-1}(u) * w(u,v)/outw(u)
+                                   + dangling_{k-1} / N )
+    where dangling is the summed rank of nodes with no out-edges,
+    redistributed uniformly (the standard stochastic-matrix patch).
+
+    Returns (node, rank). Floats: each rank is a short sum (in-degree
+    terms) of double products — cross-engine summation-order skew is
+    ~1e-15 over 5 rounds; callers round for hashing (gr01 rounds to 6).
+    """
+    src, dst = F.col("src"), F.col("dst")
+    nodes = (
+        edges.select(src.alias("node"))
+        .unionByName(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    # Static across rounds: normalized edge weights + the node universe.
+    # eager_checkpoint = materialize once, reuse every round (the dd09
+    # precedent); at cluster scale this is the bucketed edge table.
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    norm = eager_checkpoint(
+        edges.join(outw, "src").select(
+            "src", "dst", (F.col("w") / F.col("outw")).alias("frac")
+        )
+    )
+    nodes = eager_checkpoint(
+        nodes.join(outw.select(F.col("src").alias("node")), "node", "left_semi")
+        .select("node", F.lit(False).alias("dangling"))
+        .unionByName(
+            nodes.join(outw.select(F.col("src").alias("node")), "node", "left_anti")
+            .select("node", F.lit(True).alias("dangling"))
+        )
+    )
+    # N is a 1-row aggregate; broadcast-folded, not a driver scalar, so
+    # the same plan runs on a billion-node graph.
+    n_row = F.broadcast(nodes.agg(F.count("*").alias("n_nodes")))
+
+    ranks = nodes.crossJoin(n_row).select(
+        "node", "dangling", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(iterations):
+        dang = F.broadcast(
+            ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
+                ).alias("dang")
+            )
+        )
+        incoming = (
+            norm.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("inc"))
+        )
+        ranks = eager_checkpoint(
+            nodes.join(incoming.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(dang)
+            .crossJoin(n_row)
+            .select(
+                "node",
+                "dangling",
+                (
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping
+                    * (
+                        F.coalesce(F.col("inc"), F.lit(0.0))
+                        + F.col("dang") / F.col("n_nodes")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")
+
+
+def _iter_cte(k: int) -> str:
+    """One unrolled PageRank round as DuckDB CTEs (r{k} from r{k-1})."""
+    p = k - 1
+    return f"""
+    inc{k} AS (
+        SELECT e.dst, SUM(r.rank * e.frac) AS inc
+        FROM norm e JOIN r{p} r ON e.src = r.node
+        GROUP BY e.dst
+    ),
+    dang{k} AS (
+        SELECT COALESCE(SUM(CASE WHEN r.dangling THEN r.rank END), 0) AS dang
+        FROM r{p} r
+    ),
+    r{k} AS (
+        SELECT n.node, n.dangling,
+               (1 - 0.85) / (SELECT n_nodes FROM nn)
+               + 0.85 * (COALESCE(i.inc, 0)
+                         + (SELECT dang FROM dang{k})
+                           / (SELECT n_nodes FROM nn)) AS rank
+        FROM nodes n LEFT JOIN inc{k} i ON n.node = i.dst
+    )"""
+
+
+_GR01_ORACLE = (
+    """
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst
+        FROM events
+    ),
+    edges AS (
+        SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+    nodes0 AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges
+        )
+    ),
+    nodes AS (
+        SELECT n.node, (o.src IS NULL) AS dangling
+        FROM nodes0 n LEFT JOIN outw o ON n.node = o.src
+    ),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    norm AS (
+        SELECT e.src, e.dst, e.w / o.outw AS frac
+        FROM edges e JOIN outw o ON e.src = o.src
+    ),
+    r0 AS (
+        SELECT node, dangling, 1.0 / (SELECT n_nodes FROM nn) AS rank
+        FROM nodes
+    ),"""
+    + ",".join(_iter_cte(k) for k in range(1, ITERATIONS + 1))
+    + f"""
+    SELECT node AS event_type, ROUND(rank, 6) AS pagerank
+    FROM r{ITERATIONS}
+    """
+)
+
+
+@query("gr01_pagerank", oracle=_GR01_ORACLE)
+def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph — which
+    event types are the behavioral 'hubs' users flow through.
+
+    Edges are ev11's first-order transitions (LEAD over each user's
+    (ts, event_id)-ordered sequence, so edge extraction is tie-safe and
+    cross-engine identical); 5 damped rounds with uniform dangling-mass
+    redistribution. The oracle unrolls the same 5 rounds as chained
+    CTEs — every round is differentially checked, not just the fixpoint
+    shape. Ranks round to 6dp (short double sums; see `pagerank`).
+
+    Scale: the per-round cost is two shuffles of the edge list; the
+    static normalized-edge relation is checkpointed once and re-joined
+    each round (bucket it on src at cluster scale and the rank-attach
+    join goes shuffle-free). Node-count and dangling mass stay in-plan
+    as broadcast 1-row aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = pagerank(edges)
+    return ranks.select(
+        F.col("node").alias("event_type"), F.round("rank", 6).alias("pagerank")
+    )

@@ -89,6 +89,20 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("q46_important_stock_nations", "BroadcastNestedLoopJoin"): (
         "single-row global-total broadcast into the non-equi HAVING comparison"
     ),
+    ("tx19_pmi_collocations", "BroadcastNestedLoopJoin"): (
+        "two single-row corpus-total broadcasts (N1 tokens, N2 bigrams) "
+        "folded into the PMI expression — the tx08 shape"
+    ),
+    ("hh01_heavy_hitter_tokens", "BroadcastNestedLoopJoin"): (
+        "single-row exact-total broadcast into the heavy-hitter threshold "
+        "filter"
+    ),
+    ("ev15_ohlc_bars", "SortAggregate"): (
+        "open/close are min_by/max_by over the fixed-width string tie key — "
+        "string buffers are not hash-mutable so Spark picks SortAggregate; "
+        "still one shuffle with map-side partial min_by/max_by, and the "
+        "per-group sort state is O(1)"
+    ),
     ("ing01_dedup_insert", "SortAggregate"): (
         "dropDuplicates keeps wide string first() buffers (not hash-mutable); "
         "single spillable sort shuffle on the dedup key"

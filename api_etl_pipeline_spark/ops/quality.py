@@ -207,3 +207,48 @@ def dq01_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li_checks.unionByName(od_checks).unionByName(ev_checks).unionByName(
         fk1
     ).unionByName(fk2)
+
+
+K_ANON = 5  # groups smaller than this re-identify their members
+
+
+@query(
+    "dq02_k_anonymity",
+    oracle=f"""
+    WITH grouped AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, acctbal_band, group_size
+    FROM grouped
+    WHERE group_size < {K_ANON}
+    """,
+)
+def dq02_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the customer quasi-identifier tuple
+    (nation, market segment, $1000 account-balance band): every
+    equivalence class smaller than k, i.e. the combinations that could
+    re-identify an individual if this table were released as training
+    data — the privacy gate a curation pipeline runs next to dq01's
+    integrity gate (Sweeney 2002; Samarati 2001).
+
+    Sweep shape: one map-side-combinable hash aggregate over the
+    quasi-identifier key, then a size filter — at 100 TB the output is
+    bounded by the number of RARE key combinations (each < k rows), so
+    the result stays small precisely when the table is risky. The
+    banding (floor division) is exact integer math on both engines;
+    generalizing a column to coarser bands until this query returns
+    zero rows is the classic anonymization loop."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("acctbal_band"),
+        )
+        .agg(F.count("*").alias("group_size"))
+        .filter(F.col("group_size") < K_ANON)
+    )

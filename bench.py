@@ -122,6 +122,11 @@ OPTIONAL = [
     "tx17_lm_familiarity",  # corpus bigram-LM scoring (CCNet ppl-filter analog)
     "mm06_perceptual_hash_groups",  # aHash bucketing, dd01 cost model on media
     "ret01_hybrid_rrf",  # BM25+cosine RRF hybrid retrieval
+    # round-5 continuation
+    "hh01_heavy_hitter_tokens",  # two-pass frequent-items sketch
+    "tx19_pmi_collocations",  # PMI phrase mining, vocab-broadcast joins
+    "dq02_k_anonymity",  # quasi-identifier privacy audit
+    "gr01_pagerank",  # iterative graph rounds (work in eager checkpoints)
     "tx18_ppl_buckets",  # CCNet head/middle/tail LM-score tertiles
     "samp05_weighted_reservoir",  # A-ES weighted top-N, TakeOrdered plan
     "st10_interval_left_join",  # outer stream-stream join batch twin

@@ -1,0 +1,106 @@
+"""Ground-truth tests for the round-5 additions beyond the oracle mirror:
+
+- pagerank: closed-form ranks on constructed graphs (the DuckDB oracle
+  only proves both engines run the same recurrence; these prove the
+  recurrence is PageRank), mass conservation, and dangling handling.
+- hh01: batching-invariance — the candidate pass sees different Arrow
+  batch splits depending on partitioning, and the final output must not
+  (the superset-then-exact-recount contract), plus equality with the
+  direct full groupBy.
+- dq02: injected quasi-identifier groups below/above k.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.ops.advanced import HH_K, hh01_heavy_hitter_tokens
+from api_etl_pipeline_spark.ops.graph import pagerank
+from api_etl_pipeline_spark.ops.quality import K_ANON, dq02_k_anonymity
+from tests.conftest import SF_DIR
+
+
+def _ranks(df) -> dict:
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_two_node_cycle_is_uniform(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], "src string, dst string, w double"
+    )
+    ranks = _ranks(pagerank(edges))
+    # symmetric graph: uniform is the exact fixpoint from the uniform init
+    assert ranks["a"] == pytest.approx(0.5, abs=1e-12)
+    assert ranks["b"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_pagerank_star_closed_form(spark):
+    # a->c, b->c; c dangling. With uniform dangling redistribution the
+    # hand-iterated 5-round values are checked exactly below.
+    edges = spark.createDataFrame(
+        [("a", "c", 1.0), ("b", "c", 1.0)], "src string, dst string, w double"
+    )
+    d, n = 0.85, 3
+    r = {v: 1 / n for v in "abc"}
+    for _ in range(5):
+        dang = r["c"]
+        r = {
+            "a": (1 - d) / n + d * (dang / n),
+            "b": (1 - d) / n + d * (dang / n),
+            "c": (1 - d) / n + d * (r["a"] + r["b"] + dang / n),
+        }
+    got = _ranks(pagerank(edges))
+    for v in "abc":
+        assert got[v] == pytest.approx(r[v], abs=1e-12), v
+
+
+def test_pagerank_conserves_mass(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 1.0), ("a", "c", 1.0)],
+        "src string, dst string, w double",
+    )
+    total = pagerank(edges).agg(F.sum("rank")).first()[0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hh01_invariant_to_batching(spark):
+    base = hh01_heavy_hitter_tokens(spark, SF_DIR)
+    got = {(r["token"], r["cnt"]) for r in base.collect()}
+    assert got, "heavy-hitter set empty at test SF — threshold miscalibrated"
+
+    # direct exact computation (single groupBy, no sketch)
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    n = toks.count()
+    exact = {
+        (r["token"], r["cnt"])
+        for r in toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * HH_K > F.lit(n))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_dq02_flags_only_small_groups(spark, tmp_path):
+    rows = [
+        # 6 identical quasi-tuples -> k-anonymous at k=5, must NOT appear
+        *[(i, f"c{i}", 1, 1500.0, "AUTO") for i in range(6)],
+        # 2 identical quasi-tuples -> violating group of size 2
+        (10, "x", 2, 2500.0, "BUILDING"),
+        (11, "y", 2, 2600.0, "BUILDING"),
+        # singleton -> violating group of size 1
+        (12, "z", 3, -100.0, "MACHINERY"),
+    ]
+    schema = (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / "customer.parquet"))
+    out = {
+        (r["c_nationkey"], r["c_mktsegment"], r["acctbal_band"]): r["group_size"]
+        for r in dq02_k_anonymity(spark, str(tmp_path)).collect()
+    }
+    assert out == {(2, "BUILDING", 2): 2, (3, "MACHINERY", -1): 1}
+    assert all(v < K_ANON for v in out.values())
