@@ -1,4 +1,5 @@
-"""Iterative graph analytics on DataFrames — weighted PageRank.
+"""Iterative graph analytics on DataFrames — weighted PageRank and
+BFS shortest paths.
 
 The reference engine has no graph operators; this module extends the
 engine the same way dd09/dd10 (connected components over the near-dup
@@ -19,6 +20,11 @@ gr01 runs it on the event-type transition graph (ev11's parity-proven
 edge extraction: LEAD over (user_id, ts, event_id)); the same
 `pagerank()` helper accepts any (src, dst, w) edge DataFrame — e.g. the
 dd04 near-dup candidate graph for picking canonical documents.
+
+gr02 adds the other canonical iteration shape: BFS frontier expansion
+with data-dependent early termination (`bfs_distances`), where each
+round's work is bounded by the NEW nodes discovered rather than a fixed
+round count.
 """
 
 from __future__ import annotations
@@ -213,3 +219,105 @@ def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("event_type"), F.round("rank", 6).alias("pagerank")
     )
+
+
+MAX_HOPS = 8
+
+
+def bfs_distances(edges: DataFrame, source, max_hops: int = MAX_HOPS) -> DataFrame:
+    """Unweighted single-source shortest paths (BFS) over (src, dst)
+    edges — the Pregel frontier pattern, complementing `pagerank`'s
+    fixed-round iteration with data-dependent early termination.
+
+    Each round expands only the CURRENT frontier (newly discovered
+    nodes) against the edge list and anti-joins the known set, so total
+    work is O(sum of frontier out-degrees) — each edge is traversed at
+    most once over the whole run, not once per round. The driver-side
+    emptiness check per round is a bounded scalar (the dd09/sim09 loop
+    precedent); rounds are capped at `max_hops` so a pathological
+    graph cannot run away.
+
+    Returns (node, dist) for REACHED nodes only. At cluster scale the
+    known/frontier relations are node-sized (small side of every join)
+    and broadcast against the bucketed edge list."""
+    known = eager_checkpoint(
+        edges.sparkSession.createDataFrame(
+            [(source, 0)], "node string, dist bigint"
+        )
+    )
+    frontier = known
+    for hop in range(1, max_hops + 1):
+        expanded = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(known.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("bigint").alias("dist"))
+        )
+        frontier = eager_checkpoint(expanded)
+        if frontier.isEmpty():
+            break
+        known = eager_checkpoint(known.unionByName(frontier))
+    return known
+
+
+_GR02_ORACLE = f"""
+    WITH RECURSIVE seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst
+        FROM events
+    ),
+    edges AS (
+        SELECT DISTINCT src, dst FROM seq WHERE dst IS NOT NULL
+    ),
+    start AS (
+        SELECT MIN(node) AS node FROM (
+            SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+        )
+    ),
+    walk(node, dist) AS (
+        SELECT node, CAST(0 AS BIGINT) FROM start
+        UNION
+        SELECT e.dst, w.dist + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.dist < {MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """
+
+
+@query("gr02_bfs_hops", oracle=_GR02_ORACLE)
+def gr02_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the alphabetically-first event type to
+    every reachable type over the (deduplicated) transition graph —
+    'how many behavioral steps away is each activity from the entry
+    event'. Same tie-safe ev11 edge extraction as gr01; the source
+    choice (MIN over the node set) is deterministic on both engines.
+
+    The oracle is a recursive CTE with UNION (not UNION ALL) semantics,
+    so the working set stays (node, dist)-distinct and terminates on
+    the cyclic graph; MIN(dist) per node is exactly BFS discovery
+    order. The Spark side is the frontier loop in `bfs_distances` —
+    see its docstring for the per-edge-once work bound."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .distinct()
+    )
+    source = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .agg(F.min("node"))
+        .first()[0]
+    )
+    return bfs_distances(eager_checkpoint(edges), source)

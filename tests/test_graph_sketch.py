@@ -104,3 +104,36 @@ def test_dq02_flags_only_small_groups(spark, tmp_path):
     }
     assert out == {(2, "BUILDING", 2): 2, (3, "MACHINERY", -1): 1}
     assert all(v < K_ANON for v in out.values())
+
+
+def test_bfs_chain_with_branch_and_unreachable(spark):
+    from api_etl_pipeline_spark.ops.graph import bfs_distances
+
+    # a -> b -> c, a -> d; e -> a (e unreachable FROM a); f isolated edge g->f
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "d"), ("e", "a"), ("g", "f")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, "a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 1}
+
+
+def test_bfs_cycle_terminates_with_min_dist(spark):
+    from api_etl_pipeline_spark.ops.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, "a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_respects_hop_cap(spark):
+    from api_etl_pipeline_spark.ops.graph import bfs_distances
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    got = bfs_distances(edges, "n0", max_hops=3)
+    assert got.agg(F.max("dist")).first()[0] == 3
+    assert got.count() == 4
