@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from api_etl_pipeline_spark.checkpoint import eager_checkpoint
+from api_etl_pipeline_spark.llm_ops.dedup import dd04_minhash_lsh_pairs
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
 
@@ -321,3 +322,133 @@ def gr02_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()[0]
     )
     return bfs_distances(eager_checkpoint(edges), source)
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected graph given as canonical (a < b) distinct edge pairs.
+
+    Uses the degree-orientation trick (the MapReduce triangle-counting
+    classic, Suri & Vassilvitskii 2011): orient every edge from the
+    endpoint with the smaller (degree, id) to the larger. Every node's
+    oriented out-degree is then O(sqrt(m)), so the wedge self-join —
+    the only superlinear step — emits at most O(m^1.5) candidates
+    instead of the O(sum deg^2) a naive neighbor join pays on skewed
+    (power-law) graphs; each triangle is generated exactly once, at its
+    smallest-(degree, id) apex. The closing-edge probe is an equi-join
+    back to the oriented edge list. Degrees ride along as join payloads
+    (node-sized relation, broadcast at scale).
+
+    Returns ONE row: n_nodes, n_edges, n_wedges (unordered neighbor
+    pairs, exact int), n_triangles, global_clustering =
+    3*triangles/wedges rounded at 6 (0.0 for a wedgeless graph)."""
+    a, b = F.col("a"), F.col("b")
+    edges = eager_checkpoint(edges.select(a, b))  # 4 consumers below
+    deg = (
+        edges.select(a.alias("node"))
+        .unionByName(edges.select(b.alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (a < b)
+    )
+    oriented = eager_checkpoint(
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, a).otherwise(b).alias("src"),
+            F.when(a_first, b).otherwise(a).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+        )
+    )
+    x = oriented.alias("x")
+    y = oriented.alias("y")
+    wedge_order = (F.col("x.dst_deg") < F.col("y.dst_deg")) | (
+        (F.col("x.dst_deg") == F.col("y.dst_deg"))
+        & (F.col("x.dst") < F.col("y.dst"))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = (
+        x.join(y, (F.col("x.src") == F.col("y.src")) & wedge_order)
+        .select(F.col("x.dst").alias("v"), F.col("y.dst").alias("w"))
+        .join(closing, ["v", "w"], "left_semi")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    stats = (
+        F.broadcast(deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.expr("(deg * (deg - 1)) DIV 2")).alias("n_wedges"),
+        ))
+        .crossJoin(F.broadcast(edges.agg(F.count("*").alias("n_edges"))))
+        .crossJoin(F.broadcast(tri))
+    )
+    clustering = F.when(
+        F.col("n_wedges") > 0,
+        F.round(
+            3.0 * F.col("n_triangles").cast("double") / F.col("n_wedges"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return stats.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        clustering.alias("global_clustering"),
+    )
+
+
+def _gr03_oracle() -> str:
+    # reuse dd04's registered oracle verbatim as the pair-graph CTE so
+    # the two queries can never drift on what "the candidate graph" is
+    from api_etl_pipeline_spark.llm_ops import dedup  # noqa: F401  (registers dd04)
+    from api_etl_pipeline_spark.registry import _REGISTRY
+
+    pairs_sql = _REGISTRY["dd04_minhash_lsh_pairs"].oracle
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT doc_a AS node FROM pairs
+              UNION ALL SELECT doc_b FROM pairs)
+        GROUP BY node
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           CASE WHEN (SELECT SUM(deg * (deg - 1) // 2) FROM deg) > 0
+                THEN ROUND(3.0 * (SELECT n_triangles FROM tri)
+                           / (SELECT SUM(deg * (deg - 1) // 2) FROM deg), 6)
+                ELSE 0.0 END AS global_clustering
+    """
+
+
+@query("gr03_triangle_stats", oracle=_gr03_oracle())
+def gr03_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the MinHash-LSH near-dup candidate graph
+    (dd04's pairs as undirected edges): exact triangle count plus the
+    global clustering coefficient — the transitivity signal that tells
+    a dedup pipeline whether its candidate pairs form coherent
+    duplicate clusters (high transitivity → dd09's components are
+    clique-like; low → band collisions are noisy and need a stricter
+    verify pass like dd05).
+
+    The oracle embeds dd04's own registered oracle as its pair CTE, so
+    graph construction can never drift between the two queries; the
+    triangle join there uses the canonical a<b form, while the Spark
+    side counts via degree orientation — two DIFFERENT algorithms
+    agreeing on the exact count is the strongest shape of check (see
+    `triangle_stats` for the O(m^1.5) bound the orientation buys)."""
+    pairs = dd04_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return triangle_stats(edges)

@@ -103,6 +103,15 @@ ALLOWED: dict[tuple[str, str], str] = {
         "still one shuffle with map-side partial min_by/max_by, and the "
         "per-group sort state is O(1)"
     ),
+    ("gr03_triangle_stats", "BroadcastNestedLoopJoin"): (
+        "three single-row stat aggregates (degree sum, edge count, "
+        "triangle count) folded into the one-row result"
+    ),
+    ("gr03_triangle_stats", "SortMergeJoin"): (
+        "the wedge enumeration is the oriented edge list self-joined on "
+        "src — fact-fact by nature; degree orientation bounds every src "
+        "group at O(sqrt(m)), which is the algorithm's whole point"
+    ),
     ("ing01_dedup_insert", "SortAggregate"): (
         "dropDuplicates keeps wide string first() buffers (not hash-mutable); "
         "single spillable sort shuffle on the dedup key"

@@ -128,6 +128,7 @@ OPTIONAL = [
     "dq02_k_anonymity",  # quasi-identifier privacy audit
     "gr01_pagerank",  # iterative graph rounds (work in eager checkpoints)
     "gr02_bfs_hops",  # frontier BFS (work in eager checkpoints)
+    "gr03_triangle_stats",  # degree-oriented wedge join triangle census
     "tx18_ppl_buckets",  # CCNet head/middle/tail LM-score tertiles
     "samp05_weighted_reservoir",  # A-ES weighted top-N, TakeOrdered plan
     "st10_interval_left_join",  # outer stream-stream join batch twin

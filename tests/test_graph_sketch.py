@@ -137,3 +137,35 @@ def test_bfs_respects_hop_cap(spark):
     got = bfs_distances(edges, "n0", max_hops=3)
     assert got.agg(F.max("dist")).first()[0] == 3
     assert got.count() == 4
+
+
+def test_triangle_stats_k4_and_path(spark):
+    from api_etl_pipeline_spark.ops.graph import triangle_stats
+
+    # K4: 4 nodes, 6 edges, C(3,2)*4=12 wedges, 4 triangles, clustering 1.0
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    row = triangle_stats(
+        spark.createDataFrame(k4, "a bigint, b bigint")
+    ).first()
+    assert (row["n_nodes"], row["n_edges"], row["n_wedges"], row["n_triangles"]) == (4, 6, 12, 4)
+    assert row["global_clustering"] == 1.0
+
+    # path a-b-c: 1 wedge, no triangle
+    row = triangle_stats(
+        spark.createDataFrame([(1, 2), (2, 3)], "a bigint, b bigint")
+    ).first()
+    assert (row["n_wedges"], row["n_triangles"], row["global_clustering"]) == (1, 0, 0.0)
+
+
+def test_triangle_stats_skewed_hub(spark):
+    from api_etl_pipeline_spark.ops.graph import triangle_stats
+
+    # hub 0 connected to 1..10, plus one closing edge (1,2):
+    # triangles = 1; wedges = C(10,2) + 10 one-wedge spokes... spokes have
+    # deg 1 (except 1 and 2 with deg 2) -> wedges = 45 + 1 + 1 = 47
+    edges = [(0, i) for i in range(1, 11)] + [(1, 2)]
+    row = triangle_stats(
+        spark.createDataFrame(edges, "a bigint, b bigint")
+    ).first()
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (11, 11, 1)
+    assert row["n_wedges"] == 47
