@@ -658,3 +658,129 @@ def hh01_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Nearest-direction as-of join: for each left row, BOTH the latest
+    right timestamp <= left_ts (backward) and the earliest right
+    timestamp >= left_ts (forward) for the same key — the pandas
+    merge_asof direction='nearest' family, which Spark lacks natively.
+
+    Same union-tag composition as `asof_join_last`, but ONE shuffle on
+    the key feeds TWO running windows over the same partitioning: the
+    ascending scan carries the backward candidate, the descending scan
+    (right rows first at equal timestamps on both, so an exactly-equal
+    right row is a candidate in BOTH directions) carries the forward
+    one. Linear state per key, no row explosion; callers pick a side
+    with whatever tie rule they need.
+
+    Returns the left columns plus `asof_back_ts` / `asof_fwd_ts`."""
+    lt = left.select(
+        F.col(key), F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    rt = right.select(
+        F.col(key), F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
+        F.lit(None).cast(lt.schema["_l"].dataType.simpleString()).alias("_l"),
+    )
+    unioned = lt.unionByName(rt).withColumn(
+        "_r_ts", F.when(F.col("_side") == 0, F.col("_ts"))
+    )
+    scan = Window.partitionBy(key).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_back = scan.orderBy(F.col("_ts").asc(), F.col("_side").asc())
+    w_fwd = scan.orderBy(F.col("_ts").desc(), F.col("_side").asc())
+    carried = unioned.select(
+        "_side",
+        "_l",
+        F.last("_r_ts", ignorenulls=True).over(w_back).alias("asof_back_ts"),
+        F.last("_r_ts", ignorenulls=True).over(w_fwd).alias("asof_fwd_ts"),
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        F.col("_l.*"), "asof_back_ts", "asof_fwd_ts"
+    )
+
+
+@query(
+    "q52_asof_nearest",
+    oracle="""
+    SELECT purchase_id, user_id, purchase_ts, back_click_ts, fwd_click_ts,
+           CASE WHEN back_click_ts IS NULL AND fwd_click_ts IS NULL THEN NULL
+                WHEN fwd_click_ts IS NULL THEN back_click_ts
+                WHEN back_click_ts IS NULL THEN fwd_click_ts
+                WHEN (purchase_ts - back_click_ts) <= (fwd_click_ts - purchase_ts)
+                     THEN back_click_ts
+                ELSE fwd_click_ts END AS nearest_click_ts,
+           CASE WHEN back_click_ts IS NULL AND fwd_click_ts IS NULL THEN NULL
+                WHEN fwd_click_ts IS NULL THEN 'back'
+                WHEN back_click_ts IS NULL THEN 'fwd'
+                WHEN (purchase_ts - back_click_ts) <= (fwd_click_ts - purchase_ts)
+                     THEN 'back'
+                ELSE 'fwd' END AS direction
+    FROM (
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+               (SELECT MAX(c.ts) FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts <= p.ts) AS back_click_ts,
+               (SELECT MIN(c.ts) FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts >= p.ts) AS fwd_click_ts
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    )
+    """,
+)
+def q52_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (direction='nearest'): each purchase matched
+    to the user's closest click in EITHER direction, ties broken toward
+    the preceding click — the sensor-alignment / attribution semantics
+    pandas merge_asof(direction='nearest') provides single-node, here
+    as one key shuffle + two running windows (`asof_join_nearest`).
+    The oracle states both candidates as correlated MAX/MIN and applies
+    the IDENTICAL structured tie CASE, so the choice logic itself is
+    differentially pinned (q21 covers the backward-only variant)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = asof_join_nearest(
+        purchases, clicks, key="user_id", left_ts="purchase_ts", right_ts="ts"
+    )
+    back, fwd, pts = F.col("back_click_ts"), F.col("fwd_click_ts"), F.col("purchase_ts")
+    # timestamp subtraction yields a comparable day-time interval for
+    # both TIMESTAMP and TIMESTAMP_NTZ inputs (unix_micros rejects NTZ,
+    # and the events table is NTZ in current testdata generations)
+    back_wins = (pts - back) <= (fwd - pts)
+    nearest = (
+        F.when(back.isNull() & fwd.isNull(), F.lit(None).cast("timestamp_ntz"))
+        .when(fwd.isNull(), back)
+        .when(back.isNull(), fwd)
+        .when(back_wins, back)
+        .otherwise(fwd)
+    )
+    direction = (
+        F.when(back.isNull() & fwd.isNull(), F.lit(None).cast("string"))
+        .when(fwd.isNull(), F.lit("back"))
+        .when(back.isNull(), F.lit("fwd"))
+        .when(back_wins, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+    )
+    return (
+        j.withColumnsRenamed(
+            {"asof_back_ts": "back_click_ts", "asof_fwd_ts": "fwd_click_ts"}
+        )
+        .select(
+            "purchase_id", "user_id", "purchase_ts", "back_click_ts",
+            "fwd_click_ts", nearest.alias("nearest_click_ts"),
+            direction.alias("direction"),
+        )
+    )

@@ -129,6 +129,7 @@ OPTIONAL = [
     "gr01_pagerank",  # iterative graph rounds (work in eager checkpoints)
     "gr02_bfs_hops",  # frontier BFS (work in eager checkpoints)
     "gr03_triangle_stats",  # degree-oriented wedge join triangle census
+    "q52_asof_nearest",  # one-shuffle dual-direction as-of windows
     "tx18_ppl_buckets",  # CCNet head/middle/tail LM-score tertiles
     "samp05_weighted_reservoir",  # A-ES weighted top-N, TakeOrdered plan
     "st10_interval_left_join",  # outer stream-stream join batch twin

@@ -67,3 +67,32 @@ def test_q21_has_both_matched_and_unmatched(spark):
     matched = [r for r in rows if r.asof_click_ts is not None]
     assert len(rows) > 0 and len(matched) > 0
     assert all(r.asof_click_ts <= r.purchase_ts for r in matched)
+
+
+def test_asof_join_nearest_directions_and_ties(spark):
+    from datetime import datetime
+
+    from api_etl_pipeline_spark.ops.advanced import asof_join_nearest
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 100, t(10)),   # clicks at 7 & 12 -> fwd nearer
+         (2, 100, t(20)),   # clicks at 18 & 22 -> exact tie -> caller picks back
+         (3, 200, t(10)),   # no clicks for user 200 -> both NULL
+         (4, 300, t(10))],  # click exactly at 10 -> candidate both directions
+        "id bigint, user_id bigint, lts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(100, t(7)), (100, t(12)), (100, t(18)), (100, t(22)), (300, t(10))],
+        "user_id bigint, ts timestamp_ntz",
+    )
+    out = {
+        r["id"]: (r["asof_back_ts"], r["asof_fwd_ts"])
+        for r in asof_join_nearest(
+            left, right, key="user_id", left_ts="lts", right_ts="ts"
+        ).collect()
+    }
+    assert out[1] == (t(7), t(12))
+    assert out[2] == (t(18), t(22))
+    assert out[3] == (None, None)
+    assert out[4] == (t(10), t(10))
