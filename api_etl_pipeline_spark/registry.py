@@ -91,11 +91,11 @@ def _load_all() -> None:
 # decon/cur/mix/shuf/chunk, samp*, pack*, st01-05/st08, plus
 # ev13/x13/dd11/dd12), all oracle-bearing, lifting cumulative coverage to
 # 165. Round 5 also ADDED tx17, tx18, mm06, ret01, samp05, st10, dq01,
-# ev14 and ev15 — then gr01, gr02, gr03, q52, hh01, tx19 and dq02 in
-# the continuation session — so the registry is 215 and the
-# never-driver-checked remainder for the round-6 rotation is 50:
+# ev14 and ev15 — then gr01, gr02, gr03, q52, x26, hh01, tx19 and dq02
+# in the continuation session — so the registry is 216 and the
+# never-driver-checked remainder for the round-6 rotation is 51:
 # x14-x24, q39-q50, mm01-mm06, sim06/09/10, st06/07/09/10, tx17, tx18,
-# ret01, samp05, dq01, ev14, ev15, gr01, gr02, gr03, q52, hh01, tx19, dq02.
+# ret01, samp05, dq01, ev14, ev15, gr01, gr02, gr03, q52, x26, hh01, tx19, dq02.
 # Nothing is removed —
 # every query stays registered and the pytest mirror in
 # tests/test_queries_oracle.py still covers all of them.

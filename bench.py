@@ -130,6 +130,7 @@ OPTIONAL = [
     "gr02_bfs_hops",  # frontier BFS (work in eager checkpoints)
     "gr03_triangle_stats",  # degree-oriented wedge join triangle census
     "q52_asof_nearest",  # one-shuffle dual-direction as-of windows
+    "x26_weighted_median",  # distinct-price exact weighted median
     "tx18_ppl_buckets",  # CCNet head/middle/tail LM-score tertiles
     "samp05_weighted_reservoir",  # A-ES weighted top-N, TakeOrdered plan
     "st10_interval_left_join",  # outer stream-stream join batch twin

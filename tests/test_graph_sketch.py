@@ -169,3 +169,28 @@ def test_triangle_stats_skewed_hub(spark):
     ).first()
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (11, 11, 1)
     assert row["n_wedges"] == 47
+
+
+def test_weighted_median_boundary_convention(spark, tmp_path):
+    from api_etl_pipeline_spark.ops.advanced import x26_weighted_median
+
+    schema = (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string"
+    )
+    rows = [
+        # group A: qty-weighted median of (10x1, 20x2, 30x1) -> 20
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "A", "O"),
+        (2, 1, 1, 1, 2.0, 20.0, 0.0, 0.0, "A", "O"),
+        (3, 1, 1, 1, 1.0, 30.0, 0.0, 0.0, "A", "O"),
+        # group B: exact boundary (10x2, 20x2) -> lower median 10
+        (4, 1, 1, 1, 2.0, 10.0, 0.0, 0.0, "B", "O"),
+        (5, 1, 1, 1, 2.0, 20.0, 0.0, 0.0, "B", "O"),
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r["l_returnflag"]: r["weighted_median_price"]
+        for r in x26_weighted_median(spark, str(tmp_path)).collect()
+    }
+    assert out == {"A": 20.0, "B": 10.0}
