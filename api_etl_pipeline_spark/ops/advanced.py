@@ -640,7 +640,12 @@ def hh01_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    sketch = tokens.mapInPandas(local_heavy, "token string, cnt bigint")
+    # checkpoint: candidates and total are two consumers of the sketch —
+    # without this the Arrow candidate pass would re-scan the corpus
+    # (the documented cost model is ONE candidate pass + ONE recount)
+    sketch = lazy_checkpoint(
+        tokens.mapInPandas(local_heavy, "token string, cnt bigint")
+    )
     candidates = sketch.filter(F.col("token").isNotNull()).select("token").distinct()
     total = F.broadcast(
         sketch.filter(F.col("token").isNull()).agg(F.sum("cnt").alias("n"))
@@ -695,8 +700,15 @@ def asof_join_nearest(
     scan = Window.partitionBy(key).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_back = scan.orderBy(F.col("_ts").asc(), F.col("_side").asc())
-    w_fwd = scan.orderBy(F.col("_ts").desc(), F.col("_side").asc())
+    # NULLS FIRST on BOTH scan directions: a left row with a NULL
+    # timestamp must see no candidates in either direction (the oracle's
+    # correlated predicates are NULL-failing), and a right row with a
+    # NULL timestamp carries a NULL _r_ts that last(ignorenulls) skips —
+    # so NULL rows are inert on both sides. Spark's desc default is
+    # NULLS LAST, which would hand a NULL-ts left row the partition's
+    # EARLIEST right timestamp as a spurious forward match.
+    w_back = scan.orderBy(F.col("_ts").asc_nulls_first(), F.col("_side").asc())
+    w_fwd = scan.orderBy(F.col("_ts").desc_nulls_first(), F.col("_side").asc())
     carried = unioned.select(
         "_side",
         "_l",

@@ -41,6 +41,22 @@ DAMPING = 0.85
 ITERATIONS = 5
 
 
+def _transition_edges(events: DataFrame, weighted: bool) -> DataFrame:
+    """ev11's parity-proven transition-edge extraction, shared by gr01
+    (weighted) and gr02 (distinct): LEAD over each user's
+    (ts, event_id)-ordered sequence, so ties are cross-engine safe."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    if weighted:
+        return pairs.groupBy("src", "dst").agg(
+            F.count("*").cast("double").alias("w")
+        )
+    return pairs.distinct()
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = DAMPING,
@@ -60,6 +76,10 @@ def pagerank(
     ~1e-15 over 5 rounds; callers round for hashing (gr01 rounds to 6).
     """
     src, dst = F.col("src"), F.col("dst")
+    # edges feeds outw, norm, and both nodes branches below — checkpoint
+    # once so the caller's edge subtree is not re-evaluated per consumer
+    # (the triangle_stats '4 consumers' discipline)
+    edges = eager_checkpoint(edges)
     nodes = (
         edges.select(src.alias("node"))
         .unionByName(edges.select(dst.alias("node")))
@@ -127,6 +147,7 @@ def pagerank(
 def _iter_cte(k: int) -> str:
     """One unrolled PageRank round as DuckDB CTEs (r{k} from r{k-1})."""
     p = k - 1
+    d = DAMPING
     return f"""
     inc{k} AS (
         SELECT e.dst, SUM(r.rank * e.frac) AS inc
@@ -139,8 +160,8 @@ def _iter_cte(k: int) -> str:
     ),
     r{k} AS (
         SELECT n.node, n.dangling,
-               (1 - 0.85) / (SELECT n_nodes FROM nn)
-               + 0.85 * (COALESCE(i.inc, 0)
+               (1 - {d}) / (SELECT n_nodes FROM nn)
+               + {d} * (COALESCE(i.inc, 0)
                          + (SELECT dang FROM dang{k})
                            / (SELECT n_nodes FROM nn)) AS rank
         FROM nodes n LEFT JOIN inc{k} i ON n.node = i.dst
@@ -205,17 +226,7 @@ def gr01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round (bucket it on src at cluster scale and the rank-attach
     join goes shuffle-free). Node-count and dangling mass stay in-plan
     as broadcast 1-row aggregates."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = (
-        e.select(
-            F.col("event_type").alias("src"),
-            F.lead("event_type").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("double").alias("w"))
-    )
+    edges = _transition_edges(load_table(spark, sf_dir, "events"), weighted=True)
     ranks = pagerank(edges)
     return ranks.select(
         F.col("node").alias("event_type"), F.round("rank", 6).alias("pagerank")
@@ -241,9 +252,10 @@ def bfs_distances(edges: DataFrame, source, max_hops: int = MAX_HOPS) -> DataFra
     Returns (node, dist) for REACHED nodes only. At cluster scale the
     known/frontier relations are node-sized (small side of every join)
     and broadcast against the bucketed edge list."""
+    node_type = edges.schema["src"].dataType.simpleString()
     known = eager_checkpoint(
         edges.sparkSession.createDataFrame(
-            [(source, 0)], "node string, dist bigint"
+            [(source, 0)], f"node {node_type}, dist bigint"
         )
     )
     frontier = known
@@ -305,15 +317,11 @@ def gr02_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cyclic graph; MIN(dist) per node is exactly BFS discovery
     order. The Spark side is the frontier loop in `bfs_distances` —
     see its docstring for the per-edge-once work bound."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = (
-        e.select(
-            F.col("event_type").alias("src"),
-            F.lead("event_type").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull())
-        .distinct()
+    # checkpoint FIRST: the source-picking action and every BFS round
+    # read the materialized edge list instead of re-running the
+    # LEAD-window extraction per consumer
+    edges = eager_checkpoint(
+        _transition_edges(load_table(spark, sf_dir, "events"), weighted=False)
     )
     source = (
         edges.select(F.col("src").alias("node"))
@@ -321,7 +329,7 @@ def gr02_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("node"))
         .first()[0]
     )
-    return bfs_distances(eager_checkpoint(edges), source)
+    return bfs_distances(edges, source)
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:

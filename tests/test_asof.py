@@ -96,3 +96,28 @@ def test_asof_join_nearest_directions_and_ties(spark):
     assert out[2] == (t(18), t(22))
     assert out[3] == (None, None)
     assert out[4] == (t(10), t(10))
+
+
+def test_asof_join_nearest_null_timestamps_are_inert(spark):
+    from datetime import datetime
+
+    from api_etl_pipeline_spark.ops.advanced import asof_join_nearest
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 100, None),     # NULL left ts -> NO candidates either way
+         (2, 100, t(10))],   # normal row unaffected
+        "id bigint, user_id bigint, lts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(100, t(5)), (100, None), (100, t(12))],  # NULL right ts is skipped
+        "user_id bigint, ts timestamp_ntz",
+    )
+    out = {
+        r["id"]: (r["asof_back_ts"], r["asof_fwd_ts"])
+        for r in asof_join_nearest(
+            left, right, key="user_id", left_ts="lts", right_ts="ts"
+        ).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (t(5), t(12))

@@ -194,3 +194,14 @@ def test_weighted_median_boundary_convention(spark, tmp_path):
         for r in x26_weighted_median(spark, str(tmp_path)).collect()
     }
     assert out == {"A": 20.0, "B": 10.0}
+
+
+def test_bfs_generic_over_bigint_nodes(spark):
+    # the dd04-style reuse: node ids are bigints, not strings
+    from api_etl_pipeline_spark.ops.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, 10).collect()}
+    assert got == {10: 0, 20: 1, 30: 2}
