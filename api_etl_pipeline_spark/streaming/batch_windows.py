@@ -217,15 +217,27 @@ def st05_watermark_sync_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("st06_streaming_tumbling_live", oracle=None)  # live stream: rows-only
+@query(
+    "st06_streaming_tumbling_live",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def st06_streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7 as an ACTUAL Structured Streaming run, surfaced to the driver's
-    rows-only check: stage the events parquet as a file stream, run the
-    watermarked tumbling aggregation (stream_ops.tumbling_counts) to a
-    memory sink, drain it synchronously, and return the materialized
-    result. Equality with the batch twin (st01) is pinned in
-    tests/test_streaming.py; here the driver sees that the streaming
-    path executes and yields a stable schema."""
+    """T7 as an ACTUAL Structured Streaming run, now with a FULL oracle
+    (round-5 verdict task 5): stage the events parquet as a file stream,
+    run the watermarked tumbling aggregation (stream_ops.tumbling_counts)
+    in complete output mode to a memory sink, drain it synchronously, and
+    return the materialized result. Because the bounded source drains to
+    completion and complete mode retains every window, the live result
+    must equal the batch twin (st01) exactly — so st01's batch SQL IS
+    this query's oracle, and the driver's hash compare now proves
+    live==batch directly instead of a rows-only check."""
     import uuid
 
     from api_etl_pipeline_spark.streaming.stream_ops import tumbling_counts
@@ -249,13 +261,31 @@ def st06_streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("st07_streaming_join_live", oracle=None)  # live stream-stream join: rows-only
+@query(
+    "st07_streaming_join_live",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS p_ts,
+           c.event_id AS click_id,
+           c.ts AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    """,
+)
 def st07_streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-stream interval join (purchase⋈clicks within the
     preceding hour, watermark-bounded state on both sides) as an ACTUAL
-    two-stream Structured Streaming run into a memory sink — the driver's
-    rows-only check sees the live path execute; equality with the batch
-    range join is pinned in tests/test_streaming.py."""
+    two-stream Structured Streaming run into a memory sink — now with a
+    FULL oracle (round-5 verdict task 5): an INNER interval join emits
+    every match as it arrives (watermarks only bound state, they never
+    gate inner-match emission), and the bounded file source drains to
+    completion under processAllAvailable, so the live output must equal
+    the batch interval join row-for-row — the batch SQL is the oracle
+    and the driver's hash compare proves live==batch directly."""
     import uuid
 
     from api_etl_pipeline_spark.streaming.stream_ops import (
@@ -337,16 +367,28 @@ def st08_enriched_segment_windows(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("st09_streaming_enrich_live", oracle=None)  # live stream-static join: rows-only
+@query(
+    "st09_streaming_enrich_live",
+    oracle="""
+    SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
 def st09_streaming_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """st08's dataflow as an ACTUAL Structured Streaming run: the staged
-    events file stream is enriched per micro-batch against the static
-    customer dimension (stream_ops.enrich_with_dimension — broadcast, no
-    join state, no watermark needed on the static side) and aggregated
-    into watermarked 1-hour windows per segment into a memory sink.
-    Equality with the batch twin (st08) is pinned in
-    tests/test_streaming.py; the driver's rows-only check sees the live
-    path execute with a stable schema."""
+    """st08's dataflow as an ACTUAL Structured Streaming run, now with a
+    FULL oracle (round-5 verdict task 5): the staged events file stream
+    is enriched per micro-batch against the static customer dimension
+    (stream_ops.enrich_with_dimension — broadcast, no join state, no
+    watermark needed on the static side) and aggregated into watermarked
+    1-hour windows per segment into a memory sink in complete output
+    mode. Complete mode over a fully drained bounded source retains
+    every window, so the live result must equal the batch twin (st08)
+    exactly — st08's SQL is the oracle and the driver's hash compare
+    proves live==batch directly."""
     import uuid
 
     from api_etl_pipeline_spark.streaming.stream_ops import enrich_with_dimension
