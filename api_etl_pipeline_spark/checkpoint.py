@@ -19,7 +19,9 @@ executor-local fast path, where driver==executor makes the caveat moot.
 
 from __future__ import annotations
 
+import contextlib
 import os
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 
@@ -30,11 +32,34 @@ RELIABLE = os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT", "").lower() not in 
     "no",
 )
 
+# Pre-checkpoint observer (round-5 advice): checkpointing REPLACES the
+# plan with an RDD scan, so anything the linter would have flagged in an
+# iterative round's plan disappears from the final query plan. The plan
+# linter installs an observer here to capture each DataFrame's plan
+# BEFORE the truncation, closing that blind spot by machine instead of
+# prose. None → zero overhead on the normal path.
+_OBSERVER: Callable[[DataFrame], None] | None = None
+
+
+@contextlib.contextmanager
+def checkpoint_observer(fn: Callable[[DataFrame], None]) -> Iterator[None]:
+    """Install `fn` to be called with every DataFrame just before it is
+    checkpointed (plan-lint uses this to see inside iterative loops)."""
+    global _OBSERVER
+    prev = _OBSERVER
+    _OBSERVER = fn
+    try:
+        yield
+    finally:
+        _OBSERVER = prev
+
 
 def lazy_checkpoint(df: DataFrame) -> DataFrame:
     """Truncate lineage without forcing immediate materialization (the
     first action pays it). See module docstring for the cluster-scale
     fault-tolerance caveat."""
+    if _OBSERVER is not None:
+        _OBSERVER(df)
     if RELIABLE:
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
@@ -43,6 +68,8 @@ def lazy_checkpoint(df: DataFrame) -> DataFrame:
 def eager_checkpoint(df: DataFrame) -> DataFrame:
     """Materialize now — for iterative loops that immediately fan out
     multiple consumers of the checkpointed state (dd09's CC rounds)."""
+    if _OBSERVER is not None:
+        _OBSERVER(df)
     if RELIABLE:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

@@ -686,6 +686,12 @@ def asof_join_nearest(
     with whatever tie rule they need.
 
     Returns the left columns plus `asof_back_ts` / `asof_fwd_ts`."""
+    reserved = {"asof_back_ts", "asof_fwd_ts"} & set(left.columns)
+    if reserved:
+        raise ValueError(
+            f"asof_join_nearest reserves output columns {sorted(reserved)}; "
+            "rename them on the left DataFrame before joining"
+        )
     lt = left.select(
         F.col(key), F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
@@ -769,11 +775,14 @@ def q52_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back, fwd, pts = F.col("back_click_ts"), F.col("fwd_click_ts"), F.col("purchase_ts")
     # timestamp subtraction yields a comparable day-time interval for
-    # both TIMESTAMP and TIMESTAMP_NTZ inputs (unix_micros rejects NTZ,
-    # and the events table is NTZ in current testdata generations)
+    # both TIMESTAMP and TIMESTAMP_NTZ inputs (unix_micros rejects NTZ);
+    # the both-NULL branch's literal takes the ACTUAL timestamp flavor of
+    # the as-of output so the when-chain never mixes TIMESTAMP with
+    # TIMESTAMP_NTZ regardless of how the events table was generated
+    ts_type = j.schema["asof_back_ts"].dataType
     back_wins = (pts - back) <= (fwd - pts)
     nearest = (
-        F.when(back.isNull() & fwd.isNull(), F.lit(None).cast("timestamp_ntz"))
+        F.when(back.isNull() & fwd.isNull(), F.lit(None).cast(ts_type))
         .when(fwd.isNull(), back)
         .when(back.isNull(), fwd)
         .when(back_wins, back)

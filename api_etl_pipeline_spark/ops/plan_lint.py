@@ -128,6 +128,39 @@ ALLOWED: dict[tuple[str, str], str] = {
         "max_by struct argmax buffer is not hash-mutable; runs on the tiny "
         "post-clustering vertex set"
     ),
+    # --- pre-checkpoint plans (<name>+ckpt): what the checkpoint
+    # observer sees INSIDE iterative loops before lineage truncation ---
+    ("dd09_dup_clusters+ckpt", "SortMergeJoin"): (
+        "connected-components star rounds join the candidate edge list "
+        "with the evolving label frame — fact-fact on vertex id by "
+        "nature; per-round cost is the documented 2-shuffle CC model"
+    ),
+    ("dd10_keep_best_dedup+ckpt", "SortMergeJoin"): (
+        "inherits dd09's CC rounds (same checkpointed subtree)"
+    ),
+    ("gr01_pagerank+ckpt", "SortMergeJoin"): (
+        "per-round ranks⋈edges contribution join is fact-fact on src — "
+        "the canonical PageRank shuffle; 2 exchanges per round as "
+        "documented in SCALE.md"
+    ),
+    ("gr01_pagerank+ckpt", "BroadcastNestedLoopJoin"): (
+        "single-row dangling-mass scalar aggregate broadcast into each "
+        "round's rank update"
+    ),
+    ("gr02_bfs_hops+ckpt", "SortMergeJoin"): (
+        "frontier expansion joins frontier⋈edges then anti-joins the "
+        "known set — both fact-fact on vertex id; each edge is "
+        "traversed once across all rounds"
+    ),
+    ("gr03_triangle_stats+ckpt", "SortMergeJoin"): (
+        "the oriented-edge subtree captured pre-checkpoint contains the "
+        "same degree-bounded wedge self-join allowlisted on the final "
+        "plan"
+    ),
+    ("ret01_hybrid_rrf+ckpt", "BroadcastNestedLoopJoin"): (
+        "the semantic leg's 3-row seed-vector broadcast, captured "
+        "pre-checkpoint — same shape allowlisted on the final plan"
+    ),
 }
 
 # batch queries may not contain LocalTableScan of collected rows; the
@@ -178,12 +211,29 @@ def lint_plan(name: str, plan: str) -> list[Finding]:
 
 
 def lint_registry(spark: SparkSession, sf_dir: str) -> list[Finding]:
-    """Lint every registered query's physical plan."""
+    """Lint every registered query's physical plan — INCLUDING the plans
+    that checkpointing would otherwise hide (round-5 advice): iterative
+    operators (gr01/gr02, dd09…) truncate lineage per round, so their
+    final plan is just an RDD scan. A checkpoint observer captures each
+    pre-truncation DataFrame and lints it under `<name>+ckpt`, deduped
+    by node kind (every round has the same shape), so the per-round
+    join/shuffle anti-pattern coverage applies to iterative queries too
+    instead of being a prose-documented blind spot."""
+    from api_etl_pipeline_spark.checkpoint import checkpoint_observer
     from api_etl_pipeline_spark.registry import all_queries
 
     out: list[Finding] = []
     for name, spec in all_queries().items():
-        out.extend(lint_plan(name, plan_text(spec.fn(spark, sf_dir))))
+        captured: list[str] = []
+        with checkpoint_observer(lambda df: captured.append(plan_text(df))):
+            final_plan = plan_text(spec.fn(spark, sf_dir))
+        out.extend(lint_plan(name, final_plan))
+        seen: set[tuple[str, str]] = set()
+        for plan in captured:
+            for f in lint_plan(f"{name}+ckpt", plan):
+                if (f.query, f.node) not in seen:
+                    seen.add((f.query, f.node))
+                    out.append(f)
     return out
 
 
