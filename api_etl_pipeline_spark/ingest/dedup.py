@@ -103,6 +103,17 @@ def reconcile_by_hash(
     return merge_upsert(existing, changed, keys=keys)
 
 
+# dedup_insert_bloom collects the folded bitmap to the driver; its size
+# is m/8 bytes = expected_items*bits_per_item/8, which grows linearly
+# with the EXISTING key count — the one driver-side structure in the
+# repo with that property (round-5 verdict). Past this cap the bloom
+# pre-pass stops paying for itself against driver memory risk, so the
+# operator degrades to the plain anti-join instead of OOMing: at a 10^9
+# existing-key set the distributed `dedup_insert` anti-join is the right
+# plan anyway (one shuffle on the key, no driver state).
+BLOOM_MAX_BITMAP_BYTES = 256 << 20
+
+
 def dedup_insert_bloom(
     new_rows: DataFrame,
     existing: DataFrame | None,
@@ -110,6 +121,7 @@ def dedup_insert_bloom(
     expected_items: int = 1_000_000,
     bits_per_item: int = 10,
     n_hashes: int = 5,
+    max_bitmap_bytes: int = BLOOM_MAX_BITMAP_BYTES,
 ) -> DataFrame:
     """S6/J2 at scale: dedup-insert with a Bloom-filter pre-pass
     (SCALE.md). The bloom is BUILT distributively: each existing key
@@ -124,12 +136,19 @@ def dedup_insert_bloom(
 
     The membership probe is an Arrow-batched pandas UDF over the
     broadcast bitmap — position hashing stays JVM-side so Python never
-    re-implements the hash."""
+    re-implements the hash.
+
+    Driver-memory bound: the collected bitmap is m/8 bytes; when the
+    requested sizing exceeds `max_bitmap_bytes` (default 256 MB, ~2e8
+    expected items at 10 bits/item) the function falls back to plain
+    `dedup_insert` — identical result, no driver-side state."""
     batch_unique = new_rows.dropDuplicates(list(keys))
     if existing is None:
         return batch_unique
 
     m = max(64, expected_items * bits_per_item)
+    if m // 8 > max_bitmap_bytes:
+        return dedup_insert(new_rows, existing, keys=keys)
 
     def positions():
         return F.array(

@@ -121,6 +121,30 @@ def test_bloom_dedup_equals_plain(spark):
     assert bloom == plain and len(plain) > 0
 
 
+def test_bloom_dedup_oversized_bitmap_falls_back(spark):
+    """Round-5 verdict task 3: a bitmap sizing past the driver-memory cap
+    must degrade to the plain anti-join (same result, no collect), not
+    attempt a multi-GB driver collect. The plan proves the fallback: the
+    bloom path carries an ArrowEvalPython probe stage, the plain path
+    doesn't."""
+    from api_etl_pipeline_spark.ingest.dedup import dedup_insert, dedup_insert_bloom
+    from api_etl_pipeline_spark.ops.plan_lint import plan_text
+    from api_etl_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        F.format_string("u-%d", F.col("doc_id")).alias("source_url"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256"),
+        "doc_id",
+    )
+    existing = d.filter(F.col("doc_id") % 3 == 0)
+    # 10^9 expected items * 10 bits = 1.25 GB bitmap > 256 MB cap
+    out = dedup_insert_bloom(d, existing, expected_items=1_000_000_000)
+    assert "ArrowEvalPython" not in plan_text(out)
+    plain = {r.doc_id for r in dedup_insert(d, existing).collect()}
+    assert {r.doc_id for r in out.collect()} == plain and len(plain) > 0
+
+
 def test_salted_join_equals_plain_join(spark):
     from api_etl_pipeline_spark.ops.skew import salted_join
 
