@@ -25,12 +25,22 @@ from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 
-RELIABLE = os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT", "").lower() not in (
-    "",
-    "0",
-    "false",
-    "no",
-)
+def reliable_enabled() -> bool:
+    """Read the reliable-checkpoint flag NOW (per call, not at import):
+    operators bind `eager_checkpoint` by name at their own import time,
+    so an import-time constant would freeze the mode before a deployment
+    script (or test) could set the env var."""
+    return os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT", "").lower() not in (
+        "",
+        "0",
+        "false",
+        "no",
+    )
+
+
+# import-time snapshot, kept for introspection/back-compat; the
+# checkpoint functions consult reliable_enabled() live
+RELIABLE = reliable_enabled()
 
 # Pre-checkpoint observer (round-5 advice): checkpointing REPLACES the
 # plan with an RDD scan, so anything the linter would have flagged in an
@@ -60,7 +70,7 @@ def lazy_checkpoint(df: DataFrame) -> DataFrame:
     fault-tolerance caveat."""
     if _OBSERVER is not None:
         _OBSERVER(df)
-    if RELIABLE:
+    if reliable_enabled():
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
 
@@ -70,6 +80,6 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
     multiple consumers of the checkpointed state (dd09's CC rounds)."""
     if _OBSERVER is not None:
         _OBSERVER(df)
-    if RELIABLE:
+    if reliable_enabled():
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

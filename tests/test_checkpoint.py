@@ -45,3 +45,32 @@ def test_reliable_path_uses_checkpoint_dir(spark, tmp_path, monkeypatch):
     finally:
         monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT")
         importlib.reload(cp)
+
+
+def test_iterative_suite_under_reliable_checkpoint(spark, tmp_path, monkeypatch):
+    """Round-5 verdict task 7: the cluster-mode flag must actually WORK
+    for the operators that depend on checkpointing — run the iterative
+    dd09 connected-components and gr01 PageRank queries end-to-end with
+    SPARK_GRAFT_RELIABLE_CHECKPOINT=1 and a reliable checkpoint dir, and
+    pin their results against the executor-local fast path. The flag is
+    read per call (not at import), so the operators' bound helpers pick
+    it up without reloads — exactly how a deployment script flips it."""
+    from api_etl_pipeline_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    specs = all_queries()
+    baseline = {
+        name: sorted(map(tuple, specs[name].fn(spark, SF_SMOKE).collect()))
+        for name in ("dd09_dup_clusters", "gr01_pagerank")
+    }
+
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "reliable_ckpt"))
+    try:
+        for name, expected in baseline.items():
+            got = sorted(map(tuple, specs[name].fn(spark, SF_SMOKE).collect()))
+            assert got == expected, f"{name} diverged under reliable checkpointing"
+        ckpt_files = list((tmp_path / "reliable_ckpt").rglob("*"))
+        assert ckpt_files, "reliable mode wrote nothing to the checkpoint dir"
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT")

@@ -1,0 +1,177 @@
+"""One-command round-close verification (round-5 verdict task 6).
+
+Runs every leg of the README "Round-close checklist" in sequence and
+prints a single PASS/FAIL summary line per leg plus a final JSON
+verdict. Pieces existed since rounds 4-5 (oracle sweep, plan lint,
+scan audit, plan-fingerprint regen, leak grep) but were invoked ad hoc
+from README prose; this is the documented entry point.
+
+    python tools/round_close.py              # everything except bench
+    python tools/round_close.py --bench      # include the sf0.1 bench
+    python tools/round_close.py --quick      # skip the sf0.1 sweep too
+
+Exit code 0 iff every executed leg passed. Legs:
+
+1. full pytest suite at sf0.01 (includes the 216-query oracle mirror
+   and the registry-wide plan lint)
+2. sf0.1 oracle sweep — the same differential mirror at 10x data and
+   shuffle partitions (catches summation-order value dependence)
+3. PLANS.md regeneration — fails if fingerprints changed but were not
+   committed (run again after reviewing/committing the diff)
+4. scan audit — fails if a query newly scans a big table >= 2x beyond
+   the standing allowlist recorded below
+5. leak grep — repo source must not reference non-public
+   hosts/buckets/keys (mirrors the driver's LEAKCHECK categories)
+6. (--bench) bench.py at sf0.1 — headline + calibrated numbers
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+def run_leg(name: str, cmd: list[str], env: dict | None = None) -> dict:
+    t0 = time.perf_counter()
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=e, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
+    )
+    dt = round(time.perf_counter() - t0, 1)
+    ok = proc.returncode == 0
+    print(f"[{'PASS' if ok else 'FAIL'}] {name} ({dt}s)")
+    if not ok:
+        print(proc.stdout[-4000:])
+    return {"leg": name, "ok": ok, "sec": dt, "tail": proc.stdout[-2000:]}
+
+
+def leg_plans_fingerprints() -> dict:
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, "tools/gen_plans.py"], cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    diff = subprocess.run(
+        ["git", "diff", "--stat", "--", "PLANS.md"], cwd=REPO,
+        stdout=subprocess.PIPE, text=True,
+    ).stdout.strip()
+    dt = round(time.perf_counter() - t0, 1)
+    ok = r.returncode == 0 and not diff
+    print(f"[{'PASS' if ok else 'FAIL'}] plan fingerprints ({dt}s)"
+          + (f" — PLANS.md changed:\n{diff}" if diff else ""))
+    return {"leg": "plan_fingerprints", "ok": ok, "sec": dt, "diff": diff}
+
+
+def leg_scan_audit() -> dict:
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, "tools/scan_audit.py"], cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    names = set(re.findall(r"^  (\w+):", r.stdout, flags=re.M))
+    allowed = _scan_audit_allowlist()
+    new = names - allowed
+    dt = round(time.perf_counter() - t0, 1)
+    ok = r.returncode == 0 and not new
+    print(f"[{'PASS' if ok else 'FAIL'}] scan audit ({dt}s)"
+          + (f" — NEW multi-traversal queries: {sorted(new)}" if new else ""))
+    return {"leg": "scan_audit", "ok": ok, "sec": dt, "new": sorted(new)}
+
+
+def _scan_audit_allowlist() -> set[str]:
+    """The 43 queries with a standing written reason for scanning a big
+    table more than once — classes documented in SCALE.md §"Same-table
+    traversal audit" (self-joins, set ops, correlated-scalar
+    comparisons, multi-phase statistics, split-vs-split comparisons).
+    Snapshot of the round-6 audit output; a query appearing in the
+    audit but not here fails the leg until fixed or consciously added."""
+    return {
+        "q13_set_ops", "q48_range_join_banded", "dq01_quality_report",
+        "ing18_bloom_dedup_insert", "ing19_merge_upsert",
+        "tx08_tfidf_top_term", "tx16_bm25_topk", "st10_interval_left_join",
+        "mm01_multimodal_features", "mm05_caption_pairs", "tx18_ppl_buckets",
+        "q52_asof_nearest", "sim06_matmul_topk", "ret01_hybrid_rrf",
+        "q21_asof_join", "q22_range_join", "q51_hll_mergeable_distinct",
+        "x25_mad_outliers", "ev05_zero_filled_daily",
+        "ev08_first_click_attribution", "dd05_ngram_jaccard",
+        "dd07_simhash_hamming", "dd11_repeated_substrings",
+        "q20_min_cost_supplier", "q29_top_supplier", "q31_small_qty_revenue",
+        "qsql03_exists_not_exists_shared_sql",
+        "qsql06_correlated_scalar_shared_sql", "ing01_dedup_insert",
+        "ing20_incremental_agg_merge", "tx07_edit_distance",
+        "tx12_fuzzy_blocked_join", "tx15_rare_term_ratio",
+        "llm01_clean_corpus", "llm03_dataset_card", "samp04_temperature_mix",
+        "decon01_ngram_overlap", "mix01_token_budget_mix",
+        "sim01_cosine_topk", "sim02_lsh_bucket_ann", "sim05_ivf_probe_topk",
+        "dd08_embedding_near_dup", "sim07_pq_codes",
+    }
+
+
+def leg_leak_grep() -> dict:
+    t0 = time.perf_counter()
+    pats = {
+        "internal-import": r"^\s*(import|from)\s+(anthropic|claude)",
+        "internal-url": r"https?://[\w.-]*\b(corp|internal|intranet)\b",
+        "internal-bucket": r"\b(s3|gs|abfss?)://(?!bucket|my-|example|your-)[\w.-]+",
+        "slack-link": r"slack\.com|app\.slack",
+        "api-key": r"(sk-[A-Za-z0-9]{20,}|AKIA[0-9A-Z]{16})",
+    }
+    hits: dict[str, list[str]] = {k: [] for k in pats}
+    targets = [
+        p for d in ("api_etl_pipeline_spark", "tests", "tools")
+        for p in (REPO / d).rglob("*.py")
+    ] + [REPO / "bench.py", REPO / "__spark_entry__.py"]
+    for path in targets:
+        text = path.read_text(errors="replace")
+        for k, pat in pats.items():
+            for m in re.finditer(pat, text, flags=re.M):
+                hits[k].append(f"{path.relative_to(REPO)}: {m.group(0)[:60]}")
+    n = sum(len(v) for v in hits.values())
+    dt = round(time.perf_counter() - t0, 1)
+    ok = n == 0
+    print(f"[{'PASS' if ok else 'FAIL'}] leak grep ({dt}s)"
+          + (f" — {n} hits: {hits}" if n else ""))
+    return {"leg": "leak_grep", "ok": ok, "sec": dt, "hits": {k: v for k, v in hits.items() if v}}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench", action="store_true", help="include the sf0.1 bench leg")
+    ap.add_argument("--quick", action="store_true", help="skip the sf0.1 oracle sweep")
+    args = ap.parse_args()
+
+    results = []
+    results.append(run_leg(
+        "pytest sf0.01 full suite", [sys.executable, "-m", "pytest", "tests/", "-q"]
+    ))
+    if not args.quick:
+        results.append(run_leg(
+            "sf0.1 oracle sweep",
+            [sys.executable, "-m", "pytest", "tests/test_queries_oracle.py", "-q"],
+            env={"SPARK_GRAFT_TEST_SF_DIR": "/root/testdata/sf0.1"},
+        ))
+    results.append(leg_plans_fingerprints())
+    results.append(leg_scan_audit())
+    results.append(leg_leak_grep())
+    if args.bench:
+        results.append(run_leg("bench sf0.1", [sys.executable, "bench.py"]))
+
+    ok = all(r["ok"] for r in results)
+    print(json.dumps({
+        "round_close": "PASS" if ok else "FAIL",
+        "legs": [{k: r[k] for k in ("leg", "ok", "sec")} for r in results],
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
