@@ -1,0 +1,153 @@
+"""100x scale probe (round-5 verdict task 4): one decade past the
+standing 10x probes, on the three shuffle-heaviest shapes —
+
+- q18_multiway_join : 5-way star join, 60M lineitem rows
+- dd04_minhash_lsh_pairs : LSH candidate generation, 500k documents
+- tx17_lm_familiarity : corpus bigram-LM build + probe join, 500k docs
+
+Run: python tools/scale_probe100.py         (~15-30 min incl. build)
+
+Replica construction (the honest part):
+
+- join/group keys are shifted per replica (the 10x probe's rule), so
+  join and group cardinalities scale with volume instead of collapsing
+  onto the same keys;
+- document TEXT is re-vocabularied per replica (every token suffixed
+  with the replica tag, replica 0 verbatim): a verbatim 100x copy would
+  make every document a 100-way exact near-dup, blowing LSH candidate
+  pairs up by C(100,2) per original group — an artifact of the probe,
+  not a property of real 100x corpora. With per-replica vocab the
+  duplication RATE stays that of the base corpus (pairs scale ~100x,
+  linearly), and tx17's LM vocabulary grows with the corpus — which is
+  exactly the vocab-scale claim its docstring makes (real corpora grow
+  vocab sublinearly per Heaps' law; per-replica suffixing is the
+  conservative upper bound, ~100x vocab).
+
+PASS criteria: per-query time ratio ~O(100x) or better with an
+UNCHANGED plan fingerprint (summarize_plan at 1x == 100x). Superlinear
+time with the same plan means a shape broke (lost broadcast, spill,
+skew) — investigate .explain before trusting the operator at 100 TB.
+Results are recorded in SCALE.md §"100x probe".
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from api_etl_pipeline_spark.ops.plan_lint import plan_text, summarize_plan  # noqa: E402
+from api_etl_pipeline_spark.registry import all_queries  # noqa: E402
+from api_etl_pipeline_spark.session import get_spark  # noqa: E402
+from api_etl_pipeline_spark.tables import TABLES, load_table  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+OUT = "/tmp/spark_graft_scale100"
+REPLICAS = 100
+SHIFT = 100_000_000
+
+KEY_SHIFT = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+}
+
+QUERIES = ["q18_multiway_join", "dd04_minhash_lsh_pairs", "tx17_lm_familiarity"]
+
+
+def build_100x(spark) -> float:
+    marker = Path(OUT) / "_READY"
+    if marker.exists():
+        return 0.0
+    import shutil
+
+    t0 = time.perf_counter()
+    shutil.rmtree(OUT, ignore_errors=True)
+    Path(OUT).mkdir(parents=True)
+    reps = F.broadcast(spark.range(REPLICAS).withColumnRenamed("id", "_rep"))
+    for name in TABLES:
+        df = load_table(spark, SF_DIR, name)
+        if name in KEY_SHIFT:
+            r = df.crossJoin(reps)
+            for col in KEY_SHIFT[name]:
+                r = r.withColumn(col, F.col(col) + F.col("_rep") * SHIFT)
+            if name == "documents":
+                # re-vocabulary per replica: suffix every token with the
+                # replica tag (replica 0 verbatim) — see module docstring
+                r = r.withColumn(
+                    "text",
+                    F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                        F.regexp_replace(
+                            F.col("text"),
+                            F.lit(r"(\S+)"),
+                            F.concat(F.lit("$1zz"), F.col("_rep").cast("string")),
+                        )
+                    ),
+                )
+            r.drop("_rep").repartition(64).write.mode("overwrite").parquet(
+                f"{OUT}/{name}.parquet"
+            )
+        else:
+            df.write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+    dt = time.perf_counter() - t0
+    marker.write_text("ok")
+    return round(dt, 1)
+
+
+def time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+    best = None
+    for _ in range(runs):
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = get_spark("scale-probe-100x")
+    import bench
+
+    base_dir, _ = bench.prepare_layout(spark, SF_DIR, 32)
+    build_sec = build_100x(spark)
+    print(f"100x build: {build_sec}s", flush=True)
+
+    specs = all_queries()
+    rows = []
+    for name in QUERIES:
+        fn = specs[name].fn
+        fp1 = summarize_plan(plan_text(fn(spark, base_dir)))
+        t1 = time_query(spark, fn, base_dir)
+        print(f"{name} 1x: {t1}s", flush=True)
+        fp100 = summarize_plan(plan_text(fn(spark, OUT)))
+        t100 = time_query(spark, fn, OUT)
+        print(f"{name} 100x: {t100}s", flush=True)
+        same = fp1 == fp100
+        rows.append({
+            "query": name, "sec_1x": t1, "sec_100x": t100,
+            "ratio": round(t100 / t1, 1) if t1 else None,
+            "plan_unchanged": same,
+            "fingerprint_1x": fp1,
+            **({} if same else {"fingerprint_100x": fp100}),
+        })
+
+    print(f"{'query':28s} {'1x':>8s} {'100x':>9s} {'ratio':>7s}  plan")
+    for r in rows:
+        print(
+            f"{r['query']:28s} {r['sec_1x']:8.3f} {r['sec_100x']:9.3f} "
+            f"{r['ratio']:7.1f}  {'unchanged' if r['plan_unchanged'] else 'CHANGED'}"
+        )
+    print(json.dumps({"build_sec": build_sec, "probes": rows}))
+
+
+if __name__ == "__main__":
+    main()
