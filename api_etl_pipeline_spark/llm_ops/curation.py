@@ -478,3 +478,119 @@ def chunk01_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_words") >= 8)
     )
+
+
+# --- round 6: embedding-space decontamination + balanced quality pruning ----
+
+from api_etl_pipeline_spark.llm_ops.similarity import (  # noqa: E402
+    _cosine,
+    _duck_cosine,
+    _dvec,
+)
+
+# contamination threshold: tuned so the synthetic corpus flags a
+# non-trivial minority (~10% at sf0.01) — in production this is the
+# knob traded against false-positive retention loss
+DECON03_TAU = 0.35
+
+
+@query(
+    "decon03_embedding_contamination",
+    oracle=f"""
+    WITH bench AS (
+        SELECT vec_id AS bench_id, embedding::DOUBLE[] AS be
+        FROM embeddings WHERE label = 0
+    ),
+    corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE label <> 0
+    ),
+    scored AS (
+        SELECT c.vec_id, MAX({_duck_cosine('c.ce', 'b.be')}) AS max_cos
+        FROM corpus c, bench b
+        GROUP BY c.vec_id
+    )
+    SELECT vec_id, max_cos
+    FROM scored WHERE max_cos >= {DECON03_TAU}
+    """,
+)
+def decon03_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (the semantic complement of
+    decon01's n-gram overlap): flag corpus vectors whose max cosine to
+    ANY benchmark vector (label=0 split) reaches tau — catches
+    paraphrased/reworded eval leakage that lexical n-grams miss.
+
+    Plan: the benchmark set BROADCASTS (eval sets are thousands of rows
+    while the corpus is the 100 TB side), the corpus makes ONE narrow
+    pass scoring |bench| cosines per row, and the only exchange is the
+    per-vector max aggregation. Scores reuse the bit-identical fold-dot
+    machinery (similarity.py module docstring), and MAX involves no
+    cross-row float summation, so values hash-match the oracle exactly
+    with no rounding. The broadcast non-equi join is the intended BNLJ
+    shape (plan-lint allowlisted with this reason)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("bench_id"), _dvec("embedding").alias("be")
+    )
+    corpus = e.filter(F.col("label") != 0).select(
+        "vec_id", _dvec("embedding").alias("ce")
+    )
+    return (
+        corpus.join(F.broadcast(bench))
+        .groupBy("vec_id")
+        .agg(F.max(_cosine(F.col("ce"), F.col("be"))).alias("max_cos"))
+        .filter(F.col("max_cos") >= DECON03_TAU)
+    )
+
+
+CUR02_KEEP = 0.5
+
+
+@query(
+    "cur02_lang_quality_prune",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               ROUND(len(list_distinct(string_split(text, ' ')))
+                     / len(string_split(text, ' '))::DOUBLE, 6) AS diversity
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, source, diversity,
+               PERCENT_RANK() OVER (
+                   PARTITION BY lang ORDER BY diversity DESC, doc_id ASC
+               ) AS pr
+        FROM scored
+    )
+    SELECT doc_id, lang, source, diversity
+    FROM ranked WHERE pr <= {CUR02_KEEP}
+    """,
+)
+def cur02_lang_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced quality pruning: keep the top half of each
+    language's documents by lexical diversity (distinct-token ratio) —
+    the curation step that prunes low-quality text WITHOUT letting a
+    global threshold starve low-resource languages (each lang keeps its
+    own top fraction; contrast cur01's per-source hard cap).
+
+    Plan: diversity is a zero-shuffle JVM expression; the only exchange
+    is the per-lang percent_rank window. At 100 TB the lang partitions
+    are few and huge — the window sort is the cost and it spills
+    gracefully; a two-pass approx-quantile threshold is the documented
+    alternative when exact ranks are not required."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks).cast("double"), 6
+        ).alias("diversity"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("diversity").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= CUR02_KEEP)
+        .drop("pr")
+    )

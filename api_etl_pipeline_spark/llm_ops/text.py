@@ -1281,3 +1281,50 @@ def tx19_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+TX20_DF_RATIO = 0.6
+
+
+@query(
+    "tx20_stopword_discovery",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    df AS (
+        SELECT token, COUNT(*)::BIGINT AS n_docs FROM per_doc GROUP BY token
+    ),
+    total AS (SELECT COUNT(*)::BIGINT AS n FROM documents)
+    SELECT token, n_docs,
+           ROUND(n_docs / n::DOUBLE, 6) AS df_ratio,
+           ROUND(LN(n::DOUBLE / n_docs), 6) AS idf
+    FROM df, total
+    WHERE n_docs / n::DOUBLE >= {TX20_DF_RATIO}
+    """,
+)
+def tx20_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-adaptive stopword mining: tokens whose document frequency
+    crosses a ratio threshold — the data-derived complement of tx02's
+    fixed stopword list (a corpus in a new domain or language grows its
+    own function words, which downstream quality scoring and BM25
+    should discount). One explode-distinct shuffle on (doc, token), one
+    count aggregation; the corpus total is a single-row broadcast
+    folded into the ratio (tx08's shape, plan-lint allowlisted)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    df = per_doc.groupBy("token").agg(F.count("*").alias("n_docs"))
+    total = F.broadcast(d.agg(F.count("*").alias("n")))
+    return (
+        df.crossJoin(total)
+        .filter(F.col("n_docs") / F.col("n") >= TX20_DF_RATIO)
+        .select(
+            "token",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n"), 6).alias("df_ratio"),
+            F.round(F.log(F.col("n") / F.col("n_docs")), 6).alias("idf"),
+        )
+    )

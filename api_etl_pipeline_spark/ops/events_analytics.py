@@ -907,3 +907,76 @@ def ev15_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec).cast("double").alias("volume"),
         )
     )
+
+@query(
+    "ev16_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               date_diff('day', MAX(ts), TIMESTAMP '2024-01-31 00:00:00')::BIGINT
+                   AS recency_days,
+               COUNT(*)::BIGINT AS frequency,
+               ROUND(SUM(CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS monetary
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC)::BIGINT AS r_score,
+           NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC)::BIGINT AS f_score,
+           NTILE(4) OVER (ORDER BY monetary DESC, user_id ASC)::BIGINT AS m_score
+    FROM per_user
+    """,
+)
+def ev16_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the marketing-analytics classic:
+    recency (days since last event, anchored at the corpus end),
+    frequency (event count), monetary (purchase value sum, exact
+    DECIMAL so the cross-engine hash is summation-order-free), each
+    quartile-scored with NTILE. Tie-break on user_id makes quartile
+    assignment deterministic across engines.
+
+    Plan: ONE shuffle for the per-user rollup; the three NTILE windows
+    CHAIN over the already-collapsed per-user relation (sequential
+    WindowExecs in one traversal — no branch recompute; verified 1
+    events scan, 2 exchanges total). At 100 TB the per-user relation
+    still fits a modest cluster sort — but if it didn't, the documented
+    rewrite is approx-percentile thresholds (one pass, no global sort)
+    traded against exact quartile boundaries."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2024-01-31 00:00:00").cast("timestamp_ntz").cast("date"),
+            F.max("ts").cast("date"),
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ),
+            2,
+        ).alias("monetary"),
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc()))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc()))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc()))
+        .cast("bigint")
+        .alias("m_score"),
+    )

@@ -128,6 +128,15 @@ ALLOWED: dict[tuple[str, str], str] = {
         "max_by struct argmax buffer is not hash-mutable; runs on the tiny "
         "post-clustering vertex set"
     ),
+    ("decon03_embedding_contamination", "BroadcastNestedLoopJoin"): (
+        "benchmark-embedding-set broadcast against the corpus — eval "
+        "sets are thousands of rows vs the 100 TB corpus side; the "
+        "corpus makes one narrow pass scoring |bench| cosines per row"
+    ),
+    ("tx20_stopword_discovery", "BroadcastNestedLoopJoin"): (
+        "single-row corpus-total broadcast folded into the DF-ratio "
+        "filter — the tx08 shape"
+    ),
     # --- pre-checkpoint plans (<name>+ckpt): what the checkpoint
     # observer sees INSIDE iterative loops before lineage truncation ---
     ("dd09_dup_clusters+ckpt", "SortMergeJoin"): (
@@ -171,6 +180,8 @@ LOCAL_SCAN_OK = {
     "st06_streaming_tumbling_live",
     "st07_streaming_join_live",
     "st09_streaming_enrich_live",
+    "st11_streaming_sliding_live",
+    "st12_streaming_session_live",
     "qsql08_values_decode_shared_sql",  # 3-row inline VALUES decode table
 }
 

@@ -479,3 +479,107 @@ def st10_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "c_ts",
     )
+
+
+@query(
+    "st11_streaming_sliding_live",
+    oracle="""
+    SELECT window_start, COUNT(*)::BIGINT AS n_events
+    FROM (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                 + (CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END)
+                 - (o.off * INTERVAL 30 MINUTE) AS window_start
+        FROM events, (SELECT UNNEST([0, 1]) AS off) o
+    )
+    GROUP BY window_start
+    """,
+)
+def st11_streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st02's sliding window (1 h length / 30 min slide) as an ACTUAL
+    Structured Streaming run with a FULL oracle: complete output mode
+    over a fully drained bounded source retains every window, so the
+    live result must equal the batch twin — the st06 promotion argument
+    applied to overlapping-window assignment (each event lands in
+    exactly 2 windows; the oracle reproduces that via the two-offset
+    union, st02's formulation)."""
+    import uuid
+
+    from api_etl_pipeline_spark.streaming.stream_ops import sliding_counts
+    from api_etl_pipeline_spark.tables import load_events_stream
+
+    stage_dir = _stage_events_dir(sf_dir)
+    stream = load_events_stream(spark, stage_dir)
+    name = "st11_" + uuid.uuid4().hex[:10]
+    q = (
+        sliding_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
+
+
+@query(
+    "st12_streaming_session_live",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM marked
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           COUNT(*)::BIGINT AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def st12_streaming_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (session_window, 30 min gap) as an ACTUAL
+    Structured Streaming run with a FULL oracle — the stateful
+    session-MERGING code path, driver-hash-checked: Spark's session end
+    is last-event + gap, so the lag-gap batch sessionizer (st03's
+    oracle) with MAX(ts)+gap reproduces the exact
+    (start, end, user, count) tuples once the bounded source drains
+    under complete mode. Completes the live trio's coverage of T7:
+    tumbling (st06), sliding (st11), session (this)."""
+    import uuid
+
+    from api_etl_pipeline_spark.streaming.stream_ops import session_counts
+    from api_etl_pipeline_spark.tables import load_events_stream
+
+    stage_dir = _stage_events_dir(sf_dir)
+    stream = load_events_stream(spark, stage_dir)
+    name = "st12_" + uuid.uuid4().hex[:10]
+    q = (
+        session_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table(name)
+    ntz = [
+        F.col(c).cast("timestamp_ntz").alias(c) if t.startswith("timestamp") else F.col(c)
+        for c, t in out.dtypes
+    ]
+    return out.select(*ntz)

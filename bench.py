@@ -137,6 +137,12 @@ OPTIONAL = [
     "dq01_quality_report",  # one-scan-per-table DQ gates + FK probes
     "ev14_stickiness",  # DAU/WAU ratio on the checkpointed (day,user) relation
     "ev15_ohlc_bars",  # mergeable OHLC rollup, one hash agg
+    # round 6
+    "decon03_embedding_contamination",  # broadcast benchmark-vector cosine decon
+    "cur02_lang_quality_prune",  # per-lang balanced quality pruning
+    "tx20_stopword_discovery",  # corpus-adaptive DF stopword mining
+    "ev16_rfm_segments",  # RFM quartile segmentation, one rollup shuffle
+    "st12_streaming_session_live",  # live stateful session-window merge
 ]
 
 

@@ -35,7 +35,9 @@ def test_cli_list_and_query(spark, capsys):
     assert main(["list"]) == 0
     listing = capsys.readouterr().out
     assert "q01_pricing_summary" in listing and "[oracle]" in listing
-    assert "mm01_multimodal_features" in listing and "[rows-only]" in listing
+    # round 6: zero rows-only queries — the live-streaming trio carries
+    # full batch-twin oracles now (batch_windows.py st06/st07/st09)
+    assert "mm01_multimodal_features" in listing and "[rows-only]" not in listing
 
     rc = main(["query", "q19_limit_min_one", "--sf-dir", "/root/testdata/sf0.001"])
     assert rc == 0

@@ -113,6 +113,9 @@ def _scan_audit_allowlist() -> set[str]:
         "decon01_ngram_overlap", "mix01_token_budget_mix",
         "sim01_cosine_topk", "sim02_lsh_bucket_ann", "sim05_ivf_probe_topk",
         "dd08_embedding_near_dup", "sim07_pq_codes",
+        # round 6: bench-vs-corpus split (decon03), per-doc DF + corpus
+        # total two-phase (tx20) — both documented in their docstrings
+        "decon03_embedding_contamination", "tx20_stopword_discovery",
     }
 
 

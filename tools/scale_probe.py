@@ -64,6 +64,10 @@ QUERIES = [
     "samp05_weighted_reservoir",  # round-5: TakeOrdered global top-N
     "st10_interval_left_join",  # round-5: outer interval join batch twin
     "mm01_multimodal_features",  # round-5 promotion: Arrow featurizer
+    "decon03_embedding_contamination",  # round-6: broadcast bench-set cosine decon
+    "cur02_lang_quality_prune",  # round-6: per-lang percent_rank window
+    "tx20_stopword_discovery",  # round-6: DF mining, explode-distinct shuffle
+    "ev16_rfm_segments",  # round-6: rollup + chained global NTILE windows
 ]
 
 
