@@ -121,3 +121,19 @@ def test_asof_join_nearest_null_timestamps_are_inert(spark):
     }
     assert out[1] == (None, None)
     assert out[2] == (t(5), t(12))
+
+
+def test_asof_nearest_rejects_reserved_output_columns(spark):
+    """Round-5 advice: a left frame already carrying asof_back_ts /
+    asof_fwd_ts would get duplicate output columns — the helper must
+    refuse up front instead."""
+    import pytest
+
+    from api_etl_pipeline_spark.ops.advanced import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, None)], "user_id bigint, asof_back_ts timestamp_ntz"
+    ).withColumn("lts", F.col("asof_back_ts"))
+    right = spark.createDataFrame([(1, None)], "user_id bigint, ts timestamp_ntz")
+    with pytest.raises(ValueError, match="asof_back_ts"):
+        asof_join_nearest(left, right, key="user_id", left_ts="lts", right_ts="ts")
