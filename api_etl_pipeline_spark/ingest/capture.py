@@ -122,3 +122,30 @@ def write_run_tree(
         .partitionBy("run_id")
         .json(f"{capture_root}/runs")
     )
+
+
+def build_run_id(existing: set[str] | DataFrame, provider: str, now=None) -> str:
+    """S9 run-identity parity (reference run_capture.py:54-64): the run
+    id is `<UTC %Y%m%dT%H%M%SZ>_<provider>`, and a collision with an
+    EXISTING run (two runs of the same provider inside one second, or a
+    replay against the same warehouse) appends `_1`, `_2`, … — never
+    reuses an id, because the provenance tables partition by run_id and
+    a reused id would silently merge two runs' lineage.
+
+    `existing` is either the set of taken ids or the runs summary
+    DataFrame (its distinct run_id column is collected — bounded: one
+    row per historical run). Driver-side by design, like the
+    reference's: run naming happens once per run, before any
+    distributed work."""
+    from datetime import UTC, datetime
+
+    if not isinstance(existing, set):
+        existing = {r["run_id"] for r in existing.select("run_id").distinct().collect()}
+    stamp = (now or datetime.now(UTC)).strftime("%Y%m%dT%H%M%SZ")
+    stem = f"{stamp}_{provider}"
+    if stem not in existing:
+        return stem
+    suffix = 1
+    while f"{stem}_{suffix}" in existing:
+        suffix += 1
+    return f"{stem}_{suffix}"

@@ -253,3 +253,23 @@ def test_blob_store_write_once(spark, tmp_path):
     # write-once (blob_store.py:12-13): the rerun must not duplicate bytes
     assert blobs.count() == 1
     assert blobs.select("sha256").distinct().count() == 1
+
+
+def test_run_id_collision_parity(spark):
+    """Reference parity (run_capture.py:54-64, test_run_dir_collision):
+    a second run of the same provider in the same second gets a
+    suffixed id that still starts with the first one's stem; ids are
+    never reused. Also checks the DataFrame-of-runs input form."""
+    from datetime import UTC, datetime
+
+    from api_etl_pipeline_spark.ingest.capture import build_run_id
+
+    now = datetime(2024, 1, 1, tzinfo=UTC)
+    first = build_run_id(set(), "p", now)
+    second = build_run_id({first}, "p", now)
+    assert second != first and second.startswith(first)
+    third = build_run_id({first, second}, "p", now)
+    assert third not in (first, second) and third.startswith(first)
+
+    runs = spark.createDataFrame([(first,), (second,)], ["run_id"])
+    assert build_run_id(runs, "p", now) == third
