@@ -5,6 +5,15 @@ compared row-for-row (order-insensitive) against DuckDB executing the
 oracle SQL on the same parquet. Queries without an oracle get a
 schema-stability + runs-without-error check here (their semantics are
 covered by dedicated unit tests).
+
+Scale envelope (round-6 sweep log): green at sf0.01 (default), sf0.1
+(round-close leg 2), and sf0.001 EXCEPT three tiny-scale boundary
+artifacts that are data-, not logic-, level: q35 is legitimately empty
+at sf0.001 (the non-empty guard fires as designed), and q27/x16 each
+round a value whose pre-round doubles differ by 1 ulp across engines,
+flipping the last displayed digit (.245-style boundary) — cannot occur
+where the aggregation count is large enough to dominate, which the
+official sf0.01/0.1 gates are.
 """
 
 from __future__ import annotations
