@@ -1026,3 +1026,77 @@ def sim10_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_JL_K)
         ],
     )
+
+
+@query(
+    "sim11_ann_recall_at_k",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               {_DUCK_BUCKET.format(e='embedding::DOUBLE[]')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < 5),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_duck_cosine('q.qe', 'c.e')} DESC, c.vec_id ASC
+                   ) AS rn
+            FROM q JOIN v c ON c.vec_id <> q.query_id
+        ) WHERE rn <= 3
+    ),
+    ann AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_duck_cosine('q.qe', 'c.e')} DESC, c.vec_id ASC
+                   ) AS rn
+            FROM q JOIN v c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+        ) WHERE rn <= 3
+    )
+    SELECT e.query_id,
+           COUNT(a.neighbor_id)::BIGINT AS n_hit,
+           ROUND(COUNT(a.neighbor_id) / 3.0, 6) AS recall_at_3
+    FROM exact e
+    LEFT JOIN ann a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def sim11_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class operator: recall@3 of the
+    LSH-bucketed search (sim02's 16-bucket sign-LSH) against the exact
+    brute-force top-3 (sim01's semantics), per query vector — the
+    metric you tune bits/multi-probe against before trusting an ANN
+    index at corpus scale. Production loop: sample queries, run this,
+    raise probes until recall clears the bar.
+
+    Plan: both legs reuse the registered operators' own dataflows
+    (broadcast query set; the exact leg scans the corpus once, the ANN
+    leg scans its buckets), and the recall join is over two ≤k·|Q|-row
+    rank lists — kilobytes. The oracle restates BOTH legs and the hit
+    count in one SQL text, so the recall arithmetic itself is
+    differentially pinned."""
+    exact = sim01_cosine_topk(spark, sf_dir).filter(F.col("rn") <= 3).select(
+        "query_id", "neighbor_id"
+    )
+    ann = sim02_lsh_bucket_ann(spark, sf_dir).select(
+        F.col("query_id").alias("ann_query_id"),
+        F.col("neighbor_id").alias("ann_neighbor_id"),
+    )
+    return (
+        exact.join(
+            F.broadcast(ann),
+            (F.col("query_id") == F.col("ann_query_id"))
+            & (F.col("neighbor_id") == F.col("ann_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("ann_neighbor_id").alias("n_hit"),
+            F.round(F.count("ann_neighbor_id") / 3.0, 6).alias("recall_at_3"),
+        )
+    )

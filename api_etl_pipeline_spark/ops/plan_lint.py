@@ -71,6 +71,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("samp04_temperature_mix", "BroadcastNestedLoopJoin"): "single-row (budget, w_sum) broadcast",
     ("llm03_dataset_card", "BroadcastNestedLoopJoin"): "single-row corpus-total broadcast",
     ("sim01_cosine_topk", "BroadcastNestedLoopJoin"): "5-row query-vector broadcast, non-equi self-exclusion",
+    ("sim11_ann_recall_at_k", "BroadcastNestedLoopJoin"): (
+        "inherited exact leg IS sim01 — same 5-row query-vector broadcast"
+    ),
     ("ret01_hybrid_rrf", "BroadcastNestedLoopJoin"): (
         "3-row seed-vector broadcast against the embedding corpus — the "
         "sim01 semantic-leg shape"

@@ -252,3 +252,67 @@ def dq02_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("group_size"))
         .filter(F.col("group_size") < K_ANON)
     )
+
+
+@query(
+    "dq03_benford_deviation",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS d,
+               COUNT(*)::BIGINT AS observed
+        FROM lineitem
+        WHERE l_extendedprice >= 1
+        GROUP BY 1
+    ),
+    total AS (SELECT SUM(observed)::BIGINT AS n FROM digits)
+    SELECT d, observed,
+           ROUND(observed / n::DOUBLE, 6) AS observed_p,
+           ROUND(LOG10(1.0 + 1.0 / d), 6) AS benford_p,
+           ROUND(ABS(observed / n::DOUBLE - LOG10(1.0 + 1.0 / d)), 6) AS abs_dev
+    FROM digits, total
+    """,
+)
+def dq03_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the forensic data-quality test
+    for 'does this numeric column look organically generated or
+    fabricated/truncated?': observed first-digit distribution of
+    l_extendedprice vs the Benford expectation log10(1+1/d), with the
+    per-digit absolute deviation. (TPC-H prices are synthetic-uniform,
+    so they FAIL Benford visibly — which is exactly what the audit is
+    for; the query reports the deviation, a monitoring layer thresholds
+    it.)
+
+    Plan: ONE scan, a 9-group hash aggregate with map-side partials;
+    the grand total is a global window over the 9-row digit relation
+    (post-aggregation — no second scan, no broadcast join needed) —
+    linear at any scale with a 9-row result."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = (
+        li.filter(F.col("l_extendedprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count("*").alias("observed"))
+    )
+    n = F.sum("observed").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    p = F.col("observed") / F.col("n")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return digits.withColumn("n", n).select(
+        "d",
+        "observed",
+        F.round(p, 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(F.abs(p - benford), 6).alias("abs_dev"),
+    )
