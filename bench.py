@@ -142,6 +142,8 @@ OPTIONAL = [
     "cur02_lang_quality_prune",  # per-lang balanced quality pruning
     "tx20_stopword_discovery",  # corpus-adaptive DF stopword mining
     "ev16_rfm_segments",  # RFM quartile segmentation, one rollup shuffle
+    "dq03_benford_deviation",  # one-scan first-digit Benford audit
+    "sim11_ann_recall_at_k",  # ANN recall@3 eval: sim01+sim02 legs fused
     # (st11/st12 live-streaming runs are NOT benched, same as st06/07/09:
     # their wall is Structured Streaming micro-batch machinery, not plan
     # execution — the batch twins st02/st03 carry the perf signal, and

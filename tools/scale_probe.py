@@ -68,6 +68,8 @@ QUERIES = [
     "cur02_lang_quality_prune",  # round-6: per-lang percent_rank window
     "tx20_stopword_discovery",  # round-6: DF mining, explode-distinct shuffle
     "ev16_rfm_segments",  # round-6: rollup + chained global NTILE windows
+    "dq03_benford_deviation",  # round-6: one-scan digit histogram + 9-row window
+    "sim11_ann_recall_at_k",  # round-6: recall eval — both ANN legs must hold shape
 ]
 
 
