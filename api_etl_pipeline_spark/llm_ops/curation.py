@@ -594,3 +594,98 @@ def cur02_lang_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") <= CUR02_KEEP)
         .drop("pr")
     )
+
+
+@query(
+    "mix02_epoch_upsampling",
+    oracle="""
+    WITH sizes AS (
+        SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sc
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT source, n_docs, sc,
+               SUM(sc) OVER ()::BIGINT AS total, COUNT(*) OVER ()::BIGINT AS ns
+        FROM sizes
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               LEAST(4000, (1000 * total) // (ns * sc))::BIGINT AS epochs_mills
+        FROM tot
+    ),
+    copies AS (
+        SELECT d.source, r.epochs_mills, r.n_docs, d.n_chars,
+               (r.epochs_mills // 1000
+                + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                            % 1000 < r.epochs_mills % 1000
+                       THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        FROM documents d JOIN rates r USING (source)
+    )
+    SELECT source, epochs_mills, n_docs,
+           SUM(n_copies)::BIGINT AS docs_emitted,
+           SUM(n_copies * n_chars)::BIGINT AS chars_emitted,
+           ROUND(SUM(n_copies) / n_docs::DOUBLE, 6) AS effective_epochs
+    FROM copies
+    GROUP BY source, epochs_mills, n_docs
+    """,
+)
+def mix02_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware mixture with FRACTIONAL repeats — the data-constrained
+    training recipe (repeat small/high-value sources ~N.M epochs, cap at
+    4, downsample over-represented ones below 1.0): every source gets an
+    equal char budget; epochs_mills = that budget over the source's
+    chars in integer thousandths (capped 4000). Each doc is emitted
+    floor(mills/1000) times plus one extra copy iff its id-hash
+    thousandth falls under mills%1000 — so a 2.3-epoch source emits
+    every doc twice and a deterministic 30% of docs a third time, and
+    re-runs/engine swaps reproduce the byte-identical corpus (md5 ids,
+    never rand()). All mixture arithmetic is BIGINT (mills, integer
+    division) — no float epoch boundary to disagree across engines.
+
+    Plan shape: one tiny per-source aggregate, a 20-row window, a
+    broadcast join back onto the corpus, then the emission itself is a
+    narrow per-row explode of a guarded sequence (zero-copy docs drop
+    out; the corpus never shuffles to be replicated) and one hash
+    aggregate on source for the audit row. At 100 TB the exploded
+    stream writes straight to the training shards."""
+    d = load_table(spark, sf_dir, "documents")
+    sizes = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("sc")
+    )
+    wall = Window.partitionBy()
+    rates = (
+        sizes.withColumn("total", F.sum("sc").over(wall).cast("bigint"))
+        .withColumn("ns", F.count("*").over(wall).cast("bigint"))
+        .select(
+            "source",
+            "n_docs",
+            F.least(
+                F.lit(4000).cast("bigint"), F.expr("(1000 * total) DIV (ns * sc)")
+            ).alias("epochs_mills"),
+        )
+    )
+    mills = F.col("epochs_mills")
+    n_copies = (
+        F.expr("epochs_mills DIV 1000")
+        + F.when(hash_bucket(F.col("doc_id"), 1000) < mills % 1000, 1).otherwise(0)
+    ).cast("bigint")
+    copies = (
+        d.join(F.broadcast(rates), "source")
+        .withColumn("n_copies", n_copies)
+        .select(
+            "source",
+            "epochs_mills",
+            "n_docs",
+            "n_chars",
+            F.explode(
+                F.when(
+                    F.col("n_copies") >= 1, F.sequence(F.lit(1), F.col("n_copies"))
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("copy_idx"),
+        )
+    )
+    return copies.groupBy("source", "epochs_mills", "n_docs").agg(
+        F.count("*").alias("docs_emitted"),
+        F.sum("n_chars").cast("bigint").alias("chars_emitted"),
+        F.round(F.count("*") / F.col("n_docs"), 6).alias("effective_epochs"),
+    )

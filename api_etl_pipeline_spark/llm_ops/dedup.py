@@ -695,3 +695,80 @@ def dd12_segment_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+@query(
+    "dd13_containment_dedup",
+    oracle=f"""
+    WITH pairs AS ({_DUCK_LSH_PAIRS}),
+    grams AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, len(tokens) - 1),
+                   i -> tokens[i] || ' ' || tokens[i + 1])) AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+        WHERE len(tokens) >= 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           len(list_intersect(ga.bg, gb.bg))::BIGINT AS n_common,
+           ROUND(len(list_intersect(ga.bg, gb.bg))
+             / LEAST(len(ga.bg), len(gb.bg))::DOUBLE, 6) AS containment,
+           ROUND(len(list_intersect(ga.bg, gb.bg))
+             / (len(ga.bg) + len(gb.bg)
+                - len(list_intersect(ga.bg, gb.bg)))::DOUBLE, 6) AS jaccard,
+           (len(list_intersect(ga.bg, gb.bg))
+              >= 0.8 * LEAST(len(ga.bg), len(gb.bg))) AS is_contained,
+           (len(list_intersect(ga.bg, gb.bg))
+              >= 0.8 * LEAST(len(ga.bg), len(gb.bg))
+            AND len(list_intersect(ga.bg, gb.bg))
+              < 0.8 * (len(ga.bg) + len(gb.bg)
+                       - len(list_intersect(ga.bg, gb.bg)))) AS containment_only
+    FROM pairs p
+    JOIN grams ga ON ga.doc_id = p.doc_a
+    JOIN grams gb ON gb.doc_id = p.doc_b
+    """,
+)
+def dd13_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment verification over dd04's LSH candidate
+    pairs: containment = |A∩B| / min(|A|,|B|) catches subset-duplicates
+    (a short doc quoted whole inside a long one) that symmetric Jaccard
+    structurally under-scores — the long doc's union term dilutes the
+    ratio. `containment_only` flags exactly those pairs: contained at
+    the 0.8 bar but NOT Jaccard-similar at the same bar — the
+    duplicates a Jaccard-threshold dedup pass silently ships.
+
+    Plan shape: candidates come from dd04's banded bucket self-join
+    (output-bounded, never all-pairs); the gram sets ride two equi-joins
+    on doc_id (fact-side shuffle each, AQE-broadcast when the candidate
+    list is small). Threshold tests are integer cross-multiplications
+    (inter >= 0.8*min is exact in double for set sizes < 2^52 — no
+    per-engine division rounding in the BOOLEAN columns; the ratio
+    columns themselves are display values rounded to 6)."""
+    pairs = dd04_minhash_lsh_pairs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    grams = d.filter(F.size(toks) >= 2).select("doc_id", bigrams.alias("bg"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("bg").alias("bga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("bg").alias("bgb"))
+    j = pairs.join(ga, "doc_a").join(gb, "doc_b")
+    inter = F.size(F.array_intersect(F.col("bga"), F.col("bgb"))).cast("bigint")
+    sa, sb = F.size("bga"), F.size("bgb")
+    union = (sa + sb).cast("bigint") - inter
+    mn = F.least(sa, sb)
+    contained = inter >= 0.8 * mn
+    return j.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("n_common"),
+        F.round(inter / mn, 6).alias("containment"),
+        F.round(inter / union, 6).alias("jaccard"),
+        contained.alias("is_contained"),
+        (contained & (inter < 0.8 * union)).alias("containment_only"),
+    )

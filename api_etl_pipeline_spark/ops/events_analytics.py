@@ -980,3 +980,94 @@ def ev16_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m_score"),
     )
+
+
+@query(
+    "ev17_conversion_lag",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS any_purchase_us
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT p.user_id, p.first_view_us,
+               MIN(epoch_us(e.ts)) AS conv_us
+        FROM per_user p
+        JOIN events e
+          ON e.user_id = p.user_id
+         AND e.event_type = 'purchase'
+         AND epoch_us(e.ts) >= p.first_view_us
+        WHERE p.first_view_us IS NOT NULL
+        GROUP BY p.user_id, p.first_view_us
+    ),
+    lags AS (
+        SELECT p.user_id,
+               (c.conv_us - p.first_view_us) // 1000000 AS lag_sec
+        FROM per_user p LEFT JOIN conv c ON c.user_id = p.user_id
+        WHERE p.first_view_us IS NOT NULL
+    )
+    SELECT CASE WHEN lag_sec IS NULL THEN 'never'
+                WHEN lag_sec < 3600 THEN 'lt_1h'
+                WHEN lag_sec < 86400 THEN 'lt_1d'
+                WHEN lag_sec < 604800 THEN 'lt_7d'
+                ELSE 'ge_7d' END AS lag_bucket,
+           COUNT(*)::BIGINT AS n_users,
+           MIN(lag_sec)::BIGINT AS min_lag_sec,
+           MAX(lag_sec)::BIGINT AS max_lag_sec,
+           SUM(lag_sec)::BIGINT AS total_lag_sec
+    FROM lags
+    GROUP BY 1
+    """,
+)
+def ev17_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert funnel latency: for every user who ever VIEWED,
+    the lag from their first view to their first PURCHASE at-or-after
+    that view, bucketed into the product-analytics bands (<1h, <1d,
+    <7d, ≥7d, never) with exact integer-second min/max/total per band
+    — the distribution a growth team reads to set attribution windows
+    and a pipeline reads to size stream-stream join watermarks (the
+    st10 interval-join delay bound IS this distribution's tail).
+
+    Plan shape: ONE per-user hash aggregate collapses the events table
+    (first view + cheap any-purchase floor in the same pass); the
+    conversion floor probes purchases with an equi-join on user_id that
+    AQE broadcasts once the per-user relation is small relative to the
+    fact side — no window over raw events, no second full shuffle at
+    the same key. Lag arithmetic is exact integer microseconds
+    (unix_micros ≡ epoch_us, the ev10 convention) floored to seconds."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view_us"),
+    ).filter(F.col("first_view_us").isNotNull())
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), us.alias("p_us")
+    )
+    conv = (
+        per_user.join(
+            purchases,
+            (F.col("p_user_id") == F.col("user_id"))
+            & (F.col("p_us") >= F.col("first_view_us")),
+            "left",
+        )
+        .groupBy("user_id", "first_view_us")
+        .agg(F.min("p_us").alias("conv_us"))
+    )
+    lag = F.floor((F.col("conv_us") - F.col("first_view_us")) / F.lit(1_000_000))
+    lags = conv.select("user_id", lag.alias("lag_sec"))
+    bucket = (
+        F.when(F.col("lag_sec").isNull(), "never")
+        .when(F.col("lag_sec") < 3600, "lt_1h")
+        .when(F.col("lag_sec") < 86400, "lt_1d")
+        .when(F.col("lag_sec") < 604800, "lt_7d")
+        .otherwise("ge_7d")
+    )
+    return lags.groupBy(bucket.alias("lag_bucket")).agg(
+        F.count("*").alias("n_users"),
+        F.min("lag_sec").cast("bigint").alias("min_lag_sec"),
+        F.max("lag_sec").cast("bigint").alias("max_lag_sec"),
+        F.sum("lag_sec").cast("bigint").alias("total_lag_sec"),
+    )

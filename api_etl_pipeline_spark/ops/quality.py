@@ -316,3 +316,74 @@ def dq03_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_p"),
         F.round(F.abs(p - benford), 6).alias("abs_dev"),
     )
+
+
+_SKEW_LEGS = [
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+def _duck_skew_leg(table: str, key: str) -> str:
+    return f"""
+    SELECT '{table}.{key}' AS join_key,
+           SUM(cnt)::BIGINT AS n_rows,
+           COUNT(*)::BIGINT AS n_keys,
+           ROUND(SUM(cnt) / COUNT(*)::DOUBLE, 6) AS avg_rows_per_key,
+           MAX(cnt)::BIGINT AS max_rows_per_key,
+           ROUND(quantile_cont(cnt, 0.99), 6) AS p99_rows_per_key,
+           ROUND(MAX(cnt) / (SUM(cnt) / COUNT(*)::DOUBLE), 6) AS skew_factor,
+           ROUND(MAX(cnt) / SUM(cnt)::DOUBLE, 6) AS top_key_share
+    FROM (SELECT {key}, COUNT(*)::BIGINT AS cnt FROM {table} GROUP BY {key})
+    """
+
+
+@query(
+    "dq04_join_skew_profile",
+    oracle=" UNION ALL ".join(_duck_skew_leg(t, k) for t, k in _SKEW_LEGS),
+)
+def dq04_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler — the pre-flight check before any large
+    join/agg at cluster scale: per candidate join key, the row count,
+    distinct-key count, average/max/p99 rows-per-key, the skew factor
+    (max/avg — the ratio AQE's skew-join threshold reasons about), and
+    the hottest key's share of all rows (an upper bound on the fraction
+    of the shuffle that lands in one partition no matter how many
+    partitions you provision). A skew_factor in the hundreds says
+    'salt this key or rely on AQE skew-split'; near 1 says the hash
+    shuffle balances by itself.
+
+    Plan shape per key: one hash aggregate on the key (map-side partial,
+    the same shuffle the profiled join itself would pay) collapsed to a
+    single row by a second tiny aggregate — the profile costs one pass
+    over each table and unions three 1-row relations. percentile() is
+    interpolated identically to DuckDB quantile_cont; both run on exact
+    BIGINT group counts and round to 6."""
+    legs = []
+    for table, key in _SKEW_LEGS:
+        cnts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count("*").alias("cnt"))
+        )
+        n_rows = F.sum("cnt").cast("bigint")
+        n_keys = F.count("*").cast("bigint")
+        avg = n_rows / n_keys
+        mx = F.max("cnt").cast("bigint")
+        legs.append(
+            cnts.agg(
+                F.lit(f"{table}.{key}").alias("join_key"),
+                n_rows.alias("n_rows"),
+                n_keys.alias("n_keys"),
+                F.round(avg, 6).alias("avg_rows_per_key"),
+                mx.alias("max_rows_per_key"),
+                F.round(F.percentile("cnt", F.lit(0.99)), 6).alias("p99_rows_per_key"),
+                F.round(mx / avg, 6).alias("skew_factor"),
+                F.round(mx / n_rows, 6).alias("top_key_share"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -144,6 +144,10 @@ OPTIONAL = [
     "ev16_rfm_segments",  # RFM quartile segmentation, one rollup shuffle
     "dq03_benford_deviation",  # one-scan first-digit Benford audit
     "sim11_ann_recall_at_k",  # ANN recall@3 eval: sim01+sim02 legs fused
+    "dd13_containment_dedup",  # containment verify on LSH candidates
+    "dq04_join_skew_profile",  # per-key skew pre-flight, 3 one-pass legs
+    "mix02_epoch_upsampling",  # fractional-epoch explode, no corpus shuffle
+    "ev17_conversion_lag",  # first-view→purchase lag bands
     # (st11/st12 live-streaming runs are NOT benched, same as st06/07/09:
     # their wall is Structured Streaming micro-batch machinery, not plan
     # execution — the batch twins st02/st03 carry the perf signal, and

@@ -70,6 +70,10 @@ QUERIES = [
     "ev16_rfm_segments",  # round-6: rollup + chained global NTILE windows
     "dq03_benford_deviation",  # round-6: one-scan digit histogram + 9-row window
     "sim11_ann_recall_at_k",  # round-6: recall eval — both ANN legs must hold shape
+    "dd13_containment_dedup",  # round-6: gram joins on LSH candidates must stay bounded
+    "dq04_join_skew_profile",  # round-6: key-agg legs are the profiled shuffles themselves
+    "mix02_epoch_upsampling",  # round-6: explode emission, no corpus shuffle
+    "ev17_conversion_lag",  # round-6: purchase probe join must broadcast/AQE
 ]
 
 
