@@ -1071,3 +1071,153 @@ def ev17_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("lag_sec").cast("bigint").alias("max_lag_sec"),
         F.sum("lag_sec").cast("bigint").alias("total_lag_sec"),
     )
+
+
+_INC_CUT = "2024-01-15 00:00:00"
+
+
+@query(
+    "inc01_rollup_merge",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour_id,
+           event_type,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           MIN(epoch_us(ts))::BIGINT AS first_ts_us,
+           MAX(epoch_us(ts))::BIGINT AS last_ts_us,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def inc01_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (the continuous-aggregate /
+    hypertable-rollup pattern): the hourly rollup is computed as
+    MERGE(base partial, delta partial) — events split at a cutoff into
+    the standing base (already-rolled-up history) and the newly arrived
+    delta, each reduced to per-(hour, event_type) partial states, and
+    the two partial relations merged state-wise. The ORACLE recomputes
+    the rollup directly from all events, so the differential check IS
+    the proof that merge ≡ recompute — the property that lets a 100 TB
+    deployment fold each day's delta into the standing rollup without
+    ever rescanning history.
+
+    Every output is a mergeable state: count (sum of counts), sum
+    (DECIMAL — order-free), min/max (idempotent), first/last timestamps
+    (min/max of integer micros), and EXACT distinct users via set-union
+    merge (collect_set partials, array_distinct(flatten) on merge —
+    state bounded by users-per-hour; the 100 TB swap is an HLL sketch
+    with the same merge algebra, traded for exactness). avg and rate
+    derive from (sum, count) at read time — never stored.
+
+    Plan shape: the two partials are filter-disjoint passes over the
+    fact table (one scan each, partial hash agg map-side); the merge is
+    one hash aggregate over ~2 rows per key. Costs 2 scans here only
+    because both halves start from the same table — in production the
+    base partial is a STORED table and only the delta is scanned."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = F.unix_micros(F.lit(_INC_CUT).cast("timestamp_ntz").cast("timestamp"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.expr("ts_us DIV 3600000000").alias("hour_id"),
+                "event_type",
+                "value",
+                "ts_us",
+                "user_id",
+            )
+            .groupBy("hour_id", "event_type")
+            .agg(
+                F.count("*").alias("p_n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("p_sum"),
+                F.min("value").alias("p_min"),
+                F.max("value").alias("p_max"),
+                F.min("ts_us").alias("p_first"),
+                F.max("ts_us").alias("p_last"),
+                F.collect_set("user_id").alias("p_users"),
+            )
+        )
+
+    keyed = e.select("event_type", "value", "user_id", us.alias("ts_us"), cut.alias("cut"))
+    base = partial(keyed.filter(F.col("ts_us") < F.col("cut")))
+    delta = partial(keyed.filter(F.col("ts_us") >= F.col("cut")))
+    return (
+        base.unionByName(delta)
+        .groupBy("hour_id", "event_type")
+        .agg(
+            F.sum("p_n").cast("bigint").alias("n_events"),
+            F.round(F.sum("p_sum"), 2).alias("sum_value"),
+            F.min("p_min").alias("min_value"),
+            F.max("p_max").alias("max_value"),
+            F.min("p_first").cast("bigint").alias("first_ts_us"),
+            F.max("p_last").cast("bigint").alias("last_ts_us"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("p_users"))))
+            .cast("bigint")
+            .alias("n_users"),
+        )
+    )
+
+
+@query(
+    "inc02_pruned_refresh",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour_id,
+           event_type,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(quantile_cont(value, 0.5), 6) AS median_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def inc02_pruned_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned refresh — the OTHER incremental strategy, for
+    aggregates that are NOT mergeable (exact median here: you cannot
+    combine two partial medians): keep the standing rollup rows for
+    hours the delta did not touch, and recompute from raw events ONLY
+    the delta-affected hours. inc01 demonstrates merge ≡ recompute for
+    mergeable states; this demonstrates prune-and-overwrite ≡ recompute
+    for the rest — together they cover every refresh a continuous
+    aggregate needs. The oracle recomputes the full rollup directly, so
+    the differential check proves the pruned union is complete and
+    non-overlapping (a missed hour or a double-counted hour both hash-
+    mismatch).
+
+    Plan shape: the delta's affected-hour set is a tiny distinct
+    relation used twice — LEFT ANTI against the standing rollup (keep
+    untouched hours) and LEFT SEMI against raw events (recompute
+    touched hours); both sides broadcast the hour set, so at 100 TB
+    this scans the base rollup (small) plus only the raw partitions the
+    delta touched — hour_id is the storage partition key, making the
+    semi-join a partition-pruning predicate, never a history rescan."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = F.unix_micros(F.lit(_INC_CUT).cast("timestamp_ntz").cast("timestamp"))
+    keyed = e.select(
+        "event_type", "value", us.alias("ts_us"), cut.alias("cut")
+    ).select(
+        F.expr("ts_us DIV 3600000000").alias("hour_id"),
+        "event_type",
+        "value",
+        "ts_us",
+        "cut",
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("hour_id", "event_type").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        )
+
+    standing = rollup(keyed.filter(F.col("ts_us") < F.col("cut")))
+    affected = (
+        keyed.filter(F.col("ts_us") >= F.col("cut")).select("hour_id").distinct()
+    )
+    untouched = standing.join(F.broadcast(affected), "hour_id", "left_anti")
+    recomputed = rollup(
+        keyed.join(F.broadcast(affected), "hour_id", "left_semi")
+    )
+    return untouched.unionByName(recomputed)

@@ -148,6 +148,8 @@ OPTIONAL = [
     "dq04_join_skew_profile",  # per-key skew pre-flight, 3 one-pass legs
     "mix02_epoch_upsampling",  # fractional-epoch explode, no corpus shuffle
     "ev17_conversion_lag",  # first-view→purchase lag bands
+    "inc01_rollup_merge",  # mergeable-state rollup merge == recompute
+    "inc02_pruned_refresh",  # non-mergeable refresh via hour pruning
     # (st11/st12 live-streaming runs are NOT benched, same as st06/07/09:
     # their wall is Structured Streaming micro-batch machinery, not plan
     # execution — the batch twins st02/st03 carry the perf signal, and

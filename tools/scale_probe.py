@@ -74,6 +74,8 @@ QUERIES = [
     "dq04_join_skew_profile",  # round-6: key-agg legs are the profiled shuffles themselves
     "mix02_epoch_upsampling",  # round-6: explode emission, no corpus shuffle
     "ev17_conversion_lag",  # round-6: purchase probe join must broadcast/AQE
+    "inc01_rollup_merge",  # round-6: partial-agg merge — two scans, no raw shuffle growth
+    "inc02_pruned_refresh",  # round-6: pruned recompute — hour-set broadcast must hold
 ]
 
 
