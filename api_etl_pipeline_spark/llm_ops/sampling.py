@@ -284,3 +284,99 @@ def samp05_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = keyed.orderBy(F.col("sample_key").desc(), F.col("doc_id")).limit(SAMP05_N)
     w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id"))
     return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+def _cluster_split_oracle() -> str:
+    from api_etl_pipeline_spark.llm_ops.dedup import _DUCK_CLOSURE, _DUCK_LSH_PAIRS
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_DUCK_LSH_PAIRS}),
+    {_DUCK_CLOSURE},
+    assigned AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(c.component, d.doc_id) AS gk,
+               (c.component IS NOT NULL) AS is_dup,
+               ('0x' || substr(md5(COALESCE(c.component, d.doc_id)::VARCHAR), 1, 8))::BIGINT
+                   % 100 AS gb,
+               ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS nb
+        FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id
+    ),
+    sides AS (
+        SELECT doc_id, n_chars, gk, is_dup,
+               CASE WHEN gb < 90 THEN 'train' ELSE 'test' END AS split,
+               MIN(CASE WHEN nb < 90 THEN 0 ELSE 1 END) OVER (PARTITION BY gk) AS mn,
+               MAX(CASE WHEN nb < 90 THEN 0 ELSE 1 END) OVER (PARTITION BY gk) AS mx
+        FROM assigned
+    )
+    SELECT split,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_chars)::BIGINT AS total_chars,
+           COUNT(DISTINCT gk)::BIGINT AS n_groups,
+           SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+           SUM(CASE WHEN is_dup AND mn <> mx THEN 1 ELSE 0 END)::BIGINT
+               AS naive_leaked_docs
+    FROM sides
+    GROUP BY split
+    """
+
+
+@query("samp06_cluster_safe_split", oracle=_cluster_split_oracle())
+def samp06_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the split unit is the NEAR-DUP
+    CLUSTER (dd09's connected components over LSH candidate pairs), not
+    the document — every member of a cluster hashes on the shared
+    component label, so a doc and its near-duplicate can never land on
+    opposite sides of the split (the classic eval-contamination bug a
+    doc-level hash split ships silently). Singletons split on their own
+    id; the 90/10 assignment stays the samp01 md5 arithmetic.
+
+    The audit row carries its own justification: naive_leaked_docs
+    counts the duplicate-cluster members that a NAIVE doc-id split
+    would have scattered across sides (cluster-side min≠max under
+    per-doc hashing) — nonzero there, zero leakage by construction
+    here. Differentially pinned end-to-end: the oracle re-derives the
+    clusters via recursive closure while Spark pointer-jumps, so split
+    and audit agree only if the component labels agree doc-for-doc.
+
+    Plan shape: dd04 candidates → log-depth components (driver-iterated
+    pointer jumping, eager-checkpointed) → ONE left join of the corpus
+    against the ≤|dup docs| component map (AQE broadcasts it) → a
+    cluster-keyed window over the dup subset + one hash agg to the
+    2-row audit. At 100 TB the component map is the only state that
+    moves — bounded by the duplication rate, not the corpus."""
+    from api_etl_pipeline_spark.llm_ops.dedup import (
+        connected_components,
+        dd04_minhash_lsh_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        dd04_minhash_lsh_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
+    ).select(F.col("vertex").alias("doc_id"), "component")
+    gk = F.coalesce(F.col("component"), F.col("doc_id"))
+    assigned = d.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        gk.alias("gk"),
+        F.col("component").isNotNull().alias("is_dup"),
+        (hash_bucket(gk, 100) < 90).alias("in_train"),
+        F.when(hash_bucket(F.col("doc_id"), 100) < 90, 0).otherwise(1).alias("naive_side"),
+    )
+    w = Window.partitionBy("gk")
+    sides = assigned.select(
+        "n_chars",
+        "gk",
+        "is_dup",
+        F.when(F.col("in_train"), "train").otherwise("test").alias("split"),
+        F.min("naive_side").over(w).alias("mn"),
+        F.max("naive_side").over(w).alias("mx"),
+    )
+    return sides.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("gk").alias("n_groups"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias("n_dup_docs"),
+        F.sum(F.when(F.col("is_dup") & (F.col("mn") != F.col("mx")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("naive_leaked_docs"),
+    )

@@ -150,6 +150,17 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("dd10_keep_best_dedup+ckpt", "SortMergeJoin"): (
         "inherits dd09's CC rounds (same checkpointed subtree)"
     ),
+    ("samp06_cluster_safe_split", "SortMergeJoin"): (
+        "corpus LEFT JOIN component map on doc_id — the static plan "
+        "keeps the scalable fact-fact shape because the map is bounded "
+        "by the DUP RATE, not the corpus (unknowable at plan time); at "
+        "runtime AQE broadcasts it whenever it is actually small, and "
+        "forcing a broadcast hint would be wrong at a 100 TB dup-heavy "
+        "corpus"
+    ),
+    ("samp06_cluster_safe_split+ckpt", "SortMergeJoin"): (
+        "inherits dd09's CC rounds (same checkpointed subtree)"
+    ),
     ("gr01_pagerank+ckpt", "SortMergeJoin"): (
         "per-round ranks⋈edges contribution join is fact-fact on src — "
         "the canonical PageRank shuffle; 2 exchanges per round as "

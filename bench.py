@@ -150,6 +150,7 @@ OPTIONAL = [
     "ev17_conversion_lag",  # first-view→purchase lag bands
     "inc01_rollup_merge",  # mergeable-state rollup merge == recompute
     "inc02_pruned_refresh",  # non-mergeable refresh via hour pruning
+    "samp06_cluster_safe_split",  # leakage-safe split by dup cluster
     # (st11/st12 live-streaming runs are NOT benched, same as st06/07/09:
     # their wall is Structured Streaming micro-batch machinery, not plan
     # execution — the batch twins st02/st03 carry the perf signal, and
