@@ -1328,3 +1328,141 @@ def tx20_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("n") / F.col("n_docs")), 6).alias("idf"),
         )
     )
+
+
+BPE_ROUNDS = 3
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled BPE-training oracle: each round re-derives pair counts
+    from the current vocab state, takes the deterministic top pair, and
+    applies it with SQL replace() — whose leftmost-non-overlapping scan
+    IS greedy BPE merging on the double-space-joined symbol string."""
+    parts = [
+        """
+    WITH words AS (
+        SELECT w AS word, COUNT(*)::BIGINT AS wcnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    v0 AS (
+        SELECT wcnt,
+               array_to_string(list_transform(
+                   generate_series(1, len(word)), i -> substr(word, i, 1)
+               ), '  ') AS seq
+        FROM words
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    ,p{r} AS (
+        SELECT lhs, rhs, SUM(wcnt)::BIGINT AS cnt
+        FROM (
+            SELECT wcnt, toks[i] AS lhs, toks[i + 1] AS rhs
+            FROM (SELECT wcnt, string_split(seq, '  ') AS toks FROM v{r - 1}),
+                 UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+        )
+        GROUP BY lhs, rhs
+    ),
+    t{r} AS (SELECT lhs, rhs, cnt FROM p{r}
+             ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+    v{r} AS (
+        SELECT wcnt, replace(seq, (SELECT lhs || '  ' || rhs FROM t{r}),
+                             (SELECT lhs || rhs FROM t{r})) AS seq
+        FROM v{r - 1}
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count "
+        f"FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n    " + sel
+
+
+@query("tx21_bpe_train_merges", oracle=_bpe_oracle())
+def tx21_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING on the corpus — the first BPE_ROUNDS merge
+    rules learned byte-pair-encoding style: start from character
+    symbols, repeatedly count adjacent symbol pairs weighted by word
+    frequency, merge the most frequent pair everywhere (ties broken
+    lexicographically), emit (round, lhs, rhs, merged, pair_count).
+
+    The at-scale trick is the classical one: training never iterates
+    over the corpus — ONE scan builds the weighted word-frequency
+    vocab, and every merge round operates on that vocab relation
+    (thousands of rows at any corpus size; pair counting is
+    vocab-bounded). The greedy leftmost merge is expressed as
+    replace() on the double-space-joined symbol string — SQL replace's
+    leftmost-non-overlapping semantics are exactly BPE's greedy scan,
+    and both engines share them, so the whole training trajectory
+    (counts → argmax → rewrite → next round) is differentially pinned
+    against DuckDB executing the same unrolled algebra.
+
+    Plan shape: corpus scan + one word-count shuffle; each round adds
+    a vocab-local explode/agg (tiny), a 1-row TakeOrdered top-pair, and
+    a broadcast of that single row into the rewrite projection — the
+    plan stays fully declarative (no collect), so Catalyst sees the
+    whole unrolled trajectory. Driver-side loop builds the plan only."""
+    d = load_table(spark, sf_dir, "documents")
+    # materialize the weighted vocab ONCE (the tx17 pattern): every merge
+    # round and every rule row derives from this tiny relation — without
+    # the checkpoint each of the 3 rounds' top-pair AND rewrite subtrees
+    # would re-run the corpus scan (measured 14 scans → 1)
+    vocab = lazy_checkpoint(
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+        .select(
+            "wcnt",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.col("word").substr(i, F.lit(1)),
+                ),
+                "  ",
+            ).alias("seq"),
+        )
+    )
+    rules = []
+    for r in range(1, BPE_ROUNDS + 1):
+        toks = F.split("seq", "  ")
+        pairs = vocab.select(
+            "wcnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                )
+            ).alias("p"),
+        ).select("wcnt", "p.lhs", "p.rhs")
+        top = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("wcnt").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+        )
+        rules.append(
+            top.select(
+                F.lit(r).alias("round"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(top))
+            .select(
+                "wcnt",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.col("lhs"), F.lit("  "), F.col("rhs")),
+                    F.concat(F.col("lhs"), F.col("rhs")),
+                ).alias("seq"),
+            )
+        )
+    out = rules[0]
+    for rule in rules[1:]:
+        out = out.unionByName(rule)
+    return out

@@ -74,6 +74,11 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("sim11_ann_recall_at_k", "BroadcastNestedLoopJoin"): (
         "inherited exact leg IS sim01 — same 5-row query-vector broadcast"
     ),
+    ("tx21_bpe_train_merges", "BroadcastNestedLoopJoin"): (
+        "each BPE round broadcasts its SINGLE-ROW top-pair into the "
+        "vocab rewrite projection (the tx08 single-row-scalar shape, "
+        "once per unrolled round)"
+    ),
     ("ret01_hybrid_rrf", "BroadcastNestedLoopJoin"): (
         "3-row seed-vector broadcast against the embedding corpus — the "
         "sim01 semantic-leg shape"

@@ -88,7 +88,7 @@ def leg_scan_audit() -> dict:
 
 
 def _scan_audit_allowlist() -> set[str]:
-    """The 43 queries with a standing written reason for scanning a big
+    """The queries with a standing written reason for scanning a big
     table more than once — classes documented in SCALE.md §"Same-table
     traversal audit" (self-joins, set ops, correlated-scalar
     comparisons, multi-phase statistics, split-vs-split comparisons).
@@ -116,6 +116,20 @@ def _scan_audit_allowlist() -> set[str]:
         # round 6: bench-vs-corpus split (decon03), per-doc DF + corpus
         # total two-phase (tx20) — both documented in their docstrings
         "decon03_embedding_contamination", "tx20_stopword_discovery",
+        # round 6 late additions, reasons in each docstring:
+        # sim11 — exact leg + ANN leg each scan the corpus (recall eval
+        #   compares two independent searches by design)
+        # dd13 — gram sets consumed on both sides of the candidate pair
+        #   join (the dd05 self-join class)
+        # mix02 — per-source sizes phase + emission join (mix01 class)
+        # ev17 — per-user first-view agg + purchase probe (split-phase;
+        #   both passes shuffle-bound on user_id)
+        # inc01/inc02 — base/delta disjoint partials from the SAME table
+        #   only in this differential setting; production scans the
+        #   stored base rollup + the delta partition, never history
+        "sim11_ann_recall_at_k", "dd13_containment_dedup",
+        "mix02_epoch_upsampling", "ev17_conversion_lag",
+        "inc01_rollup_merge", "inc02_pruned_refresh",
     }
 
 

@@ -76,6 +76,7 @@ QUERIES = [
     "ev17_conversion_lag",  # round-6: purchase probe join must broadcast/AQE
     "inc01_rollup_merge",  # round-6: partial-agg merge — two scans, no raw shuffle growth
     "inc02_pruned_refresh",  # round-6: pruned recompute — hour-set broadcast must hold
+    "tx21_bpe_train_merges",  # round-6: rounds must stay vocab-bounded after 1 corpus scan
 ]
 
 
