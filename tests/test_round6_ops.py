@@ -1,0 +1,125 @@
+"""Edge-case pins for the late round-6 operators, beyond the registry's
+DuckDB differential mirror (tests/test_queries_oracle.py):
+
+- the replace()-as-greedy-BPE-merge foundation tx21 rests on (both
+  engines must share leftmost-non-overlapping semantics, including the
+  self-overlapping-pair case);
+- inc01's merge algebra is associative (3-way split == 2-way == direct),
+  not just correct at the single cutoff the oracle pins;
+- samp06's split integrity (partition of the corpus; dup clusters never
+  straddle) and the naive-split audit actually demonstrating leakage.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from api_etl_pipeline_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+
+def test_replace_greedy_merge_semantics_match(spark):
+    """tx21's merge step is literal-string replace on the double-space
+    symbol string. Pin that BOTH engines implement leftmost
+    non-overlapping replacement — including the self-overlapping pair
+    ('a','a') on 'a a a', where greedy BPE must yield ['aa','a']."""
+    cases = [
+        ("a  a  a", "a  a", "aa", "aa  a"),          # self-overlap: greedy
+        ("x  a  b  a  b  y", "a  b", "ab", "x  ab  ab  y"),  # repeated pair
+        ("a  b", "a  b", "ab", "ab"),                 # whole-word merge
+        ("b  a", "a  b", "ab", "b  a"),               # no match
+    ]
+    rows = spark.createDataFrame(
+        [(s, p, m) for s, p, m, _ in cases], "s string, p string, m string"
+    ).select(F.replace("s", "p", "m").alias("out")).collect()
+    got_spark = [r.out for r in rows]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute("SELECT replace(?, ?, ?)", [s, p, m]).fetchone()[0]
+        for s, p, m, _ in cases
+    ]
+    want = [w for _, _, _, w in cases]
+    assert got_spark == want
+    assert got_duck == want
+
+
+def test_inc01_merge_is_associative(spark):
+    """inc01's oracle pins merge(base, delta) == recompute at ONE cutoff.
+    The algebra claim is stronger: ANY partition of the events merges to
+    the same rollup. Re-merge from a 4-way user_id-hash split (totally
+    unrelated to the time cutoff) and require equality with inc01."""
+    from api_etl_pipeline_spark.ops.events_analytics import inc01_rollup_merge
+    from api_etl_pipeline_spark.tables import load_table
+
+    expected = {tuple(r) for r in inc01_rollup_merge(spark, SF_DIR).collect()}
+
+    e = load_table(spark, SF_DIR, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    keyed = e.select(
+        "event_type", "value", "user_id", us.alias("ts_us"),
+        (F.crc32(F.col("user_id").cast("string").cast("binary")) % 4).alias("part"),
+    )
+    partials = (
+        keyed.groupBy(F.expr("ts_us DIV 3600000000").alias("hour_id"),
+                      "event_type", "part")
+        .agg(
+            F.count("*").alias("p_n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("p_sum"),
+            F.min("value").alias("p_min"),
+            F.max("value").alias("p_max"),
+            F.min("ts_us").alias("p_first"),
+            F.max("ts_us").alias("p_last"),
+            F.collect_set("user_id").alias("p_users"),
+        )
+    )
+    merged = (
+        partials.groupBy("hour_id", "event_type")
+        .agg(
+            F.sum("p_n").cast("bigint").alias("n_events"),
+            F.round(F.sum("p_sum"), 2).alias("sum_value"),
+            F.min("p_min").alias("min_value"),
+            F.max("p_max").alias("max_value"),
+            F.min("p_first").cast("bigint").alias("first_ts_us"),
+            F.max("p_last").cast("bigint").alias("last_ts_us"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("p_users"))))
+            .cast("bigint")
+            .alias("n_users"),
+        )
+    )
+    got = {tuple(r) for r in merged.collect()}
+    assert got == expected
+
+
+def test_samp06_partitions_corpus_and_audit_fires(spark, duck):
+    """samp06 must (a) partition the corpus exactly (train+test == all
+    docs, no doc in both), (b) place every dup-cluster member on ONE
+    side by construction, and (c) report a NONZERO naive-leak count at
+    this SF — otherwise the audit column demonstrates nothing."""
+    res = {r.split: r for r in
+           all_queries()["samp06_cluster_safe_split"].fn(spark, SF_DIR).collect()}
+    n_total = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert set(res) == {"train", "test"}
+    assert res["train"].n_docs + res["test"].n_docs == n_total
+    assert res["train"].naive_leaked_docs + res["test"].naive_leaked_docs > 0
+    # leakage-safety is structural: the assignment hashes the shared
+    # cluster key, so a cluster CANNOT straddle; re-derive and check.
+    from api_etl_pipeline_spark.llm_ops.dedup import (
+        connected_components,
+        dd04_minhash_lsh_pairs,
+    )
+    from api_etl_pipeline_spark.llm_ops.sampling import hash_bucket
+
+    comp = connected_components(
+        dd04_minhash_lsh_pairs(spark, SF_DIR), src="doc_a", dst="doc_b"
+    )
+    sides = comp.select(
+        "component", (hash_bucket(F.col("component"), 100) < 90).alias("in_train")
+    )
+    straddle = (
+        sides.groupBy("component")
+        .agg(F.count_distinct("in_train").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .count()
+    )
+    assert straddle == 0
