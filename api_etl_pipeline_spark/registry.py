@@ -94,9 +94,11 @@ def _load_all() -> None:
 # x14-x26, sim06/09/10, ev14/ev15, hh01, dq01/dq02, ret01, samp05. Only
 # 50 fit the sample; x22_negative_div_mod (trivial scalar semantics,
 # pytest-oracle green every session) is deliberately slot 51. Queries
-# ADDED in round 6 (decon03, cur02, tx20, ev16, st11, st12 — registry
-# 216 -> 222, all full-oracle) are placed AFTER this prefix so the
-# round-7 rotation picks them up. Nothing is removed — every query
+# ADDED in round 6 (decon03, cur02, tx20, ev16, st11, st12, then the
+# late wave dq03, sim11, dd13, dq04, mix02, ev17, inc01, inc02, samp06,
+# tx21 — registry 216 -> 232, all full-oracle) are placed AFTER this
+# prefix; the round-7 rotation should front-load exactly those 16 plus
+# x22 and whatever round-7 adds. Nothing is removed — every query
 # stays registered and the pytest mirror in
 # tests/test_queries_oracle.py still covers all of them.
 _DRIVER_SAMPLE_PREFIX = [
