@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from api_etl_pipeline_spark.registry import query
@@ -248,4 +248,98 @@ def stats01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("v").alias("ndv"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
+    )
+
+
+@query(
+    "stats02_rolling_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,2))) AS day_sum
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    windowed AS (
+        SELECT event_type, day, day_sum,
+               SUM(day_sum) OVER w AS w_sum,
+               SUM(day_sum * day_sum) OVER w AS w_sumsq,
+               COUNT(*) OVER w AS w_n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day,
+           ROUND(day_sum, 2) AS day_sum,
+           w_n::BIGINT AS w_n,
+           ROUND(CASE WHEN w_n >= 3
+                      AND w_sumsq::DOUBLE / w_n
+                          - (w_sum::DOUBLE / w_n) * (w_sum::DOUBLE / w_n) > 0
+                 THEN (day_sum::DOUBLE - w_sum::DOUBLE / w_n)
+                      / sqrt(w_sumsq::DOUBLE / w_n
+                             - (w_sum::DOUBLE / w_n) * (w_sum::DOUBLE / w_n))
+                 END, 6) AS z_score,
+           COALESCE(ABS(CASE WHEN w_n >= 3
+                      AND w_sumsq::DOUBLE / w_n
+                          - (w_sum::DOUBLE / w_n) * (w_sum::DOUBLE / w_n) > 0
+                 THEN (day_sum::DOUBLE - w_sum::DOUBLE / w_n)
+                      / sqrt(w_sumsq::DOUBLE / w_n
+                             - (w_sum::DOUBLE / w_n) * (w_sum::DOUBLE / w_n))
+                 END) > 2.0, FALSE) AS is_anomaly
+    FROM windowed
+    """,
+)
+def stats02_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health anomaly detection — the monitoring query a data
+    platform runs on every metric stream: per event type, each day's
+    value total scored against the TRAILING week (rows 6-preceding to
+    1-preceding, current day excluded so the anomaly cannot contaminate
+    its own baseline) as a z-score; |z| > 2 flags the day. Null z when
+    the baseline has <3 days or zero variance (both engines agree via
+    the same guarded CASE).
+
+    Cross-engine float discipline: daily sums and the rolling
+    sum/sum-of-squares are EXACT DECIMAL (summation-order-free — the
+    whole reason the naive stddev_samp-over-window form is NOT used:
+    its double accumulation order differs between engines); only the
+    final mean/variance/z division happens in double, identically on
+    both sides, rounded to 6.
+
+    Plan shape: one hash aggregate to per-(type, day) rows (~types ×
+    days — tiny), then one window over that collapsed relation. The
+    events table shuffles once on the agg key; the window never sees
+    raw events. Linear at any scale; the rolling frame is O(7) state."""
+    from api_etl_pipeline_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("day_sum"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, -1)
+    )
+    windowed = daily.select(
+        "event_type",
+        "day",
+        "day_sum",
+        F.sum("day_sum").over(w).alias("w_sum"),
+        F.sum(F.col("day_sum") * F.col("day_sum")).over(w).alias("w_sumsq"),
+        F.count("*").over(w).alias("w_n"),
+    )
+    n = F.col("w_n").cast("double")
+    mean = F.col("w_sum").cast("double") / n
+    var = F.col("w_sumsq").cast("double") / n - mean * mean
+    z = F.when(
+        (F.col("w_n") >= 3) & (var > 0),
+        (F.col("day_sum").cast("double") - mean) / F.sqrt(var),
+    )
+    return windowed.select(
+        "event_type",
+        "day",
+        F.round("day_sum", 2).alias("day_sum"),
+        F.col("w_n").cast("bigint").alias("w_n"),
+        F.round(z, 6).alias("z_score"),
+        F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),
     )

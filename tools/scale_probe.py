@@ -77,6 +77,7 @@ QUERIES = [
     "inc01_rollup_merge",  # round-6: partial-agg merge — two scans, no raw shuffle growth
     "inc02_pruned_refresh",  # round-6: pruned recompute — hour-set broadcast must hold
     "tx21_bpe_train_merges",  # round-6: rounds must stay vocab-bounded after 1 corpus scan
+    "stats02_rolling_anomaly",  # round-6: window rides the collapsed (type,day) relation
 ]
 
 
