@@ -1221,3 +1221,99 @@ def inc02_pruned_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.join(F.broadcast(affected), "hour_id", "left_semi")
     )
     return untouched.unionByName(recomputed)
+
+
+@query(
+    "ab01_experiment_readout",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                         % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS user_value
+        FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT
+            SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+            SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+            SUM(CASE WHEN arm = 'A' THEN user_value
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS sum_a,
+            SUM(CASE WHEN arm = 'B' THEN user_value
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS sum_b,
+            SUM(CASE WHEN arm = 'A' THEN user_value * user_value
+                     ELSE CAST(0 AS DECIMAL(38,4)) END) AS sumsq_a,
+            SUM(CASE WHEN arm = 'B' THEN user_value * user_value
+                     ELSE CAST(0 AS DECIMAL(38,4)) END) AS sumsq_b
+        FROM per_user
+    )
+    SELECT n_a, n_b,
+           ROUND(sum_a::DOUBLE / n_a, 6) AS mean_a,
+           ROUND(sum_b::DOUBLE / n_b, 6) AS mean_b,
+           ROUND((sum_b::DOUBLE / n_b - sum_a::DOUBLE / n_a)
+                 / (sum_a::DOUBLE / n_a) * 100, 6) AS lift_pct,
+           ROUND((sum_b::DOUBLE / n_b - sum_a::DOUBLE / n_a)
+                 / sqrt(((sumsq_a::DOUBLE - sum_a::DOUBLE * sum_a::DOUBLE / n_a)
+                         / (n_a - 1)) / n_a
+                        + ((sumsq_b::DOUBLE - sum_b::DOUBLE * sum_b::DOUBLE / n_b)
+                           / (n_b - 1)) / n_b), 6) AS z_stat
+    FROM stats
+    """,
+)
+def ab01_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout — the two-sample A/B analysis every
+    product platform runs: users deterministically hash-assigned 50/50
+    (the samp01 md5 arithmetic, so assignment is stable under retries
+    and re-ingest — no user ever switches arms), per-user purchase
+    value as the metric, and the Welch z statistic on the arm means
+    with relative lift. |z| > 1.96 is the conventional 95% read.
+
+    Cross-engine float discipline: per-user values, arm sums, and arm
+    sums-of-squares are EXACT DECIMAL (summation-order-free; squaring
+    DECIMAL(18,2) stays exact in DECIMAL(38,4)); mean/variance/z are
+    derived from those exact sums in double identically on both sides,
+    rounded to 6. The naive stddev_samp path would be order-dependent.
+
+    Plan shape: ONE per-user hash aggregate collapses the events table
+    (arm is a projection of user_id — no second shuffle), then a single
+    conditional global aggregate to the 1-row readout. Linear at any
+    scale; the readout state is 6 numbers."""
+    e = load_table(spark, sf_dir, "events")
+    from api_etl_pipeline_spark.llm_ops.sampling import hash_bucket
+
+    arm = F.when(hash_bucket(F.col("user_id"), 2) == 0, "A").otherwise("B")
+    zero2 = F.lit(0).cast("decimal(18,2)")
+    zero4 = F.lit(0).cast("decimal(38,4)")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(18,2)")
+            ).otherwise(zero2)
+        ).alias("user_value"),
+    ).select(arm.alias("arm"), "user_value")
+    uv = F.col("user_value")
+    stats = per_user.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", uv).otherwise(zero2)).alias("sum_a"),
+        F.sum(F.when(F.col("arm") == "B", uv).otherwise(zero2)).alias("sum_b"),
+        F.sum(F.when(F.col("arm") == "A", uv * uv).otherwise(zero4)).alias("sumsq_a"),
+        F.sum(F.when(F.col("arm") == "B", uv * uv).otherwise(zero4)).alias("sumsq_b"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sum_a, sum_b = F.col("sum_a").cast("double"), F.col("sum_b").cast("double")
+    ssq_a, ssq_b = F.col("sumsq_a").cast("double"), F.col("sumsq_b").cast("double")
+    mean_a, mean_b = sum_a / n_a, sum_b / n_b
+    var_a = (ssq_a - sum_a * sum_a / n_a) / (n_a - 1)
+    var_b = (ssq_b - sum_b * sum_b / n_b) / (n_b - 1)
+    z = (mean_b - mean_a) / F.sqrt(var_a / n_a + var_b / n_b)
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round((mean_b - mean_a) / mean_a * 100, 6).alias("lift_pct"),
+        F.round(z, 6).alias("z_stat"),
+    )

@@ -153,6 +153,7 @@ OPTIONAL = [
     "samp06_cluster_safe_split",  # leakage-safe split by dup cluster
     "tx21_bpe_train_merges",  # BPE training: vocab-bounded merge rounds
     "stats02_rolling_anomaly",  # decimal-exact rolling z-score monitor
+    "ab01_experiment_readout",  # hash-armed Welch z readout, 1-row result
     # (st11/st12 live-streaming runs are NOT benched, same as st06/07/09:
     # their wall is Structured Streaming micro-batch machinery, not plan
     # execution — the batch twins st02/st03 carry the perf signal, and

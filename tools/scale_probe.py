@@ -78,6 +78,7 @@ QUERIES = [
     "inc02_pruned_refresh",  # round-6: pruned recompute — hour-set broadcast must hold
     "tx21_bpe_train_merges",  # round-6: rounds must stay vocab-bounded after 1 corpus scan
     "stats02_rolling_anomaly",  # round-6: window rides the collapsed (type,day) relation
+    "ab01_experiment_readout",  # round-6: per-user agg + 1-row conditional readout
 ]
 
 
