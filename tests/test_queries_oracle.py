@@ -14,6 +14,13 @@ round a value whose pre-round doubles differ by 1 ulp across engines,
 flipping the last displayed digit (.245-style boundary) — cannot occur
 where the aggregation count is large enough to dominate, which the
 official sf0.01/0.1 gates are.
+
+The 17 late-round-6 additions (dq03/dq04, sim11, dd13, mix02, ev17,
+inc01/inc02, samp06, tx21, stats02, ab01 + the early-round wave) were
+additionally swept green under TZ=America/New_York and at sf0.001 —
+the timestamp-bearing ones (inc*, ev17, stats02, ab01) all ride the
+unix_micros/epoch_us integer convention, so no session-TZ dependence
+exists by construction.
 """
 
 from __future__ import annotations
