@@ -1317,3 +1317,104 @@ def ab01_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mean_b - mean_a) / mean_a * 100, 6).alias("lift_pct"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+@query(
+    "ev18_linear_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us,
+               (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, event_type AS touch_type, epoch_us(ts) AS t_us
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+        SELECT p.p_id, p.cents, t.touch_type,
+               COUNT(t.touch_type) OVER (PARTITION BY p.p_id) AS n_touch
+        FROM purchases p
+        LEFT JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.t_us < p.p_us
+         AND t.t_us >= p.p_us - 86400000000
+    ),
+    credited AS (
+        SELECT COALESCE(touch_type, 'unattributed') AS touch_type,
+               p_id,
+               CASE WHEN touch_type IS NULL THEN cents * 1000000
+                    ELSE (cents * 1000000) // n_touch END AS credit_micro
+        FROM joined
+    )
+    SELECT touch_type,
+           COUNT(*)::BIGINT AS n_rows,
+           COUNT(DISTINCT p_id)::BIGINT AS n_purchases,
+           ROUND(SUM(credit_micro) / 100000000.0, 6) AS credited_value
+    FROM credited
+    GROUP BY touch_type
+    """,
+)
+def ev18_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the marketing-analytics
+    complement to ev08's first-click model: every click/view touch in
+    the 24 h before a purchase gets an EQUAL share of that purchase's
+    value; purchases with no preceding touch report as 'unattributed'
+    (the number a channel team watches to detect tracking gaps).
+
+    Exactness discipline: the per-touch share is integer micro-cents —
+    (cents × 10⁶) DIV n_touches — so credit splitting is BIGINT-exact
+    and summation-order-free on both engines; only the final display
+    division is double. (A naive value/n double credit summed across
+    thousands of purchases would be order-dependent.) The deliberate
+    DIV truncation loses < 1 micro-cent per touch identically on both
+    sides.
+
+    Plan shape: the touch window is an interval join — equi on user_id
+    with a banded time predicate, the q48/st10 shape: shuffles on
+    user_id, never a cross product, with the per-purchase touch count
+    as a window over the join output (same user_id partitioning
+    reused). Streaming twin: st10's interval LEFT OUTER join with a
+    24 h watermark delay bound — ev17's lag distribution is how that
+    bound is chosen."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        us.alias("p_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user_id"),
+        F.col("event_type").alias("touch_type"),
+        us.alias("t_us"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("t_user_id") == F.col("user_id"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(86_400_000_000)),
+        "left",
+    ).select(
+        "p_id",
+        "cents",
+        "touch_type",
+        F.count("touch_type").over(Window.partitionBy("p_id")).alias("n_touch"),
+    )
+    credit = F.when(
+        F.col("touch_type").isNull(), F.col("cents") * 1_000_000
+    ).otherwise(F.expr("(cents * 1000000) DIV n_touch"))
+    return (
+        joined.select(
+            F.coalesce("touch_type", F.lit("unattributed")).alias("touch_type"),
+            "p_id",
+            credit.alias("credit_micro"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("p_id").alias("n_purchases"),
+            F.round(F.sum("credit_micro") / 100_000_000.0, 6).alias("credited_value"),
+        )
+    )

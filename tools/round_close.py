@@ -130,6 +130,10 @@ def _scan_audit_allowlist() -> set[str]:
         "sim11_ann_recall_at_k", "dd13_containment_dedup",
         "mix02_epoch_upsampling", "ev17_conversion_lag",
         "inc01_rollup_merge", "inc02_pruned_refresh",
+        # ev18 — purchase leg + touch leg of the attribution interval
+        #   join are disjoint type-filtered slices of events (the ev17
+        #   split-phase class)
+        "ev18_linear_attribution",
     }
 
 

@@ -79,6 +79,7 @@ QUERIES = [
     "tx21_bpe_train_merges",  # round-6: rounds must stay vocab-bounded after 1 corpus scan
     "stats02_rolling_anomaly",  # round-6: window rides the collapsed (type,day) relation
     "ab01_experiment_readout",  # round-6: per-user agg + 1-row conditional readout
+    "ev18_linear_attribution",  # round-6: interval join on user_id must stay banded
 ]
 
 
