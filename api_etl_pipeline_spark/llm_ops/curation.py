@@ -689,3 +689,84 @@ def mix02_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("chars_emitted"),
         F.round(F.count("*") / F.col("n_docs"), 6).alias("effective_epochs"),
     )
+
+
+@query(
+    "cur03_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, sha256(text) AS h, n_chars
+        FROM documents WHERE doc_id % 10 <> 0
+    ),
+    v2 AS (
+        SELECT doc_id,
+               sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                           ELSE text END) AS h,
+               n_chars + CASE WHEN doc_id % 7 = 0 THEN 7 ELSE 0 END AS n_chars
+        FROM documents
+    ),
+    diff AS (
+        SELECT COALESCE(v2.doc_id, v1.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.h <> v2.h THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(v2.n_chars, 0) - COALESCE(v1.n_chars, 0) AS chars_delta
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(chars_delta)::BIGINT AS chars_delta,
+           MIN(doc_id)::BIGINT AS first_doc_id,
+           MAX(doc_id)::BIGINT AS last_doc_id
+    FROM diff
+    GROUP BY status
+    """,
+)
+def cur03_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset snapshot diff — the versioning audit run between two
+    corpus states before promoting a new training snapshot (the Delta/
+    LakeFS time-travel-diff idea as a query): FULL OUTER join of the
+    two versions on doc_id comparing CONTENT hashes, each doc classed
+    added / removed / changed / unchanged, aggregated to the audit row
+    a release gate reads (counts + net char drift + id range per
+    class). The two versions are derived deterministically from the one
+    corpus here (v1 drops doc_id%10==0, v2 revises doc_id%7==0) so the
+    oracle can restate both sides exactly; in production v1/v2 are two
+    snapshot paths read by the same plan.
+
+    Plan shape: both snapshot scans project (doc_id, sha256(text),
+    n_chars) only — the diff join moves 40-byte rows, never text; one
+    shuffle each side on doc_id (storage-partitioned snapshots make it
+    a zipper join), then a 4-row hash agg. Content equality via sha256
+    makes 'changed' detection exact regardless of column count."""
+    d = load_table(spark, sf_dir, "documents")
+    h = lambda c: F.sha2(c.cast("binary"), 256)  # noqa: E731
+    v1 = d.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("v1_id"), h(F.col("text")).alias("v1_h"),
+        F.col("n_chars").alias("v1_chars"),
+    )
+    rev = F.col("doc_id") % 7 == 0
+    v2 = d.select(
+        F.col("doc_id").alias("v2_id"),
+        h(F.when(rev, F.concat(F.col("text"), F.lit(" [rev2]")))
+          .otherwise(F.col("text"))).alias("v2_h"),
+        (F.col("n_chars") + F.when(rev, 7).otherwise(0)).alias("v2_chars"),
+    )
+    diff = v1.join(v2, F.col("v1_id") == F.col("v2_id"), "full_outer").select(
+        F.coalesce("v2_id", "v1_id").alias("doc_id"),
+        F.when(F.col("v1_id").isNull(), "added")
+        .when(F.col("v2_id").isNull(), "removed")
+        .when(F.col("v1_h") != F.col("v2_h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        (F.coalesce("v2_chars", F.lit(0)) - F.coalesce("v1_chars", F.lit(0))).alias(
+            "chars_delta"
+        ),
+    )
+    return diff.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("chars_delta").cast("bigint").alias("chars_delta"),
+        F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        F.max("doc_id").cast("bigint").alias("last_doc_id"),
+    )

@@ -74,6 +74,13 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("sim11_ann_recall_at_k", "BroadcastNestedLoopJoin"): (
         "inherited exact leg IS sim01 — same 5-row query-vector broadcast"
     ),
+    ("cur03_snapshot_diff", "SortMergeJoin"): (
+        "snapshot diff is a FULL OUTER join of two same-size corpus "
+        "versions — full outer cannot broadcast either side by "
+        "definition (the ret01 reasoning); both sides are pre-projected "
+        "to 40-byte (id, hash, chars) rows so the zipper shuffle moves "
+        "hashes, never text"
+    ),
     ("tx21_bpe_train_merges", "BroadcastNestedLoopJoin"): (
         "each BPE round broadcasts its SINGLE-ROW top-pair into the "
         "vocab rewrite projection (the tx08 single-row-scalar shape, "

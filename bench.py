@@ -155,6 +155,7 @@ OPTIONAL = [
     "stats02_rolling_anomaly",  # decimal-exact rolling z-score monitor
     "ab01_experiment_readout",  # hash-armed Welch z readout, 1-row result
     "ev18_linear_attribution",  # micro-cent exact multi-touch credits
+    "cur03_snapshot_diff",  # full-outer snapshot diff on hash projections
     # (st11/st12 live-streaming runs are NOT benched, same as st06/07/09:
     # their wall is Structured Streaming micro-batch machinery, not plan
     # execution — the batch twins st02/st03 carry the perf signal, and

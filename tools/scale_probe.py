@@ -80,6 +80,7 @@ QUERIES = [
     "stats02_rolling_anomaly",  # round-6: window rides the collapsed (type,day) relation
     "ab01_experiment_readout",  # round-6: per-user agg + 1-row conditional readout
     "ev18_linear_attribution",  # round-6: interval join on user_id must stay banded
+    "cur03_snapshot_diff",  # round-6: diff shuffle moves hashes, never text
 ]
 
 
