@@ -123,3 +123,78 @@ def test_samp06_partitions_corpus_and_audit_fires(spark, duck):
         .count()
     )
     assert straddle == 0
+
+
+def test_hash_bucket_matches_duckdb_on_arbitrary_ids(spark):
+    """hash_bucket is the engine's shared entropy source (splits, arms,
+    mixing) — its Spark and DuckDB forms must agree on ARBITRARY ids,
+    not just the corpus's. 200 adversarial ids, 3 modulus sizes."""
+    ids = list(range(-50, 50)) + [10**18, 2**62, 7, 999999937] + [
+        i * 104729 + 13 for i in range(96)
+    ]
+    from api_etl_pipeline_spark.llm_ops.sampling import hash_bucket
+
+    sdf = spark.createDataFrame([(i,) for i in ids], "id long")
+    for n in (2, 100, 1000):
+        got = {
+            r.id: r.b
+            for r in sdf.select("id", hash_bucket(F.col("id"), n).alias("b")).collect()
+        }
+        con = duckdb.connect()
+        want = {
+            i: con.execute(
+                "SELECT ('0x' || substr(md5(?::VARCHAR), 1, 8))::BIGINT % ?",
+                [str(i), n],
+            ).fetchone()[0]
+            for i in ids
+        }
+        assert got == want
+
+
+def test_bpe_merge_preserves_word_reconstruction(duck):
+    """tx21's merge rewrite must never lose or duplicate characters: for
+    every corpus word and ANY adjacent symbol pair, stripping the
+    separators from replace(seq, 'a  b', 'ab') reproduces the word."""
+    words = [r[0] for r in duck.execute(
+        "SELECT DISTINCT unnest(string_split(text,' ')) FROM documents LIMIT 200"
+    ).fetchall()]
+    assert words
+    for w in words:
+        seq = "  ".join(w)
+        for i in range(len(w) - 1):
+            pat = f"{w[i]}  {w[i+1]}"
+            merged = seq.replace(pat, w[i] + w[i + 1])
+            assert merged.replace(" ", "") == w, (w, pat)
+
+
+def test_ev18_credit_conservation(spark, duck):
+    """Linear attribution must CONSERVE value: total credited (all touch
+    types + unattributed) equals total purchase value, short only the
+    documented DIV truncation (< 1 micro-cent per attributed row)."""
+    res = all_queries()["ev18_linear_attribution"].fn(spark, SF_DIR).collect()
+    credited_micro = round(sum(r.credited_value for r in res) * 100_000_000)
+    n_attr_rows = sum(r.n_rows for r in res if r.touch_type != "unattributed")
+    total_micro = duck.execute(
+        "SELECT (SUM(CAST(value AS DECIMAL(18,2))) * 100000000)::BIGINT "
+        "FROM events WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    shortfall = total_micro - credited_micro
+    assert 0 <= shortfall < max(n_attr_rows, 1), (shortfall, n_attr_rows)
+
+
+def test_cur03_classes_match_construction(spark, duck):
+    """cur03's deterministic v1/v2 derivation implies exact class
+    counts: added = docs with id%10==0 (absent from v1), removed = 0
+    (v2 keeps every doc), changed = id%7==0 among v1 docs."""
+    res = {r.status: r.n_docs for r in
+           all_queries()["cur03_snapshot_diff"].fn(spark, SF_DIR).collect()}
+    n = lambda q: duck.execute(q).fetchone()[0]  # noqa: E731
+    total = n("SELECT COUNT(*) FROM documents")
+    added = n("SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0")
+    changed = n(
+        "SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0"
+    )
+    assert res.get("removed", 0) == 0
+    assert res.get("added", 0) == added
+    assert res.get("changed", 0) == changed
+    assert res.get("unchanged", 0) == total - added - changed
