@@ -134,6 +134,10 @@ def _scan_audit_allowlist() -> set[str]:
         #   join are disjoint type-filtered slices of events (the ev17
         #   split-phase class)
         "ev18_linear_attribution",
+        # cur03 — v1/v2 snapshots derive from the one corpus only in
+        #   this differential setting (so the oracle can restate both);
+        #   production diffs two snapshot PATHS, one scan each
+        "cur03_snapshot_diff",
     }
 
 
