@@ -20,6 +20,7 @@ executor-local fast path, where driver==executor makes the caveat moot.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import os
 from collections.abc import Callable, Iterator
 
@@ -47,29 +48,35 @@ RELIABLE = reliable_enabled()
 # iterative round's plan disappears from the final query plan. The plan
 # linter installs an observer here to capture each DataFrame's plan
 # BEFORE the truncation, closing that blind spot by machine instead of
-# prose. None → zero overhead on the normal path.
-_OBSERVER: Callable[[DataFrame], None] | None = None
+# prose. A ContextVar (round-6 advice), not a module global: concurrent
+# lint/gen_plans runs or a multithreaded driver each see their own
+# observer, so nested/parallel observers can never cross-capture plans
+# between queries. None → zero overhead on the normal path.
+_OBSERVER: contextvars.ContextVar[Callable[[DataFrame], None] | None] = (
+    contextvars.ContextVar("checkpoint_observer", default=None)
+)
 
 
 @contextlib.contextmanager
 def checkpoint_observer(fn: Callable[[DataFrame], None]) -> Iterator[None]:
     """Install `fn` to be called with every DataFrame just before it is
-    checkpointed (plan-lint uses this to see inside iterative loops)."""
-    global _OBSERVER
-    prev = _OBSERVER
-    _OBSERVER = fn
+    checkpointed (plan-lint uses this to see inside iterative loops).
+    Context-local: observers installed on other threads/contexts are
+    unaffected, and re-entry restores the previous observer on exit."""
+    token = _OBSERVER.set(fn)
     try:
         yield
     finally:
-        _OBSERVER = prev
+        _OBSERVER.reset(token)
 
 
 def lazy_checkpoint(df: DataFrame) -> DataFrame:
     """Truncate lineage without forcing immediate materialization (the
     first action pays it). See module docstring for the cluster-scale
     fault-tolerance caveat."""
-    if _OBSERVER is not None:
-        _OBSERVER(df)
+    obs = _OBSERVER.get()
+    if obs is not None:
+        obs(df)
     if reliable_enabled():
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
@@ -78,8 +85,9 @@ def lazy_checkpoint(df: DataFrame) -> DataFrame:
 def eager_checkpoint(df: DataFrame) -> DataFrame:
     """Materialize now — for iterative loops that immediately fan out
     multiple consumers of the checkpointed state (dd09's CC rounds)."""
-    if _OBSERVER is not None:
-        _OBSERVER(df)
+    obs = _OBSERVER.get()
+    if obs is not None:
+        obs(df)
     if reliable_enabled():
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

@@ -610,7 +610,8 @@ def cur02_lang_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rates AS (
         SELECT source, n_docs,
-               LEAST(4000, (1000 * total) // (ns * sc))::BIGINT AS epochs_mills
+               GREATEST(1, LEAST(4000, (1000 * total) // (ns * sc)))::BIGINT
+                   AS epochs_mills
         FROM tot
     ),
     copies AS (
@@ -634,7 +635,9 @@ def mix02_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     training recipe (repeat small/high-value sources ~N.M epochs, cap at
     4, downsample over-represented ones below 1.0): every source gets an
     equal char budget; epochs_mills = that budget over the source's
-    chars in integer thousandths (capped 4000). Each doc is emitted
+    chars in integer thousandths (capped 4000, floored at 1 so an
+    extremely over-represented source is downsampled to a 0.001-epoch
+    sliver rather than silently dropped). Each doc is emitted
     floor(mills/1000) times plus one extra copy iff its id-hash
     thousandth falls under mills%1000 — so a 2.3-epoch source emits
     every doc twice and a deterministic 30% of docs a third time, and
@@ -659,8 +662,18 @@ def mix02_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            F.least(
-                F.lit(4000).cast("bigint"), F.expr("(1000 * total) DIV (ns * sc)")
+            # floored at 1 mill (round-6 ADVICE): a source >1000x the
+            # average char share would otherwise compute 0 mills, emit
+            # zero copies for EVERY doc, and vanish from the grouped
+            # output while the oracle still emitted its audit row. The
+            # 0.001-epoch floor keeps a deterministic sliver of any
+            # source in the mix — and keeps the audit row existing.
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.least(
+                    F.lit(4000).cast("bigint"),
+                    F.expr("(1000 * total) DIV (ns * sc)"),
+                ),
             ).alias("epochs_mills"),
         )
     )
@@ -684,10 +697,24 @@ def mix02_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("copy_idx"),
         )
     )
-    return copies.groupBy("source", "epochs_mills", "n_docs").agg(
-        F.count("*").alias("docs_emitted"),
-        F.sum("n_chars").cast("bigint").alias("chars_emitted"),
-        F.round(F.count("*") / F.col("n_docs"), 6).alias("effective_epochs"),
+    # aggregate emissions, then LEFT-join back onto the rates spine
+    # (round-6 ADVICE): even with the 1-mill floor, a tiny source whose
+    # few docs all hash past mills%1000 emits zero copies — the explode
+    # drops every row and a groupBy on copies alone would lose the
+    # source's audit row while the oracle still emits docs_emitted=0.
+    emitted = copies.groupBy("source").agg(
+        F.count("*").alias("de"),
+        F.sum("n_chars").cast("bigint").alias("ce"),
+    )
+    return rates.join(emitted, "source", "left").select(
+        "source",
+        "epochs_mills",
+        "n_docs",
+        F.coalesce("de", F.lit(0)).cast("bigint").alias("docs_emitted"),
+        F.coalesce("ce", F.lit(0).cast("bigint")).alias("chars_emitted"),
+        F.round(F.coalesce("de", F.lit(0)) / F.col("n_docs"), 6).alias(
+            "effective_epochs"
+        ),
     )
 
 

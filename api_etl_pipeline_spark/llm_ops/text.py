@@ -1333,11 +1333,25 @@ def tx20_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 3
 
 
-def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
-    """Unrolled BPE-training oracle: each round re-derives pair counts
-    from the current vocab state, takes the deterministic top pair, and
-    applies it with SQL replace() — whose leftmost-non-overlapping scan
-    IS greedy BPE merging on the double-space-joined symbol string."""
+# Symbol sentinels for the BPE sequence encoding: every symbol is wrapped
+# as chr(1)||sym||chr(2), so a merge pattern chr(1)||lhs||chr(2)||chr(1)||
+# rhs||chr(2) can ONLY match at whole-symbol boundaries. The earlier
+# double-space-join encoding had a boundary bug (round-6 ADVICE): after
+# (t,h)->'th', a rule (h,e) matched INSIDE 'th  e' and produced a false
+# mid-symbol merge. Sentinels make that match impossible — 'h' inside
+# 'th' is preceded by 't', never by chr(1).
+BPE_L = "\x01"
+BPE_R = "\x02"
+
+
+def _bpe_ctes(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled BPE-training CTE chain shared by the tx21 (train) and
+    tx22 (apply) oracles: each round re-derives pair counts from the
+    current vocab state, takes the deterministic top pair, and applies
+    it with SQL replace() — whose leftmost-non-overlapping scan IS
+    greedy BPE merging on the sentinel-wrapped symbol string. `word` is
+    carried through every v{r} so the apply side can join tokenized
+    words back onto documents."""
     parts = [
         """
     WITH words AS (
@@ -1346,10 +1360,10 @@ def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
         GROUP BY w
     ),
     v0 AS (
-        SELECT wcnt,
-               array_to_string(list_transform(
+        SELECT word, wcnt,
+               chr(1) || array_to_string(list_transform(
                    generate_series(1, len(word)), i -> substr(word, i, 1)
-               ), '  ') AS seq
+               ), chr(2) || chr(1)) || chr(2) AS seq
         FROM words
     )"""
     ]
@@ -1359,7 +1373,10 @@ def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
         SELECT lhs, rhs, SUM(wcnt)::BIGINT AS cnt
         FROM (
             SELECT wcnt, toks[i] AS lhs, toks[i + 1] AS rhs
-            FROM (SELECT wcnt, string_split(seq, '  ') AS toks FROM v{r - 1}),
+            FROM (SELECT wcnt,
+                         string_split(substr(seq, 2, len(seq) - 2),
+                                      chr(2) || chr(1)) AS toks
+                  FROM v{r - 1}),
                  UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
         )
         GROUP BY lhs, rhs
@@ -1367,42 +1384,45 @@ def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
     t{r} AS (SELECT lhs, rhs, cnt FROM p{r}
              ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
     v{r} AS (
-        SELECT wcnt, replace(seq, (SELECT lhs || '  ' || rhs FROM t{r}),
-                             (SELECT lhs || rhs FROM t{r})) AS seq
+        SELECT word, wcnt,
+               replace(seq,
+                       (SELECT chr(1) || lhs || chr(2) || chr(1) || rhs || chr(2)
+                        FROM t{r}),
+                       (SELECT chr(1) || lhs || rhs || chr(2) FROM t{r})) AS seq
         FROM v{r - 1}
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
     sel = "\n    UNION ALL ".join(
         f"SELECT {r} AS round, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count "
         f"FROM t{r}"
         for r in range(1, rounds + 1)
     )
-    return "".join(parts) + "\n    " + sel
+    return _bpe_ctes(rounds) + "\n    " + sel
 
 
-@query("tx21_bpe_train_merges", oracle=_bpe_oracle())
-def tx21_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer TRAINING on the corpus — the first BPE_ROUNDS merge
-    rules learned byte-pair-encoding style: start from character
-    symbols, repeatedly count adjacent symbol pairs weighted by word
-    frequency, merge the most frequent pair everywhere (ties broken
-    lexicographically), emit (round, lhs, rhs, merged, pair_count).
+def _bpe_symbols(seq: Column) -> Column:
+    """Split a sentinel-wrapped symbol string back into its bare symbols:
+    strip the outer chr(1)/chr(2), split on the chr(2)||chr(1) joints."""
+    return F.split(seq.substr(F.lit(2), F.length(seq) - 2), BPE_R + BPE_L)
 
-    The at-scale trick is the classical one: training never iterates
-    over the corpus — ONE scan builds the weighted word-frequency
-    vocab, and every merge round operates on that vocab relation
-    (thousands of rows at any corpus size; pair counting is
-    vocab-bounded). The greedy leftmost merge is expressed as
-    replace() on the double-space-joined symbol string — SQL replace's
-    leftmost-non-overlapping semantics are exactly BPE's greedy scan,
-    and both engines share them, so the whole training trajectory
-    (counts → argmax → rewrite → next round) is differentially pinned
-    against DuckDB executing the same unrolled algebra.
 
-    Plan shape: corpus scan + one word-count shuffle; each round adds
-    a vocab-local explode/agg (tiny), a 1-row TakeOrdered top-pair, and
-    a broadcast of that single row into the rewrite projection — the
-    plan stays fully declarative (no collect), so Catalyst sees the
-    whole unrolled trajectory. Driver-side loop builds the plan only."""
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop (tx21 emits the rules, tx22 applies the
+    final vocab state): returns (final vocab DF with columns
+    word/wcnt/seq, list of per-round 1-row rule DFs).
+
+    Symbols are SENTINEL-WRAPPED — each symbol is chr(1)||sym||chr(2)
+    (BPE_L/BPE_R), so the merge pattern chr(1)||lhs||chr(2)||chr(1)||
+    rhs||chr(2) can only match at whole-symbol boundaries. The earlier
+    double-space-join encoding had a boundary bug (round-6 ADVICE):
+    after (t,h)->'th', a rule (h,e) matched INSIDE 'th  e'. With
+    sentinels the 'h' inside 'th' is preceded by 't', never by chr(1),
+    so the false mid-symbol merge is structurally impossible. Corpus
+    text containing chr(1)/chr(2) would need escaping first; the
+    synthetic corpus has none (and both engines would at least agree)."""
     d = load_table(spark, sf_dir, "documents")
     # materialize the weighted vocab ONCE (the tx17 pattern): every merge
     # round and every rule row derives from this tiny relation — without
@@ -1413,19 +1433,24 @@ def tx21_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("wcnt"))
         .select(
+            "word",
             "wcnt",
-            F.array_join(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("word")),
-                    lambda i: F.col("word").substr(i, F.lit(1)),
+            F.concat(
+                F.lit(BPE_L),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("word")),
+                        lambda i: F.col("word").substr(i, F.lit(1)),
+                    ),
+                    BPE_R + BPE_L,
                 ),
-                "  ",
+                F.lit(BPE_R),
             ).alias("seq"),
         )
     )
     rules = []
     for r in range(1, BPE_ROUNDS + 1):
-        toks = F.split("seq", "  ")
+        toks = _bpe_symbols(F.col("seq"))
         pairs = vocab.select(
             "wcnt",
             F.explode(
@@ -1454,15 +1479,122 @@ def tx21_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = (
             vocab.crossJoin(F.broadcast(top))
             .select(
+                "word",
                 "wcnt",
                 F.replace(
                     F.col("seq"),
-                    F.concat(F.col("lhs"), F.lit("  "), F.col("rhs")),
-                    F.concat(F.col("lhs"), F.col("rhs")),
+                    F.concat(
+                        F.lit(BPE_L), F.col("lhs"), F.lit(BPE_R + BPE_L),
+                        F.col("rhs"), F.lit(BPE_R),
+                    ),
+                    F.concat(F.lit(BPE_L), F.col("lhs"), F.col("rhs"), F.lit(BPE_R)),
                 ).alias("seq"),
             )
         )
+    return vocab, rules
+
+
+@query("tx21_bpe_train_merges", oracle=_bpe_oracle())
+def tx21_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING on the corpus — the first BPE_ROUNDS merge
+    rules learned byte-pair-encoding style: start from character
+    symbols, repeatedly count adjacent symbol pairs weighted by word
+    frequency, merge the most frequent pair everywhere (ties broken
+    lexicographically), emit (round, lhs, rhs, merged, pair_count).
+
+    The at-scale trick is the classical one: training never iterates
+    over the corpus — ONE scan builds the weighted word-frequency
+    vocab, and every merge round operates on that vocab relation
+    (thousands of rows at any corpus size; pair counting is
+    vocab-bounded). The greedy leftmost merge is expressed as
+    replace() on the sentinel-wrapped symbol string (see _bpe_train:
+    sentinels anchor matches to whole-symbol boundaries) — SQL
+    replace's leftmost-non-overlapping semantics are exactly BPE's
+    greedy scan, and both engines share them, so the whole training
+    trajectory (counts → argmax → rewrite → next round) is
+    differentially pinned against DuckDB executing the same unrolled
+    algebra.
+
+    Plan shape: corpus scan + one word-count shuffle; each round adds
+    a vocab-local explode/agg (tiny), a 1-row TakeOrdered top-pair, and
+    a broadcast of that single row into the rewrite projection — the
+    plan stays fully declarative (no collect), so Catalyst sees the
+    whole unrolled trajectory. Driver-side loop builds the plan only."""
+    _, rules = _bpe_train(spark, sf_dir)
     out = rules[0]
     for rule in rules[1:]:
         out = out.unionByName(rule)
     return out
+
+
+@query(
+    "tx22_bpe_tokenize_apply",
+    oracle=_bpe_ctes()
+    + f"""
+    , tokenized AS (
+        SELECT word,
+               len(string_split(substr(seq, 2, len(seq) - 2),
+                                chr(2) || chr(1)))::BIGINT AS n_sym
+        FROM v{BPE_ROUNDS}
+    ),
+    doc_words AS (
+        SELECT doc_id, w AS word, COUNT(*)::BIGINT AS n_occ
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           SUM(n_occ)::BIGINT AS n_tokens_ws,
+           SUM(n_occ * n_sym)::BIGINT AS n_tokens_bpe,
+           ROUND(SUM(n_occ * len(word)) / SUM(n_occ * n_sym)::DOUBLE, 6)
+               AS chars_per_token
+    FROM doc_words JOIN tokenized USING (word)
+    GROUP BY doc_id
+    """,
+)
+def tx22_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained BPE tokenizer to the corpus — the missing half
+    of the tokenizer story (round-6 verdict task 4): tx21 learns merge
+    rules; tx22 segments every document with them and emits the real
+    per-doc token budget (doc_id, n_tokens_ws, n_tokens_bpe,
+    chars_per_token) that pack01/mix01 budgets should consume instead
+    of whitespace approximations.
+
+    The apply side inherits tx21's corpus-size-INDEPENDENT core: merges
+    are applied once per DISTINCT word on the vocab relation (bounded
+    by Heaps' law, not corpus size), then tokenized word lengths join
+    back onto per-doc word occurrences — one explode + (doc_id, word)
+    partial agg, one equi-join on word (broadcast-able vocab at any
+    realistic vocab size; AQE picks broadcast here), one final hash agg
+    on doc_id. The corpus text itself is scanned exactly twice (once
+    for training's word counts, once for the per-doc occurrences) and
+    never carries the symbol strings through a shuffle.
+
+    Differentially pinned end-to-end: the oracle re-runs the identical
+    unrolled training algebra (_bpe_ctes) AND the identical apply join
+    in DuckDB, so a single mis-merged word anywhere in the vocab flips
+    the value hash."""
+    vocab, _ = _bpe_train(spark, sf_dir)
+    tokenized = vocab.select(
+        "word", F.size(_bpe_symbols(F.col("seq"))).cast("bigint").alias("n_sym")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    doc_words = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    return (
+        doc_words.join(tokenized, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_tokens_ws"),
+            F.sum(F.col("n_occ") * F.col("n_sym")).cast("bigint").alias("n_tokens_bpe"),
+            F.round(
+                F.sum(F.col("n_occ") * F.length("word"))
+                / F.sum(F.col("n_occ") * F.col("n_sym")),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )

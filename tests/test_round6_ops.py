@@ -19,16 +19,40 @@ from api_etl_pipeline_spark.registry import all_queries
 from tests.conftest import SF_DIR
 
 
+def _sym(*symbols: str) -> str:
+    """Sentinel-encode a symbol sequence the way tx21/tx22 do."""
+    from api_etl_pipeline_spark.llm_ops.text import BPE_L, BPE_R
+
+    return "".join(BPE_L + s + BPE_R for s in symbols)
+
+
 def test_replace_greedy_merge_semantics_match(spark):
-    """tx21's merge step is literal-string replace on the double-space
-    symbol string. Pin that BOTH engines implement leftmost
-    non-overlapping replacement — including the self-overlapping pair
-    ('a','a') on 'a a a', where greedy BPE must yield ['aa','a']."""
+    """tx21's merge step is literal-string replace on the
+    SENTINEL-WRAPPED symbol string. Pin that BOTH engines implement
+    leftmost non-overlapping replacement — including the
+    self-overlapping pair ('a','a') on 'a a a', where greedy BPE must
+    yield ['aa','a'] — and that sentinels anchor matches to symbol
+    boundaries (the round-6 ADVICE bug: a rule (h,e) must NOT fire
+    inside a previously merged 'th' symbol)."""
     cases = [
-        ("a  a  a", "a  a", "aa", "aa  a"),          # self-overlap: greedy
-        ("x  a  b  a  b  y", "a  b", "ab", "x  ab  ab  y"),  # repeated pair
-        ("a  b", "a  b", "ab", "ab"),                 # whole-word merge
-        ("b  a", "a  b", "ab", "b  a"),               # no match
+        # self-overlap: greedy leftmost
+        (_sym("a", "a", "a"), _sym("a", "a"), _sym("aa"), _sym("aa", "a")),
+        # repeated pair merges everywhere
+        (
+            _sym("x", "a", "b", "a", "b", "y"),
+            _sym("a", "b"),
+            _sym("ab"),
+            _sym("x", "ab", "ab", "y"),
+        ),
+        # whole-word merge
+        (_sym("a", "b"), _sym("a", "b"), _sym("ab"), _sym("ab")),
+        # no match
+        (_sym("b", "a"), _sym("a", "b"), _sym("ab"), _sym("b", "a")),
+        # BOUNDARY ANCHORING (the fixed bug): (h,e) on ['th','e'] must
+        # not rewrite — 'h' inside 'th' is not a whole symbol
+        (_sym("th", "e"), _sym("h", "e"), _sym("he"), _sym("th", "e")),
+        # ...but (th,e) on ['th','e'] does merge
+        (_sym("th", "e"), _sym("th", "e"), _sym("the"), _sym("the")),
     ]
     rows = spark.createDataFrame(
         [(s, p, m) for s, p, m, _ in cases], "s string, p string, m string"
@@ -154,17 +178,20 @@ def test_hash_bucket_matches_duckdb_on_arbitrary_ids(spark):
 def test_bpe_merge_preserves_word_reconstruction(duck):
     """tx21's merge rewrite must never lose or duplicate characters: for
     every corpus word and ANY adjacent symbol pair, stripping the
-    separators from replace(seq, 'a  b', 'ab') reproduces the word."""
+    sentinels from the merged sequence reproduces the word."""
+    from api_etl_pipeline_spark.llm_ops.text import BPE_L, BPE_R
+
     words = [r[0] for r in duck.execute(
         "SELECT DISTINCT unnest(string_split(text,' ')) FROM documents LIMIT 200"
     ).fetchall()]
     assert words
+    strip = {ord(BPE_L): None, ord(BPE_R): None}
     for w in words:
-        seq = "  ".join(w)
+        seq = _sym(*w)
         for i in range(len(w) - 1):
-            pat = f"{w[i]}  {w[i+1]}"
-            merged = seq.replace(pat, w[i] + w[i + 1])
-            assert merged.replace(" ", "") == w, (w, pat)
+            pat = _sym(w[i], w[i + 1])
+            merged = seq.replace(pat, _sym(w[i] + w[i + 1]))
+            assert merged.translate(strip) == w, (w, pat)
 
 
 def test_ev18_credit_conservation(spark, duck):
