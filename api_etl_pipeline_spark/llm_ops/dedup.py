@@ -74,12 +74,12 @@ _DUCK_SIGNATURES = f"""
 """
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → N_MINHASH minhash values: explode shingles once, hash each
-    shingle ONCE, and take per-doc MINs of the md5's four disjoint 32-bit
-    hex slices (4 independent min-wise hashes for 1 md5 call). MIN is
-    order-independent, so the signature is partition-layout-invariant."""
-    d = load_table(spark, sf_dir, "documents")
+def _signatures_of(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → doc_id + N_MINHASH minhash values: explode
+    shingles once, hash each shingle ONCE, and take per-doc MINs of the
+    md5's four disjoint 32-bit hex slices (4 independent min-wise hashes
+    for 1 md5 call). MIN is order-independent, so the signature is
+    partition-layout-invariant."""
     toks = d.select("doc_id", F.split("text", " ").alias("toks"))
     sh = toks.select("doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")).select(
         "doc_id", F.md5(F.col("shingle").cast("binary")).alias("h")
@@ -89,6 +89,35 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(N_MINHASH)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures_of(load_table(spark, sf_dir, "documents"))
+
+
+def _lsh_bands(sig: DataFrame) -> DataFrame:
+    """Signatures → (doc_id, band, bucket): 2 bands × 2 rows, both bands
+    in ONE pass over the signatures (explode, not union — a union would
+    recompute the whole shingle→signature subtree per band)."""
+
+    def _bucket(lo: str, hi: str) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "_", F.col(lo).cast("string"), F.col(hi).cast("string")
+            ).cast("binary")
+        )
+
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), _bucket("mh0", "mh1").alias("bucket")),
+                F.struct(F.lit(1).alias("band"), _bucket("mh2", "mh3").alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 @query(
@@ -160,27 +189,9 @@ def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the same bucket; the bucket self-join emits candidate pairs only
     (never the full cross product). At scale the join shuffles on the
     bucket key and skew-splits hot buckets via AQE."""
-    sig = _signatures(spark, sf_dir)
-
-    def _bucket(lo: str, hi: str) -> Column:
-        return F.md5(
-            F.concat_ws("_", F.col(lo).cast("string"), F.col(hi).cast("string")).cast("binary")
-        )
-
-    # both bands in ONE pass over the signatures (explode, not union — a
-    # union would recompute the whole shingle->signature subtree per band)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), _bucket("mh0", "mh1").alias("bucket")),
-                F.struct(F.lit(1).alias("band"), _bucket("mh2", "mh3").alias("bucket")),
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # materialize the small band table once — it feeds both sides of the
     # self-join and would otherwise recompute the signature subtree twice
-    bands = lazy_checkpoint(bands)
+    bands = lazy_checkpoint(_lsh_bands(_signatures(spark, sf_dir)))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -772,3 +783,135 @@ def dd13_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         contained.alias("is_contained"),
         (contained & (inter < 0.8 * union)).alias("containment_only"),
     )
+
+
+def _duck_sig_from(rel: str) -> str:
+    """Signature SQL over an arbitrary (doc_id, text) relation — the
+    parameterized form of _DUCK_SIGNATURES, used by dd14's two sides."""
+    return f"""
+        SELECT doc_id,
+               MIN(('0x' || substr(h, 1, 8))::BIGINT)  AS mh0,
+               MIN(('0x' || substr(h, 9, 8))::BIGINT)  AS mh1,
+               MIN(('0x' || substr(h, 17, 8))::BIGINT) AS mh2,
+               MIN(('0x' || substr(h, 25, 8))::BIGINT) AS mh3
+        FROM (
+            SELECT doc_id,
+                   md5(tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]) AS h
+            FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM {rel}),
+                 UNNEST(generate_series(1, len(tokens) - 2)) AS u(i)
+            WHERE len(tokens) >= 3
+        )
+        GROUP BY doc_id
+    """
+
+
+def _duck_bands_from(sig: str) -> str:
+    return f"""
+        SELECT doc_id, 0 AS band,
+               md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM {sig}
+        UNION ALL
+        SELECT doc_id, 1 AS band,
+               md5(mh2::VARCHAR || '_' || mh3::VARCHAR) AS bucket FROM {sig}
+    """
+
+
+@query(
+    "dd14_incremental_dedup",
+    oracle=f"""
+    WITH v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        FROM documents
+    ),
+    delta AS (
+        SELECT * FROM v2 WHERE doc_id % 10 = 0 OR doc_id % 7 = 0
+    ),
+    standing AS (
+        SELECT * FROM v2 WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 0
+    ),
+    dsig AS ({_duck_sig_from('delta')}),
+    ssig AS ({_duck_sig_from('standing')}),
+    dbands AS ({_duck_bands_from('dsig')}),
+    sbands AS ({_duck_bands_from('ssig')})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           'delta_standing' AS pair_type
+    FROM dbands a JOIN sbands b ON a.band = b.band AND a.bucket = b.bucket
+    UNION
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           'delta_delta' AS pair_type
+    FROM dbands a JOIN dbands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def dd14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental / snapshot-aware near-dedup (round-6 verdict task 5):
+    the standing-corpus refresh pattern. Compose cur03's snapshot diff
+    with dd04's LSH — when version 2 of the corpus lands, only the
+    ADDED/CHANGED docs (the delta) are re-shingled and probed, against
+    (a) the retained LSH band table of the unchanged standing corpus
+    and (b) themselves. Emits candidate pairs (doc_a = delta doc,
+    doc_b = partner, pair_type ∈ delta_standing | delta_delta); exact
+    verification then runs on candidates only (dd05's stage), and
+    dd09/dd10 consume the pairs to update clusters/keepers.
+
+    The two versions are derived deterministically from the one corpus
+    exactly as in cur03 (v1 drops doc_id%10==0, v2 revises doc_id%7==0)
+    so the oracle can restate both sides; in production v1/v2 are two
+    snapshot paths and the standing band table is the MATERIALIZED
+    byproduct of the previous version's dedup run — read back, not
+    recomputed (here it is recomputed from the standing docs so the
+    query is self-contained and oracle-closed).
+
+    Scale shape: this is the dedup analog of inc02's pruned refresh.
+    Per refresh, shingling/minhashing is O(|delta|) (plus the one-time
+    standing-signature read), the probe join is equi on (band, bucket)
+    with the SMALL delta side broadcast-able, and candidate pairs are
+    bounded by bucket collisions with the delta — NOT by corpus size.
+    Every other dedup operator (dd01-dd13) rescans the full corpus per
+    run; at a daily-refresh 100 TB corpus with a ~1% delta, this is the
+    difference between reshingling 100 TB and 1 TB. 10x probe in
+    SCALE.md measures cost tracking the delta."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    rev = did % 7 == 0
+    v2 = d.select(
+        "doc_id",
+        F.when(rev, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    delta = v2.filter((did % 10 == 0) | (did % 7 == 0))
+    standing = v2.filter((did % 10 != 0) & (did % 7 != 0))
+    # the delta band table feeds BOTH probe joins — materialize once
+    dbands = lazy_checkpoint(_lsh_bands(_signatures_of(delta)))
+    sbands = _lsh_bands(_signatures_of(standing))
+    a, b = dbands.alias("a"), dbands.alias("b")
+    cross = (
+        dbands.alias("a")
+        .join(
+            sbands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit("delta_standing").alias("pair_type"),
+        )
+        .distinct()
+    )
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit("delta_delta").alias("pair_type"),
+        )
+        .distinct()
+    )
+    return cross.unionByName(within)

@@ -85,35 +85,36 @@ def _load_all() -> None:
 
 
 # Driver-coverage rotation. The driver's per-round correctness gate samples
-# the FIRST 50 entries of queries() in dict order. Rounds 1-5 cumulatively
-# drove 165 of 216 names; this round-6 prefix front-loads the 51 queries
-# that have NEVER had a driver CORRECTNESS row (computed against
-# CORRECTNESS_r01..r05): st06/07/09 (now full-oracle — see
-# batch_windows.py, the live stream drains a bounded source so the batch
-# SQL is its oracle), st10, mm01-mm06, tx17-19, gr01-03, q39-q50, q52,
-# x14-x26, sim06/09/10, ev14/ev15, hh01, dq01/dq02, ret01, samp05. Only
-# 50 fit the sample; x22_negative_div_mod (trivial scalar semantics,
-# pytest-oracle green every session) is deliberately slot 51. Queries
-# ADDED in round 6 (decon03, cur02, tx20, ev16, st11, st12, then the
-# late wave dq03, sim11, dd13, dq04, mix02, ev17, inc01, inc02, samp06,
-# tx21 — registry 216 -> 232, all full-oracle) are placed AFTER this
-# prefix; the round-7 rotation should front-load exactly those 16 plus
-# x22 and whatever round-7 adds. Nothing is removed — every query
-# stays registered and the pytest mirror in
-# tests/test_queries_oracle.py still covers all of them.
+# the FIRST 50 entries of queries() in dict order. Rounds 1-6 cumulatively
+# drove 215 of the 236 round-6 names; this round-7 prefix (per the round-6
+# verdict task 1) front-loads, in order:
+#   1. x12_array_functions — its ONLY driver row is round 1's harness
+#      abort (pandas could not sort raw array columns); the root cause
+#      was fixed in round 2 (arrays serialized via array_join,
+#      ops/scalar.py) and it has been pytest-oracle green since, but no
+#      driver row has superseded the stale FAIL. Slot 1 closes that.
+#   2. the round-7 additions tx22 (apply-BPE tokenize) and dd14
+#      (incremental snapshot-aware dedup).
+#   3. the 21 queries that have never had a driver CORRECTNESS row
+#      (round-6 late wave): decon03, cur02, cur03, tx20, tx21, ev16,
+#      ev17, ev18, inc01, inc02, mix02, samp06, sim11, dd13, dq03,
+#      dq04, stats02, ab01, st11, st12, x22.
+#   4. freshness re-verification on the OLDEST-checked round-1 names
+#      (q01-q18, w01-w04, x01-x04) to fill the remaining slots.
+# With all 50 green, cumulative distinct driver-checked closes to the
+# full registry. Nothing is removed — every query stays registered and
+# the pytest mirror in tests/test_queries_oracle.py still covers all.
 _DRIVER_SAMPLE_PREFIX = [
-    "st06", "st07", "st09", "st10",
-    "mm01", "mm02", "mm03", "mm04", "mm05", "mm06",
-    "tx17", "tx18", "tx19",
-    "gr01", "gr02", "gr03",
-    *[f"q{i:02d}" for i in range(39, 51)],
-    "q52",
-    *[f"x{i:02d}" for i in range(14, 22)],
-    "x23", "x24", "x26",
-    "sim06", "sim09", "sim10",
-    "ev14", "ev15",
-    "hh01", "dq01", "dq02", "ret01", "samp05",
-    "x22",  # slot 51 — outside the 50-row sample, by design
+    "x12",
+    "tx22", "dd14",
+    "decon03", "cur02", "cur03", "tx20", "tx21",
+    "ev16", "ev17", "ev18", "inc01", "inc02",
+    "mix02", "samp06", "sim11", "dd13",
+    "dq03", "dq04", "stats02", "ab01",
+    "st11", "st12", "x22",
+    *[f"q{i:02d}" for i in range(1, 19)],
+    "w01", "w02", "w03", "w04",
+    "x01", "x02", "x03", "x04",
 ]
 
 
