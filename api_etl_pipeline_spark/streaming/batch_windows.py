@@ -335,6 +335,51 @@ def st07_streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st13_streaming_dedup_live",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value FROM events
+    """,
+)
+def st13_streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming redelivery dedup (dropDuplicatesWithinWatermark on
+    event_id) as an ACTUAL Structured Streaming run with a FULL oracle —
+    completing the live family (windows st06/11/12, joins st07/09/10)
+    with the exactly-once-projection operator every at-least-once
+    ingest needs. The input is DELIBERATELY doubled: two file-source
+    readers of the same staged events drain through a union, so every
+    event arrives exactly twice; the deduped append output must contain
+    each event exactly ONCE — i.e. equal the plain events relation,
+    which is the oracle. A missed dedup doubles a row, an over-eager
+    one drops a row; either flips the driver's hash.
+
+    Rests on the single-micro-batch staging invariant
+    (_stage_events_dir): one trigger reads both copies, so no copy can
+    arrive after its twin's state was evicted past the watermark.
+    event_id uniqueness in the source makes the oracle exact (verified:
+    COUNT(*) == COUNT(DISTINCT event_id) in the testdata)."""
+    import uuid
+
+    from api_etl_pipeline_spark.streaming.stream_ops import dedup_redelivery
+    from api_etl_pipeline_spark.tables import load_events_stream
+
+    stage_dir = _stage_events_dir(sf_dir)
+    doubled = load_events_stream(spark, stage_dir).unionByName(
+        load_events_stream(spark, stage_dir)
+    )
+    name = "st13_" + uuid.uuid4().hex[:10]
+    q = (
+        dedup_redelivery(doubled)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+@query(
     "st08_enriched_segment_windows",
     oracle="""
     SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS window_start,

@@ -71,6 +71,21 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def dedup_redelivery(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """T2/T5: exactly-once projection of an at-least-once delivery stream
+    — redelivered copies of the same event_id within the watermark
+    horizon are suppressed, first arrival wins (the reconciliation
+    guarantee a replayed source/retry loop needs). State holds one key
+    per event_id seen inside the horizon; eviction past the watermark
+    bounds it (st13 drives this live against a deliberately doubled
+    stream)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
 def write_with_foreach_batch(stream: DataFrame, out_dir: str) -> "object":
     """Exactly-once-style file sink via foreachBatch (SURVEY guide: 'for
     exactly-once sinks: foreachBatch'): each micro-batch lands in an

@@ -99,6 +99,16 @@ OPTIONAL = [
     "qsql09_recursive_cte_shared_sql",  # recursive month axis, shared SQL
     # round-3 closing wave
     "tx14_bpe_merge_candidates",  # char-pair mining, one count shuffle
+    # x25's round-6 1.8x calibrated jump was adjudicated round 7 (verdict
+    # task 2): plan fingerprint identical to round 5 (3 scans +1 ckpt, 3
+    # exchanges, BHJ), code untouched, and min-of-7 re-measures on a box
+    # at round-5 calibration (0.0125) land at 0.36 s compacted / 0.46 s
+    # raw — round 5's 0.19 s is not reproducible with identical
+    # code+plan+calib. The query is 3 SEQUENTIAL stages over a 5000-row
+    # table, so its wall is ~pure per-stage scheduling/JIT overhead
+    # (a lone median pass costs 0.25 s warm), which the sha256 yardstick
+    # does not track. Measurement, not structure: the exact-MAD 3-pass
+    # floor is the right 100 TB shape and stays.
     "x25_mad_outliers",  # two-phase robust MAD bands
     "llm03_dataset_card",  # one-agg corpus observability
     "mm05_caption_pairs",  # metadata-only multimodal pairing
@@ -156,6 +166,9 @@ OPTIONAL = [
     "ab01_experiment_readout",  # hash-armed Welch z readout, 1-row result
     "ev18_linear_attribution",  # micro-cent exact multi-touch credits
     "cur03_snapshot_diff",  # full-outer snapshot diff on hash projections
+    "tx22_bpe_tokenize_apply",  # apply trained BPE: vocab-bounded + 2 corpus scans
+    "dd14_incremental_dedup",  # delta-vs-standing LSH refresh (st13 live dedup
+    # is NOT benched, same rule as the other live streaming runs)
     # (st11/st12 live-streaming runs are NOT benched, same as st06/07/09:
     # their wall is Structured Streaming micro-batch machinery, not plan
     # execution — the batch twins st02/st03 carry the perf signal, and

@@ -22,7 +22,10 @@ Exit code 0 iff every executed leg passed. Legs:
    the standing allowlist recorded below
 5. leak grep — repo source must not reference non-public
    hosts/buckets/keys (mirrors the driver's LEAKCHECK categories)
-6. (--bench) bench.py at sf0.1 — headline + calibrated numbers
+6. bucketed catalog leg (round-6 verdict task 6) — q18 + dd04 driven
+   through `catalog:`-registered bucketed tables; asserts strictly
+   fewer exchanges than the path layout and identical rows
+7. (--bench) bench.py at sf0.1 — headline + calibrated numbers
 """
 
 from __future__ import annotations
@@ -187,6 +190,10 @@ def main() -> int:
     results.append(leg_plans_fingerprints())
     results.append(leg_scan_audit())
     results.append(leg_leak_grep())
+    results.append(run_leg(
+        "bucketed catalog (q18+dd04 exchange drop)",
+        [sys.executable, "tools/bucketed_close_leg.py"],
+    ))
     if args.bench:
         results.append(run_leg("bench sf0.1", [sys.executable, "bench.py"]))
 

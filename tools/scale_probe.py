@@ -81,6 +81,8 @@ QUERIES = [
     "ab01_experiment_readout",  # round-6: per-user agg + 1-row conditional readout
     "ev18_linear_attribution",  # round-6: interval join on user_id must stay banded
     "cur03_snapshot_diff",  # round-6: diff shuffle moves hashes, never text
+    "tx22_bpe_tokenize_apply",  # round-7: apply side must stay vocab-bounded + 2 corpus scans
+    "dd14_incremental_dedup",  # round-7: delta-vs-standing probe join, bounded by delta buckets
 ]
 
 
