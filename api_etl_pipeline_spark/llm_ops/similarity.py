@@ -433,6 +433,106 @@ def dd08_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DD15_TAU = 0.3  # within-cell near-dup threshold (dd08's convention: the
+# synthetic vectors are near-orthogonal; real paraphrase embeddings ~0.9)
+
+
+@query(
+    "dd15_semdedup_prune",
+    oracle=f"""
+    WITH cents AS ({_DUCK_IVF_CENTROIDS}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    assigned AS (
+        SELECT vec_id, e, cent_id AS cell, c AS cos_to_cent FROM (
+            SELECT v.vec_id, v.e, cents.cent_id,
+                   {_duck_cosine('v.e', 'cents.ce')} AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_duck_cosine('v.e', 'cents.ce')} DESC,
+                                cents.cent_id ASC
+                   ) AS rn
+            FROM v CROSS JOIN cents
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cell, a.cos_to_cent,
+           EXISTS (
+               SELECT 1 FROM assigned b
+               WHERE b.cell = a.cell AND b.vec_id <> a.vec_id
+                 AND {_duck_cosine('a.e', 'b.e')} >= {DD15_TAU}
+                 AND (b.cos_to_cent < a.cos_to_cent
+                      OR (b.cos_to_cent = a.cos_to_cent
+                          AND b.vec_id < a.vec_id))
+           ) AS pruned
+    FROM assigned a
+    """,
+)
+def dd15_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv
+    2303.09540 — public method): k-means cells prune the cosine pair
+    space (the embedding-space analog of dd04's LSH banding; dd08's
+    sign-bit buckets are the random-hyperplane cousin), then within each
+    cell a vector is PRUNED iff a same-cell near-duplicate (cosine >=
+    DD15_TAU) ranks ahead of it under the keep-FARTHEST-from-centroid
+    policy (lower cos_to_cent survives, vec_id tie-break) — SemDeDup's
+    heuristic that cluster-interior points are the redundant ones.
+    The survivor rule is a plain EXISTS over ordered pairs, so the
+    decision is closed-form (no iterative closure like dd09) and every
+    per-vector verdict is differentially pinned.
+
+    Cells come from sim04's literal-codebook assignment: ZERO-shuffle
+    narrow pass (the codebook folds into the projection), so the only
+    volume-proportional exchanges are the cell-keyed self-semi-join and
+    the verdict join back on vec_id. At 100 TB, k grows with the corpus
+    (k ~ n/target_cell_size, codebook still kilobytes-to-MBs broadcast),
+    which bounds per-cell pair counts exactly like dd04's bands; AQE
+    skew-splits hot cells. Cosines are the sequential-fold dot shared
+    bit-identically with DuckDB (sim01 convention) — no rounding, and
+    the >= TAU / rank comparisons are exact IEEE on both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _centroid_array_lit(spark, sf_dir)
+    base = e.select("vec_id", _dvec("embedding").alias("e")).withColumn(
+        "qn", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    best = F.element_at(_ranked_cells(cents, F.col("e"), F.col("qn")), 1)
+    assigned = base.select(
+        "vec_id",
+        "e",
+        best["cent_id"].alias("cell"),
+        (-best["negcos"] + F.lit(0.0)).alias("cos_to_cent"),
+    )
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
+    # both sides of the within-cell semi-join consume the assignment —
+    # materialize once instead of re-ranking the codebook per side
+    assigned = lazy_checkpoint(assigned)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    b_wins = (F.col("b.cos_to_cent") < F.col("a.cos_to_cent")) | (
+        (F.col("b.cos_to_cent") == F.col("a.cos_to_cent"))
+        & (F.col("b.vec_id") < F.col("a.vec_id"))
+    )
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (_cosine(F.col("a.e"), F.col("b.e")) >= DD15_TAU)
+            & b_wins,
+            "left_semi",
+        )
+        .select("vec_id")
+        .withColumn("pr", F.lit(True))
+    )
+    return (
+        assigned.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cos_to_cent",
+            F.coalesce("pr", F.lit(False)).alias("pruned"),
+        )
+    )
+
+
 @query(
     "sim06_matmul_topk",
     oracle=f"""

@@ -93,6 +93,58 @@ def test_dd14_sides_and_orientation(spark):
             assert is_delta(r.doc_b) and r.doc_a < r.doc_b, r
 
 
+def test_dd15_matches_pure_python_semdedup(spark, duck):
+    """Third-implementation pin for dd15 (the oracle and Spark share the
+    assignment/EXISTS algebra; this recompute shares NOTHING but the
+    sequential-fold dot): pure-Python centroid assignment +
+    keep-farthest-from-centroid pruning over the raw parquet vectors
+    must reproduce every per-vector verdict."""
+    import math
+
+    rows = duck.execute(
+        "SELECT vec_id, embedding::DOUBLE[] FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    vecs = {vid: list(map(float, e)) for vid, e in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    cents = {vid: v for vid, v in vecs.items() if vid < 8}
+    assigned = {}
+    for vid, v in vecs.items():
+        best = max(cents.items(), key=lambda c: (cos(v, c[1]), -c[0]))
+        assigned[vid] = (best[0], cos(v, best[1]))
+    cells: dict[int, list[int]] = {}
+    for vid, (cell, _) in assigned.items():
+        cells.setdefault(cell, []).append(vid)
+    from api_etl_pipeline_spark.llm_ops.similarity import DD15_TAU
+
+    expect = {}
+    for vid, (cell, cc) in assigned.items():
+        pruned = any(
+            cos(vecs[vid], vecs[o]) >= DD15_TAU
+            and (assigned[o][1], o) < (cc, vid)
+            for o in cells[cell]
+            if o != vid
+        )
+        expect[vid] = (cell, pruned)
+    got = {
+        r.vec_id: (r.cell, r.pruned)
+        for r in all_queries()["dd15_semdedup_prune"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # the farthest-from-centroid vector of every cell always survives
+    for cell, members in cells.items():
+        keeper = min(members, key=lambda v: (assigned[v][1], v))
+        assert not got[keeper][1], (cell, keeper)
+
+
 def test_st13_input_is_actually_doubled(spark):
     """The st13 oracle equals the plain events relation — which would
     also hold if the union silently collapsed to a single source and no
