@@ -12,8 +12,8 @@ from README prose; this is the documented entry point.
 
 Exit code 0 iff every executed leg passed. Legs:
 
-1. full pytest suite at sf0.01 (includes the 216-query oracle mirror
-   and the registry-wide plan lint)
+1. full pytest suite at sf0.01 (includes the registry-wide oracle
+   mirror and the registry-wide plan lint)
 2. sf0.1 oracle sweep — the same differential mirror at 10x data and
    shuffle partitions (catches summation-order value dependence)
 3. PLANS.md regeneration — fails if fingerprints changed but were not

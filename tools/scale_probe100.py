@@ -59,7 +59,18 @@ KEY_SHIFT = {
     "documents": ["doc_id"],
 }
 
-QUERIES = ["q18_multiway_join", "dd04_minhash_lsh_pairs", "tx17_lm_familiarity"]
+QUERIES = [
+    "q18_multiway_join",
+    "dd04_minhash_lsh_pairs",
+    "tx17_lm_familiarity",
+    # round 7: incremental dedup joins the set — its delta/standing LSH
+    # probe joins are the dd04 banded fact-fact class. (dd15 stays at
+    # the 10x tier: its registered form fixes k=8 centroids, so a 100x
+    # run with constant k would measure the known per-cell quadratic a
+    # production k ~ n/target_cell_size explicitly avoids — see its
+    # docstring and SCALE.md row.)
+    "dd14_incremental_dedup",
+]
 
 
 def build_100x(spark) -> float:
