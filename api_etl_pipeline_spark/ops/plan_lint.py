@@ -213,6 +213,7 @@ LOCAL_SCAN_OK = {
     "st09_streaming_enrich_live",
     "st11_streaming_sliding_live",
     "st12_streaming_session_live",
+    "st13_streaming_dedup_live",
     "qsql08_values_decode_shared_sql",  # 3-row inline VALUES decode table
 }
 

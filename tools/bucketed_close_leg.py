@@ -45,10 +45,18 @@ QUERIES = ["q18_multiway_join", "dd04_minhash_lsh_pairs"]
 
 
 def build_catalog(spark) -> None:
+    import shutil
+
     from api_etl_pipeline_spark.tables import TABLES, load_table
 
+    # the session catalog is in-memory and per-process, but managed-table
+    # FILES persist in the warehouse dir: a previous run's leftovers make
+    # saveAsTable fail with LOCATION_ALREADY_EXISTS even after the
+    # (no-op) DROP — clear both, catalog entry AND location
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for name in TABLES:
         spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{name}")
+        shutil.rmtree(f"{warehouse}/{PREFIX}{name}", ignore_errors=True)
         df = load_table(spark, SF_DIR, name)
         writer = df.write.mode("overwrite").format("parquet")
         key = BUCKET_KEYS.get(name)
@@ -100,9 +108,15 @@ def main() -> int:
             )
             ok = ok and same and dropped
     finally:
+        import shutil
+
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        for name in BUCKET_KEYS:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        from api_etl_pipeline_spark.tables import TABLES
+
+        for name in TABLES:
             spark.sql(f"DROP TABLE IF EXISTS {PREFIX}{name}")
+            shutil.rmtree(f"{warehouse}/{PREFIX}{name}", ignore_errors=True)
     return 0 if ok else 1
 
 
