@@ -387,3 +387,118 @@ def dq04_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# FK edges of the star schema (+ the behavioral events->customer edge,
+# which is ALLOWED to have orphans — the audit's job is to report the
+# rate, not assume zero)
+DQ05_EDGES = [
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+    # reverse-COVERAGE edge (childless parents, not an integrity
+    # violation): customers who never ordered — nonzero by construction
+    # in TPC-H-shaped data, so the audit's nonzero path is exercised
+    ("customer.c_custkey->orders.o_custkey (coverage)", "customer", "c_custkey", "orders", "o_custkey"),
+]
+
+
+def _dq05_oracle() -> str:
+    legs = []
+    for name, ct, ck, pt, pk in DQ05_EDGES:
+        legs.append(f"""
+    SELECT '{name}' AS fk_edge,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+           ROUND(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+                 / COUNT(*)::DOUBLE, 6) AS orphan_rate
+    FROM (SELECT {ck} AS k FROM {ct} WHERE {ck} IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {pt}) p USING (k)""")
+    # fault-injected leg: every ~97th orderkey negated (never a real key)
+    legs.append("""
+    SELECT 'lineitem.l_orderkey->orders.o_orderkey (fault-injected 1/97)'
+               AS fk_edge,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+           ROUND(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+                 / COUNT(*)::DOUBLE, 6) AS orphan_rate
+    FROM (SELECT CASE WHEN l_orderkey % 97 = 0 THEN -l_orderkey - 1
+                      ELSE l_orderkey END AS k
+          FROM lineitem WHERE l_orderkey IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p USING (k)""")
+    return "\n    UNION ALL".join(legs)
+
+
+@query("dq05_referential_integrity", oracle=_dq05_oracle())
+def dq05_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star schema
+    (plus the behavioral events->customer edge, where orphans are
+    expected and the RATE is the signal): one row per edge with
+    non-null FK row count, orphan count, orphan rate — the release-gate
+    companion to dq01's per-table report (NULL FKs are excluded: a NULL
+    is a missing reference, not a dangling one).
+
+    Plan shape: one LEFT join per edge between the projected FK column
+    and the DISTINCT parent key set, folded to a 1-row aggregate before
+    the union — so only (key, hit) pairs ever move. Dim-sided edges
+    (nation, region, customer, part, supplier) broadcast the parent;
+    the two fact-fact edges (lineitem->orders, events->customer at
+    event volume) shuffle on the key, which IS the audit's unavoidable
+    cost. Each big table is scanned once per edge it parents/children
+    (lineitem 3x) — allowlisted in the scan audit: the per-edge
+    traversal is the operator's definition, and at 100 TB the three
+    lineitem edges share one cached scan via a multi-FK rewrite
+    (select all 3 keys once, three joins off the same projection) that
+    this form keeps separate only for oracle clarity."""
+    def leg(name, child, parent_table, pk):
+        parent = (
+            load_table(spark, sf_dir, parent_table)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        j = child.join(parent, "k", "left")
+        orphans = F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).cast("bigint")
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            orphans.alias("n_orphans"),
+            F.round(orphans / F.count("*"), 6).alias("orphan_rate"),
+        )
+
+    legs = []
+    for name, ct, ck, pt, pk in DQ05_EDGES:
+        child = (
+            load_table(spark, sf_dir, ct)
+            .select(F.col(ck).alias("k"))
+            .filter(F.col("k").isNotNull())
+        )
+        legs.append(leg(name, child, pt, pk))
+    # fault-injected leg: the shipped data has zero true orphans on every
+    # edge, which would leave the orphan-counting path undemonstrated —
+    # negate every ~97th orderkey (negative keys never exist) so the
+    # audit provably DETECTS at a known deterministic rate (the cur03
+    # derived-version pattern)
+    ok = F.col("l_orderkey")
+    injected = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(ok.isNotNull())
+        .select(F.when(ok % 97 == 0, -ok - 1).otherwise(ok).alias("k"))
+    )
+    legs.append(
+        leg(
+            "lineitem.l_orderkey->orders.o_orderkey (fault-injected 1/97)",
+            injected,
+            "orders",
+            "o_orderkey",
+        )
+    )
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out

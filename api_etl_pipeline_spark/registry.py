@@ -95,7 +95,8 @@ def _load_all() -> None:
 #      driver row has superseded the stale FAIL. Slot 1 closes that.
 #   2. the round-7 additions tx22 (apply-BPE tokenize), dd14
 #      (incremental snapshot-aware dedup), st13 (live streaming
-#      redelivery dedup), and dd15 (SemDeDup centroid-cell pruning).
+#      redelivery dedup), dd15 (SemDeDup centroid-cell pruning), and
+#      dq05 (referential-integrity audit).
 #   3. the 21 queries that have never had a driver CORRECTNESS row
 #      (round-6 late wave): decon03, cur02, cur03, tx20, tx21, ev16,
 #      ev17, ev18, inc01, inc02, mix02, samp06, sim11, dd13, dq03,
@@ -107,7 +108,7 @@ def _load_all() -> None:
 # the pytest mirror in tests/test_queries_oracle.py still covers all.
 _DRIVER_SAMPLE_PREFIX = [
     "x12",
-    "tx22", "dd14", "st13", "dd15",
+    "tx22", "dd14", "st13", "dd15", "dq05",
     "decon03", "cur02", "cur03", "tx20", "tx21",
     "ev16", "ev17", "ev18", "inc01", "inc02",
     "mix02", "samp06", "sim11", "dd13",
@@ -115,7 +116,7 @@ _DRIVER_SAMPLE_PREFIX = [
     "st11", "st12", "x22",
     *[f"q{i:02d}" for i in range(1, 19)],
     "w01", "w02", "w03", "w04",
-    "x01", "x02",
+    "x01",
 ]
 
 

@@ -141,6 +141,13 @@ def _scan_audit_allowlist() -> set[str]:
         #   this differential setting (so the oracle can restate both);
         #   production diffs two snapshot PATHS, one scan each
         "cur03_snapshot_diff",
+        # round 7: dq05 — one traversal per FK edge is the audit's
+        #   definition (lineitem 3x as the child of 3 edges); the
+        #   multi-FK single-scan rewrite is documented for 100 TB.
+        #   (dd14/tx22 also read their base table twice by design but
+        #   do not fire here: their first traversal is lineage-
+        #   truncated, and the audit counts final-plan scans.)
+        "dq05_referential_integrity",
     }
 
 

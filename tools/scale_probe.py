@@ -84,6 +84,7 @@ QUERIES = [
     "tx22_bpe_tokenize_apply",  # round-7: apply side must stay vocab-bounded + 2 corpus scans
     "dd14_incremental_dedup",  # round-7: delta-vs-standing probe join, bounded by delta buckets
     "dd15_semdedup_prune",  # round-7: cell self-join must stay cell-bounded
+    "dq05_referential_integrity",  # round-7: per-edge joins, dims must broadcast
 ]
 
 
