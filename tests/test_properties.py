@@ -288,3 +288,57 @@ def test_decode_image_roundtrip_ppm_and_bmp(w, h, data):
             len(raster), 0, 0, 0, 0,
         )
         assert decode_image(bytes(hdr) + bytes(raster)) == (w, h, pixels)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=12
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=120, deadline=None)
+def test_bpe_sentinel_replace_equals_classical_merge(words, rounds):
+    """The tx21/tx22 encoding claim as a PROPERTY, engine-free: greedy
+    leftmost-non-overlapping string replace on the SENTINEL-WRAPPED
+    symbol string is exactly classical list-walking BPE merging — for
+    ARBITRARY words and an arbitrary trained-rule trajectory (rules
+    derived by the classical trainer itself, so later rules routinely
+    contain earlier merge products: the boundary-anchoring case the
+    round-6 advice flagged). Python str.replace shares SQL replace's
+    leftmost-non-overlap semantics, so this pins the encoding, not the
+    engine."""
+    from collections import Counter
+
+    from api_etl_pipeline_spark.llm_ops.text import BPE_L, BPE_R
+
+    def enc(syms):
+        return "".join(BPE_L + s + BPE_R for s in syms)
+
+    # classical state: list-of-symbols per word; sentinel state: string
+    classical = {w: list(w) for w in set(words)}
+    sentinel = {w: enc(list(w)) for w in set(words)}
+    wcnt = Counter(words)
+    for _ in range(rounds):
+        pairs: Counter = Counter()
+        for w, syms in classical.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wcnt[w]
+        if not pairs:
+            break
+        # the trainer's tie rule: max count, then lexicographic
+        (lhs, rhs), _ = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w in classical:
+            syms, out, i = classical[w], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            classical[w] = out
+            sentinel[w] = sentinel[w].replace(enc([lhs, rhs]), enc([lhs + rhs]))
+    for w in classical:
+        assert sentinel[w] == enc(classical[w]), (w, classical[w], sentinel[w])
