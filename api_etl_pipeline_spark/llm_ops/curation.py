@@ -797,3 +797,124 @@ def cur03_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc_id"),
         F.max("doc_id").cast("bigint").alias("last_doc_id"),
     )
+
+
+CUR04_TOP_K = 50
+
+
+@query(
+    "cur04_token_drift",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    v2 AS (
+        SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    c1 AS (
+        SELECT w AS token, COUNT(*)::BIGINT AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM v1)
+        WHERE w <> '' GROUP BY w
+    ),
+    c2 AS (
+        SELECT w AS token, COUNT(*)::BIGINT AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM v2)
+        WHERE w <> '' GROUP BY w
+    ),
+    t1 AS (SELECT SUM(cnt)::BIGINT AS n FROM c1),
+    t2 AS (SELECT SUM(cnt)::BIGINT AS n FROM c2),
+    joined AS (
+        SELECT COALESCE(c1.token, c2.token) AS token,
+               COALESCE(c1.cnt, 0)::BIGINT AS cnt_v1,
+               COALESCE(c2.cnt, 0)::BIGINT AS cnt_v2,
+               COALESCE(c1.cnt, 0) / t1.n::DOUBLE AS p1,
+               COALESCE(c2.cnt, 0) / t2.n::DOUBLE AS p2
+        FROM c1 FULL OUTER JOIN c2 ON c1.token = c2.token, t1, t2
+    )
+    SELECT token, cnt_v1, cnt_v2,
+           ROUND(p1, 9) AS rate_v1,
+           ROUND(p2, 9) AS rate_v2,
+           ROUND(ABS(p2 - p1), 9) AS drift
+    FROM joined
+    ORDER BY ABS(p2 - p1) DESC, token ASC
+    LIMIT {CUR04_TOP_K}
+    """,
+)
+def cur04_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots — the
+    STATISTICAL companion to cur03's row-level diff (a release gate
+    wants both: which docs changed, and whether the token mix a model
+    trains on shifted): per-version relative token frequencies, FULL
+    OUTER joined on token (born/dead tokens included via coalesce-0),
+    top-CUR04_TOP_K movers by absolute rate drift. The v1/v2 derivation
+    is cur03's (v1 drops doc_id%10==0, v2 revises doc_id%7==0 — the
+    revision injects a brand-new '[rev2]' token, so the born-token path
+    is exercised by construction).
+
+    Cross-engine exactness: rates are BIGINT-count / BIGINT-total in
+    IEEE double — the identical division on both engines — so the
+    ORDER BY |p2-p1| ranking needs no tolerance; displayed values are
+    round(9).
+
+    Plan shape: one explode+token-agg shuffle per side, two single-row
+    total broadcasts (the tx19 shape), one vocab-bounded FULL OUTER
+    token join (vocab ~ Heaps' law, millions of rows at 100 TB — the
+    join moves (token, cnt) pairs, never text), and a TakeOrdered
+    top-K. In production v1/v2 are two snapshot paths, one scan each;
+    here both derive from the one corpus so the oracle can restate
+    them."""
+    d = load_table(spark, sf_dir, "documents")
+    rev = F.col("doc_id") % 7 == 0
+    v1 = d.filter(F.col("doc_id") % 10 != 0).select("text")
+    v2 = d.select(
+        F.when(rev, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+
+    def counts(v: DataFrame) -> DataFrame:
+        return (
+            v.select(F.explode(F.split("text", " ")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    # each count relation feeds BOTH its total and the drift join —
+    # checkpoint so the corpus is scanned once per version, not twice
+    # (the tx21 materialize-once pattern; measured 4 scans → 2)
+    c1, c2 = lazy_checkpoint(counts(v1)), lazy_checkpoint(counts(v2))
+    t1 = F.broadcast(c1.agg(F.sum("cnt").cast("bigint").alias("n1")))
+    t2 = F.broadcast(c2.agg(F.sum("cnt").cast("bigint").alias("n2")))
+    j = (
+        c1.withColumnRenamed("token", "tok1").withColumnRenamed("cnt", "c1")
+        .join(
+            c2.withColumnRenamed("token", "tok2").withColumnRenamed("cnt", "c2"),
+            F.col("tok1") == F.col("tok2"),
+            "full_outer",
+        )
+        .crossJoin(t1)
+        .crossJoin(t2)
+        .select(
+            F.coalesce("tok1", "tok2").alias("token"),
+            F.coalesce("c1", F.lit(0)).cast("bigint").alias("cnt_v1"),
+            F.coalesce("c2", F.lit(0)).cast("bigint").alias("cnt_v2"),
+            (F.coalesce("c1", F.lit(0)) / F.col("n1")).alias("p1"),
+            (F.coalesce("c2", F.lit(0)) / F.col("n2")).alias("p2"),
+        )
+    )
+    drift = F.abs(F.col("p2") - F.col("p1"))
+    return (
+        j.orderBy(drift.desc(), F.col("token").asc())
+        .limit(CUR04_TOP_K)
+        .select(
+            "token",
+            "cnt_v1",
+            "cnt_v2",
+            F.round("p1", 9).alias("rate_v1"),
+            F.round("p2", 9).alias("rate_v2"),
+            F.round(drift, 9).alias("drift"),
+        )
+    )

@@ -91,6 +91,16 @@ ALLOWED: dict[tuple[str, str], str] = {
         "broadcast per unrolled merge round; the apply side's own joins "
         "are equi (word) and hash/broadcast"
     ),
+    ("cur04_token_drift", "BroadcastNestedLoopJoin"): (
+        "two single-row per-version token-total broadcasts folded into "
+        "the rate expressions (the tx19 shape)"
+    ),
+    ("cur04_token_drift", "SortMergeJoin"): (
+        "version-1 x version-2 token counts is a FULL OUTER join (born/"
+        "dead tokens must surface) — cannot broadcast either side by "
+        "definition; both sides are vocab-bounded (token, cnt) pairs, "
+        "never text"
+    ),
     ("ret01_hybrid_rrf", "BroadcastNestedLoopJoin"): (
         "3-row seed-vector broadcast against the embedding corpus — the "
         "sim01 semantic-leg shape"

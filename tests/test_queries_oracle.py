@@ -21,6 +21,11 @@ additionally swept green under TZ=America/New_York and at sf0.001 —
 the timestamp-bearing ones (inc*, ev17, stats02, ab01) all ride the
 unix_micros/epoch_us integer convention, so no session-TZ dependence
 exists by construction.
+
+The round-7 additions (tx22, dd14, dd15, st13, dq05 + the reworked
+tx21/mix02) were likewise swept green under TZ=America/New_York and
+at sf0.001 this round; st13's timestamps go through the same
+cast-to-NTZ collection convention as the other live runs.
 """
 
 from __future__ import annotations

@@ -85,6 +85,7 @@ QUERIES = [
     "dd14_incremental_dedup",  # round-7: delta-vs-standing probe join, bounded by delta buckets
     "dd15_semdedup_prune",  # round-7: cell self-join must stay cell-bounded
     "dq05_referential_integrity",  # round-7: per-edge joins, dims must broadcast
+    "cur04_token_drift",  # round-7: token join must stay vocab-bounded
 ]
 
 
