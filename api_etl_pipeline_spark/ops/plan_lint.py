@@ -101,6 +101,12 @@ ALLOWED: dict[tuple[str, str], str] = {
         "definition; both sides are vocab-bounded (token, cnt) pairs, "
         "never text"
     ),
+    ("dq06_psi_drift+ckpt", "SortMergeJoin"): (
+        "the v1 x v2 histogram align is a FULL OUTER join (born/dead "
+        "buckets must surface) — cannot broadcast either side by "
+        "definition; both sides are 26-row (feature, bucket, cnt) "
+        "relations at ANY corpus size"
+    ),
     ("ret01_hybrid_rrf", "BroadcastNestedLoopJoin"): (
         "3-row seed-vector broadcast against the embedding corpus — the "
         "sim01 semantic-leg shape"

@@ -502,3 +502,194 @@ def dq05_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for l in legs[1:]:
         out = out.unionByName(l)
     return out
+
+
+@query(
+    "dq06_psi_drift",
+    oracle="""
+    WITH v1 AS (
+        SELECT n_chars,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents WHERE doc_id % 10 <> 0
+    ),
+    v2 AS (
+        SELECT n_chars + CASE WHEN doc_id % 7 = 0 THEN 7 ELSE 0 END AS n_chars,
+               len(string_split(CASE WHEN doc_id % 7 = 0
+                                     THEN text || ' [rev2]' ELSE text END,
+                                ' '))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    f1 AS (
+        SELECT 'n_chars' AS feature,
+               (CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 600 THEN 13
+                     ELSE 1 + n_chars // 50 END)::BIGINT AS bucket FROM v1
+        UNION ALL
+        SELECT 'n_tokens',
+               (CASE WHEN n_tokens < 0 THEN 0 WHEN n_tokens >= 120 THEN 13
+                     ELSE 1 + n_tokens // 10 END)::BIGINT FROM v1
+    ),
+    f2 AS (
+        SELECT 'n_chars' AS feature,
+               (CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 600 THEN 13
+                     ELSE 1 + n_chars // 50 END)::BIGINT AS bucket FROM v2
+        UNION ALL
+        SELECT 'n_tokens',
+               (CASE WHEN n_tokens < 0 THEN 0 WHEN n_tokens >= 120 THEN 13
+                     ELSE 1 + n_tokens // 10 END)::BIGINT FROM v2
+    ),
+    c1 AS (SELECT feature, bucket, COUNT(*)::BIGINT AS cnt FROM f1 GROUP BY 1, 2),
+    c2 AS (SELECT feature, bucket, COUNT(*)::BIGINT AS cnt FROM f2 GROUP BY 1, 2),
+    j AS (
+        SELECT COALESCE(c1.feature, c2.feature) AS feature,
+               COALESCE(c1.bucket, c2.bucket) AS bucket,
+               (COALESCE(c1.cnt, 0) + 1)::BIGINT AS s1,
+               (COALESCE(c2.cnt, 0) + 1)::BIGINT AS s2
+        FROM c1 FULL OUTER JOIN c2
+          ON c1.feature = c2.feature AND c1.bucket = c2.bucket
+    ),
+    t AS (
+        SELECT feature, SUM(s1)::BIGINT AS t1, SUM(s2)::BIGINT AS t2,
+               COUNT(*)::BIGINT AS nb
+        FROM j GROUP BY feature
+    ),
+    contrib AS (
+        SELECT j.feature, j.bucket, j.s1, j.s2, t.nb,
+               (j.s2 / t.t2::DOUBLE - j.s1 / t.t1::DOUBLE)
+                 * ln((j.s2 / t.t2::DOUBLE) / (j.s1 / t.t1::DOUBLE)) AS c
+        FROM j JOIN t USING (feature)
+    ),
+    psi AS (
+        SELECT feature,
+               list_reduce(list(c ORDER BY bucket), (a, b) -> a + b) AS psi
+        FROM contrib GROUP BY feature
+    )
+    SELECT contrib.feature, bucket, s1 - 1 AS cnt_v1, s2 - 1 AS cnt_v2, nb,
+           ROUND(c, 9) AS contrib,
+           ROUND(psi.psi, 9) AS psi
+    FROM contrib JOIN psi USING (feature)
+    """,
+)
+def dq06_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two corpus snapshots —
+    the NUMERIC companion to cur04's token drift (the standard ML-ops
+    shift monitor a training pipeline runs before promoting a snapshot):
+    fixed-edge width_bucket histograms per feature (n_chars 0..600/12,
+    n_tokens 0..120/12; the DuckDB side uses x21's exact integer floor
+    emulation since DuckDB has no width_bucket — integer bucket widths
+    make the two formulations agree on every boundary), Laplace +1
+    smoothing so born/dead buckets
+    contribute finitely, PSI = sum over buckets of
+    (p2-p1)*ln(p2/p1). One output row per (feature, bucket) carrying
+    the raw counts, the bucket's contribution AND the feature PSI — the
+    whole intermediate surface is hash-compared, not just two totals.
+
+    Cross-engine exactness: counts are BIGINT; rates are BIGINT/BIGINT
+    IEEE divisions; ln of identical doubles is identical; and the PSI
+    sum is an ORDERED fold over bucket-sorted contributions
+    (F.aggregate over array_sort ≡ DuckDB list_reduce over
+    list(ORDER BY bucket)) — the tx13 convention, so no
+    summation-order dependence even in the float total. v1/v2 are the
+    cur03 derivation (the +7-char revision and the removed decile
+    produce real, small drift by construction).
+
+    Plan shape: per version one scan + one (feature, bucket) hash agg
+    (26-row relation at any corpus size); everything after the two aggs
+    is constant-size. In production v1/v2 are two snapshot paths."""
+    d = load_table(spark, sf_dir, "documents")
+    rev = F.col("doc_id") % 7 == 0
+    v1 = d.filter(F.col("doc_id") % 10 != 0).select(
+        "n_chars", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    v2 = d.select(
+        (F.col("n_chars") + F.when(rev, 7).otherwise(0)).alias("n_chars"),
+        F.size(
+            F.split(
+                F.when(rev, F.concat(F.col("text"), F.lit(" [rev2]"))).otherwise(
+                    F.col("text")
+                ),
+                " ",
+            )
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+    def buckets(v: DataFrame) -> DataFrame:
+        b = v.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("n_chars").alias("feature"),
+                        F.width_bucket("n_chars", F.lit(0), F.lit(600), F.lit(12))
+                        .alias("bucket"),
+                    ),
+                    F.struct(
+                        F.lit("n_tokens").alias("feature"),
+                        F.width_bucket("n_tokens", F.lit(0), F.lit(120), F.lit(12))
+                        .alias("bucket"),
+                    ),
+                )
+            ).alias("fb")
+        )
+        return b.groupBy(F.col("fb.feature").alias("feature"),
+                         F.col("fb.bucket").alias("bucket")).agg(
+            F.count("*").alias("cnt")
+        )
+
+    c1 = buckets(v1).withColumnRenamed("cnt", "cnt1")
+    c2 = buckets(v2).withColumnRenamed("cnt", "cnt2")
+    j = (
+        c1.withColumnRenamed("feature", "f1").withColumnRenamed("bucket", "b1")
+        .join(
+            c2.withColumnRenamed("feature", "f2").withColumnRenamed("bucket", "b2"),
+            (F.col("f1") == F.col("f2")) & (F.col("b1") == F.col("b2")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("f1", "f2").alias("feature"),
+            F.coalesce("b1", "b2").alias("bucket"),
+            (F.coalesce("cnt1", F.lit(0)) + 1).cast("bigint").alias("s1"),
+            (F.coalesce("cnt2", F.lit(0)) + 1).cast("bigint").alias("s2"),
+        )
+    )
+    # the 26-row aligned histogram feeds totals, contributions AND the
+    # PSI fold — checkpoint so the corpus is scanned once per version
+    # (without it every consumer re-runs both scans; measured 8 -> 2)
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
+    j = lazy_checkpoint(j)
+    t = j.groupBy(F.col("feature").alias("tf")).agg(
+        F.sum("s1").cast("bigint").alias("t1"),
+        F.sum("s2").cast("bigint").alias("t2"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    p1 = F.col("s1") / F.col("t1")
+    p2 = F.col("s2") / F.col("t2")
+    contrib = (
+        j.join(F.broadcast(t), F.col("feature") == F.col("tf"))
+        .select(
+            "feature", "bucket", "s1", "s2", "nb",
+            ((p2 - p1) * F.log(p2 / p1)).alias("c"),
+        )
+    )
+    psi = contrib.groupBy(F.col("feature").alias("pf")).agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bucket").alias("b"), F.col("c")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("psi")
+    )
+    return (
+        contrib.join(F.broadcast(psi), F.col("feature") == F.col("pf"))
+        .select(
+            "feature",
+            "bucket",
+            (F.col("s1") - 1).alias("cnt_v1"),
+            (F.col("s2") - 1).alias("cnt_v2"),
+            "nb",
+            F.round("c", 9).alias("contrib"),
+            F.round("psi", 9).alias("psi"),
+        )
+    )

@@ -172,6 +172,7 @@ OPTIONAL = [
     "dd15_semdedup_prune",  # centroid-cell cosine pruning, EXISTS verdict
     "dq05_referential_integrity",  # one left join + 1-row agg per FK edge
     "cur04_token_drift",  # vocab-bounded full-outer token join, top-K movers
+    "dq06_psi_drift",  # 26-row histogram join, ordered-fold PSI
     # (st11/st12 live-streaming runs are NOT benched, same as st06/07/09:
     # their wall is Structured Streaming micro-batch machinery, not plan
     # execution — the batch twins st02/st03 carry the perf signal, and

@@ -86,6 +86,7 @@ QUERIES = [
     "dd15_semdedup_prune",  # round-7: cell self-join must stay cell-bounded
     "dq05_referential_integrity",  # round-7: per-edge joins, dims must broadcast
     "cur04_token_drift",  # round-7: token join must stay vocab-bounded
+    "dq06_psi_drift",  # round-7: everything past the two 26-row aggs is constant
 ]
 
 
