@@ -918,3 +918,137 @@ def cur04_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(drift, 9).alias("drift"),
         )
     )
+
+
+CUR05_PATH_BUCKETS = 100
+
+
+@query(
+    "cur05_url_dedup",
+    oracle=f"""
+    WITH urls AS (
+        SELECT doc_id, source,
+               'https://'
+               || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
+               || '.example.org/doc/'
+               || CAST(doc_id % {CUR05_PATH_BUCKETS} AS VARCHAR)
+               || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN '?utm_campaign=x&utm_medium=y' ELSE '' END
+               AS raw_url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, source, raw_url,
+               regexp_replace(regexp_replace(regexp_replace(lower(raw_url),
+                   '[?]utm.*$', ''),
+                   '^https://www\\.', 'https://'),
+                   '/$', '') AS canonical_url
+        FROM urls
+    ),
+    lvl0 AS (
+        SELECT source, canonical_url, raw_url,
+               COUNT(*)::BIGINT AS cnt_docs,
+               MIN(doc_id)::BIGINT AS kept
+        FROM canon GROUP BY source, canonical_url, raw_url
+    ),
+    lvl1 AS (
+        SELECT source, canonical_url,
+               SUM(cnt_docs)::BIGINT AS cnt_docs,
+               COUNT(*)::BIGINT AS n_raw,
+               MIN(kept)::BIGINT AS kept
+        FROM lvl0 GROUP BY source, canonical_url
+    )
+    SELECT source,
+           SUM(cnt_docs)::BIGINT AS n_docs,
+           SUM(n_raw)::BIGINT AS n_raw_urls,
+           COUNT(*)::BIGINT AS n_canonical_urls,
+           (SUM(cnt_docs) - COUNT(*))::BIGINT AS docs_removed,
+           ROUND((SUM(cnt_docs) - COUNT(*)) / SUM(cnt_docs)::DOUBLE, 9)
+               AS removal_rate,
+           SUM(kept)::BIGINT AS kept_id_checksum
+    FROM lvl1 GROUP BY source ORDER BY source
+    """,
+)
+def cur05_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact URL-level dedup — the stage crawl
+    pipelines (CCNet / C4 / RefinedWeb lineage) run BEFORE any content
+    dedup: collapse scheme/host-case, `www.` prefixes, trailing slashes
+    and `utm_*` tracking params, then keep ONE document per canonical
+    URL (first-crawl-wins = min doc_id). The reference's whole domain is
+    URL ingest (SURVEY §2.2 F4 derived-URL projection, F8 URL
+    classifier); this is that surface applied corpus-side at scale.
+
+    The documents table has no url column, so raw URLs are synthesized
+    deterministically from (doc_id, source) with the messiness the
+    canonicalizer must collapse: upper-cased hosts (doc_id%3), `WWW.`
+    prefixes (%2), trailing slashes (%5), tracking query strings (%4),
+    and a doc_id%100 (CUR05_PATH_BUCKETS) path bucket so distinct docs
+    genuinely collide on canonical URL (in production this column comes
+    from the crawl frontier). Canonicalization is pure anchored-regex +
+    lower() — identical semantics in Java regex and RE2/DuckDB (the
+    tx10 shared-subset rule: no lookaround, no backrefs).
+
+    Output is the per-source dedup audit: doc counts, raw vs canonical
+    URL counts, removal rate, and sum of kept (min) doc_ids — the
+    checksum forces the actual keep-one-per-canonical choice into the
+    hash, not just the group cardinalities.
+
+    Plan shape / 100 TB: a three-level aggregation cascade on strictly
+    coarsening keys (source, canonical, raw) -> (source, canonical) ->
+    (source), each map-side partially aggregated before its exchange;
+    no countDistinct expand, no join, corpus text never moves (only
+    ~60-byte URL keys shuffle). This is the dd01 exact-dedup cost model
+    on a derived key — the cheapest stage of the pipeline, which is why
+    crawls run it first."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.org/doc/"),
+        (F.col("doc_id") % CUR05_PATH_BUCKETS).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_campaign=x&utm_medium=y"))
+        .otherwise(F.lit("")),
+    ).alias("raw_url")
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("raw_url")), "[?]utm.*$", ""),
+            "^https://www\\.",
+            "https://",
+        ),
+        "/$",
+        "",
+    ).alias("canonical_url")
+    lvl0 = (
+        d.select("doc_id", "source", raw)
+        .select("doc_id", "source", "raw_url", canonical)
+        .groupBy("source", "canonical_url", "raw_url")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt_docs"),
+            F.min("doc_id").cast("bigint").alias("kept"),
+        )
+    )
+    lvl1 = lvl0.groupBy("source", "canonical_url").agg(
+        F.sum("cnt_docs").cast("bigint").alias("cnt_docs"),
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.min("kept").cast("bigint").alias("kept"),
+    )
+    return (
+        lvl1.groupBy("source")
+        .agg(
+            F.sum("cnt_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_raw").cast("bigint").alias("n_raw_urls"),
+            F.count("*").cast("bigint").alias("n_canonical_urls"),
+            (F.sum("cnt_docs") - F.count("*")).cast("bigint").alias("docs_removed"),
+            F.round(
+                (F.sum("cnt_docs") - F.count("*")) / F.sum("cnt_docs"), 9
+            ).alias("removal_rate"),
+            F.sum("kept").cast("bigint").alias("kept_id_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -96,8 +96,10 @@ def _load_all() -> None:
 #   2. the round-7 additions tx22 (apply-BPE tokenize), dd14
 #      (incremental snapshot-aware dedup), st13 (live streaming
 #      redelivery dedup), dd15 (SemDeDup centroid-cell pruning), dq05
-#      (referential-integrity audit), cur04 (token drift), and
-#      dq06 (PSI feature drift).
+#      (referential-integrity audit), cur04 (token drift),
+#      dq06 (PSI feature drift), and cur05 (URL canonicalization
+#      dedup — w03 moved out of the 50-prefix to make room; it keeps
+#      its r4 driver row and its pytest-oracle mirror).
 #   3. the 21 queries that have never had a driver CORRECTNESS row
 #      (round-6 late wave): decon03, cur02, cur03, tx20, tx21, ev16,
 #      ev17, ev18, inc01, inc02, mix02, samp06, sim11, dd13, dq03,
@@ -109,14 +111,14 @@ def _load_all() -> None:
 # the pytest mirror in tests/test_queries_oracle.py still covers all.
 _DRIVER_SAMPLE_PREFIX = [
     "x12",
-    "tx22", "dd14", "st13", "dd15", "dq05", "cur04", "dq06",
+    "tx22", "dd14", "st13", "dd15", "dq05", "cur04", "dq06", "cur05",
     "decon03", "cur02", "cur03", "tx20", "tx21",
     "ev16", "ev17", "ev18", "inc01", "inc02",
     "mix02", "samp06", "sim11", "dd13",
     "dq03", "dq04", "stats02", "ab01",
     "st11", "st12", "x22",
     *[f"q{i:02d}" for i in range(1, 19)],
-    "w01", "w02", "w03",
+    "w01", "w02",
 ]
 
 

@@ -173,6 +173,7 @@ OPTIONAL = [
     "dq05_referential_integrity",  # one left join + 1-row agg per FK edge
     "cur04_token_drift",  # vocab-bounded full-outer token join, top-K movers
     "dq06_psi_drift",  # 26-row histogram join, ordered-fold PSI
+    "cur05_url_dedup",  # URL canonicalization dedup: 3-level agg cascade
     # (st11/st12 live-streaming runs are NOT benched, same as st06/07/09:
     # their wall is Structured Streaming micro-batch machinery, not plan
     # execution — the batch twins st02/st03 carry the perf signal, and

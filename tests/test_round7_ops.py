@@ -170,3 +170,67 @@ def test_st13_input_is_actually_doubled(spark):
     n_raw = spark.table(name).count()
     n_dedup = all_queries()["st13_streaming_dedup_live"].fn(spark, SF_DIR).count()
     assert n_raw == 2 * n_dedup
+
+
+def test_cur05_matches_pure_python_url_audit(spark, duck):
+    """Independent THIRD formulation of the cur05 URL-dedup audit: the
+    Spark query and the DuckDB oracle share an anchored-regex
+    canonicalizer, so a shared regex bug would be invisible to the
+    differential mirror. This pin rebuilds and canonicalizes every URL
+    with plain str ops (startswith/split/endswith — no regex at all)
+    and recomputes the whole per-source audit."""
+    import pytest
+
+    rows = duck.execute("SELECT doc_id, source FROM documents").fetchall()
+    lvl: dict[tuple[str, str], list] = {}
+    for doc_id, source in rows:
+        raw = (
+            "https://"
+            + ("WWW." if doc_id % 2 == 0 else "")
+            + (source.upper() if doc_id % 3 == 0 else source)
+            + ".example.org/doc/"
+            + str(doc_id % 100)
+            + ("/" if doc_id % 5 == 0 else "")
+            + ("?utm_campaign=x&utm_medium=y" if doc_id % 4 == 0 else "")
+        )
+        c = raw.lower().split("?utm")[0]
+        if c.startswith("https://www."):
+            c = "https://" + c[len("https://www."):]
+        if c.endswith("/"):
+            c = c[:-1]
+        g = lvl.setdefault((source, c), [0, set(), None])
+        g[0] += 1
+        g[1].add(raw)
+        g[2] = doc_id if g[2] is None else min(g[2], doc_id)
+    per_src: dict[str, list] = {}
+    for (source, _c), (cnt, raws, kept) in lvl.items():
+        s = per_src.setdefault(source, [0, 0, 0, 0])
+        s[0] += cnt
+        s[1] += len(raws)
+        s[2] += 1
+        s[3] += kept
+    from api_etl_pipeline_spark.registry import all_queries
+
+    got = {
+        r["source"]: r
+        for r in (
+            all_queries()["cur05_url_dedup"]
+            .fn(spark, SF_DIR)
+            .collect()
+        )
+    }
+    assert set(got) == set(per_src)
+    for source, (n_docs, n_raw, n_canon, kept_sum) in per_src.items():
+        r = got[source]
+        assert (
+            r["n_docs"],
+            r["n_raw_urls"],
+            r["n_canonical_urls"],
+            r["docs_removed"],
+            r["kept_id_checksum"],
+        ) == (n_docs, n_raw, n_canon, n_docs - n_canon, kept_sum), source
+        assert r["removal_rate"] == pytest.approx(
+            (n_docs - n_canon) / n_docs, abs=1e-9
+        )
+        # the synthesized messiness must actually collapse something
+        assert r["docs_removed"] > 0 and r["n_raw_urls"] > r["n_canonical_urls"]

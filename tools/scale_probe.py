@@ -87,6 +87,7 @@ QUERIES = [
     "dq05_referential_integrity",  # round-7: per-edge joins, dims must broadcast
     "cur04_token_drift",  # round-7: token join must stay vocab-bounded
     "dq06_psi_drift",  # round-7: everything past the two 26-row aggs is constant
+    "cur05_url_dedup",  # round-7: agg cascade, only URL keys shuffle (never text)
 ]
 
 
