@@ -152,7 +152,8 @@ def ing04_headers_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat('DOC', lpad(doc_id::VARCHAR, 10, '0')) AS accession_number,
            CASE WHEN doc_id % 4 = 0 THEN NULL
                 ELSE concat('DKT-', (doc_id % 97)::VARCHAR) END AS docket_number,
-           (DATE '2025-01-01' + ((doc_id % 365)::INT)) AS document_date,
+           CAST(DATE '2025-01-01' + ((doc_id % 365)::INT) AS TIMESTAMP)
+               AS document_date,
            epoch_ms(1735689600000 + doc_id * 60000) AS date_added_timestamp,
            printf('https://corpus.example/%s/%d', source, doc_id) AS url,
            sha256(text) AS sha256,
@@ -176,9 +177,10 @@ def ing05_normalized_emission(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 4 != 0,
             F.concat(F.lit("DKT-"), (F.col("doc_id") % 97).cast("string")),
         ).alias("docket_number"),
-        F.date_add(F.lit("2025-01-01").cast("date"), (F.col("doc_id") % 365).cast("int")).alias(
-            "document_date"
-        ),
+        F.date_add(F.lit("2025-01-01").cast("date"), (F.col("doc_id") % 365).cast("int"))
+        # re-widened: DATE finals collect asymmetrically under pandas
+        .cast("timestamp_ntz")
+        .alias("document_date"),
         F.expr("cast(timestamp_millis(1735689600000 + doc_id * 60000) as timestamp_ntz)").alias(
             "date_added_timestamp"
         ),

@@ -173,7 +173,7 @@ def ev03_dominant_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     days AS (SELECT DISTINCT d FROM du)
-    SELECT days.d AS window_end_day,
+    SELECT CAST(days.d AS TIMESTAMP) AS window_end_day,
            COUNT(DISTINCT du.user_id)::BIGINT AS wau
     FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
     GROUP BY days.d
@@ -215,6 +215,12 @@ def ev04_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("window_end_day")
         .agg(F.count_distinct("user_id").alias("wau"))
+        # DATE finals collect asymmetrically (Spark datetime.date vs DuckDB
+        # datetime64) under pandas canonicalization — ship timestamp_ntz.
+        .select(
+            F.col("window_end_day").cast("timestamp_ntz").alias("window_end_day"),
+            "wau",
+        )
     )
 
 
@@ -236,7 +242,8 @@ def ev04_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type = 'purchase'
         GROUP BY 1
     )
-    SELECT s.day, COALESCE(d.n_events, 0)::BIGINT AS n_purchases
+    SELECT CAST(s.day AS TIMESTAMP) AS day,
+           COALESCE(d.n_events, 0)::BIGINT AS n_purchases
     FROM spine s LEFT JOIN daily d ON s.day = d.day
     """,
 )
@@ -263,7 +270,8 @@ def ev05_zero_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(spine)
         .join(daily, "day", "left")
         .select(
-            "day", F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_purchases")
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_purchases"),
         )
     )
 
@@ -794,7 +802,7 @@ def ev13_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
         GROUP BY days.d
     )
-    SELECT dau.d AS day, dau.dau, wau.wau,
+    SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau,
            CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
     FROM dau JOIN wau ON dau.d = wau.d
     """,
@@ -836,7 +844,7 @@ def ev14_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dau.join(wau, dau.d == wau.window_end_day)
         .select(
-            F.col("d").alias("day"),
+            F.col("d").cast("timestamp_ntz").alias("day"),
             "dau",
             "wau",
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
@@ -916,9 +924,10 @@ def ev15_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
                date_diff('day', MAX(ts), TIMESTAMP '2024-01-31 00:00:00')::BIGINT
                    AS recency_days,
                COUNT(*)::BIGINT AS frequency,
-               ROUND(SUM(CASE WHEN event_type = 'purchase'
+               CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
                               THEN CAST(value AS DECIMAL(18,2))
-                              ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS monetary
+                              ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+                   AS monetary
         FROM events GROUP BY user_id
     )
     SELECT user_id, recency_days, frequency, monetary,
@@ -932,8 +941,10 @@ def ev16_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the marketing-analytics classic:
     recency (days since last event, anchored at the corpus end),
     frequency (event count), monetary (purchase value sum, exact
-    DECIMAL so the cross-engine hash is summation-order-free), each
-    quartile-scored with NTILE. Tie-break on user_id makes quartile
+    DECIMAL internally so the cross-engine hash is summation-order-free,
+    CAST to DOUBLE at the output per the ev15 convention — a raw
+    DECIMAL final diverges from DuckDB float64 under the driver's
+    pandas canonicalization), each quartile-scored with NTILE. Tie-break on user_id makes quartile
     assignment deterministic across engines.
 
     Plan: ONE shuffle for the per-user rollup; the three NTILE windows
@@ -960,7 +971,9 @@ def ev16_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.lit(0).cast("decimal(18,2)"))
             ),
             2,
-        ).alias("monetary"),
+        )
+        .cast("double")
+        .alias("monetary"),
     )
     return per_user.select(
         "user_id",
@@ -1082,7 +1095,8 @@ _INC_CUT = "2024-01-15 00:00:00"
     SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour_id,
            event_type,
            COUNT(*)::BIGINT AS n_events,
-           ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS sum_value,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value,
            MIN(epoch_us(ts))::BIGINT AS first_ts_us,
@@ -1150,7 +1164,7 @@ def inc01_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_id", "event_type")
         .agg(
             F.sum("p_n").cast("bigint").alias("n_events"),
-            F.round(F.sum("p_sum"), 2).alias("sum_value"),
+            F.round(F.sum("p_sum"), 2).cast("double").alias("sum_value"),
             F.min("p_min").alias("min_value"),
             F.max("p_max").alias("max_value"),
             F.min("p_first").cast("bigint").alias("first_ts_us"),

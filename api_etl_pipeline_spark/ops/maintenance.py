@@ -268,8 +268,8 @@ def stats01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY event_type ORDER BY day
                      ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
     )
-    SELECT event_type, day,
-           ROUND(day_sum, 2) AS day_sum,
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+           CAST(ROUND(day_sum, 2) AS DOUBLE) AS day_sum,
            w_n::BIGINT AS w_n,
            ROUND(CASE WHEN w_n >= 3
                       AND w_sumsq::DOUBLE / w_n
@@ -337,8 +337,8 @@ def stats02_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return windowed.select(
         "event_type",
-        "day",
-        F.round("day_sum", 2).alias("day_sum"),
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        F.round("day_sum", 2).cast("double").alias("day_sum"),
         F.col("w_n").cast("bigint").alias("w_n"),
         F.round(z, 6).alias("z_score"),
         F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),

@@ -294,7 +294,7 @@ def x10_coalesce_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderkey::VARCHAR                    AS key_str,
            FLOOR(o_totalprice)::BIGINT            AS price_int,
            (o_orderkey % 2 = 0)                   AS key_even,
-           CAST(o_orderdate AS DATE)              AS order_date,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS date_str
     FROM orders
     """,
@@ -307,7 +307,9 @@ def x11_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.floor("o_totalprice").cast("bigint").alias("price_int"),
         (F.col("o_orderkey") % 2 == 0).alias("key_even"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        # date-normalize then re-widen: DATE finals collect asymmetrically
+        # (Spark datetime.date vs DuckDB datetime64) — ship timestamp_ntz
+        F.col("o_orderdate").cast("date").cast("timestamp_ntz").alias("order_date"),
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("date_str"),
     )
 
@@ -739,9 +741,10 @@ def x23_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x24_temporal_matrix",
     oracle="""
-    SELECT CAST(o_orderdate AS DATE) AS d,
-           last_day(o_orderdate) AS month_end,
-           CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS TIMESTAMP)
+               AS next_month,
            quarter(o_orderdate)::BIGINT AS qtr,
            dayofyear(o_orderdate)::BIGINT AS doy,
            dayofweek(o_orderdate)::BIGINT AS dow,
@@ -764,9 +767,11 @@ def x24_temporal_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate")
     return (
         o.groupBy(
-            d.cast("date").alias("d"),
-            F.last_day(d).alias("month_end"),
-            F.add_months(d, 1).cast("date").alias("next_month"),
+            # derived dates re-widened to timestamp_ntz for the output: DATE
+            # finals collect asymmetrically under pandas canonicalization
+            d.cast("date").cast("timestamp_ntz").alias("d"),
+            F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+            F.add_months(d, 1).cast("date").cast("timestamp_ntz").alias("next_month"),
             F.quarter(d).cast("bigint").alias("qtr"),
             F.dayofyear(d).cast("bigint").alias("doy"),
             (F.dayofweek(d) - 1).cast("bigint").alias("dow"),

@@ -79,7 +79,7 @@ def w02_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w03_lag_lead",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS orderdate,
            DATE_DIFF('day',
                LAG(CAST(o_orderdate AS DATE)) OVER w,
                CAST(o_orderdate AS DATE))::BIGINT AS days_since_prev,
@@ -97,7 +97,8 @@ def w03_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        d.alias("orderdate"),
+        # re-widened: DATE finals collect asymmetrically under pandas
+        d.cast("timestamp_ntz").alias("orderdate"),
         F.datediff(d, F.lag(d).over(w)).cast("bigint").alias("days_since_prev"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
     )

@@ -11,7 +11,18 @@ order-insensitive value-hash, so:
   differs; rounding makes the hash stable);
 - ORDER BY is irrelevant to the hash but deterministic tie-breaks matter for
   row_number-style operators, so ranking queries always order by a unique key
-  last.
+  last;
+- NEVER return a raw DECIMAL final column: compute in DECIMAL (order-free
+  sums) but ``CAST(... AS DOUBLE)`` after the final ROUND on BOTH sides —
+  Spark pandas-collects Decimal('100.10') where DuckDB gives float64 100.1,
+  and the driver's string canonicalization diverges on trailing zeros (the
+  r07 ev16/inc01/stats02 hash fails; the ev15 convention);
+- NEVER return a DATE final column: cast to timestamp_ntz (Spark) /
+  TIMESTAMP (oracle) — Spark DATE collects as datetime.date, DuckDB DATE as
+  datetime64[us]; same canonicalization divergence. Zoned TIMESTAMP finals
+  are likewise banned (process-timezone-dependent) — timestamp_ntz only.
+  All three conventions are enforced mechanically by
+  ``tests/oracle.py::compare``, which every query's pytest mirror runs.
 
 Modules register via the ``@query`` decorator at import time.
 """
@@ -42,6 +53,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 
     @query("q01_pricing_summary", oracle="SELECT ...")
     def q01(spark, sf_dir): ...
+
+    Output-typing contract (driver hash compatibility — see module
+    docstring): final schemas must contain NO raw DECIMAL, DATE, zoned
+    TIMESTAMP, or complex (array/map/struct) columns. DECIMAL → cast the
+    output to DOUBLE after the final ROUND on both engine sides; DATE →
+    timestamp_ntz / TIMESTAMP; arrays → array_join/to_json. The pytest
+    mirror (tests/oracle.py::compare) rejects violations.
     """
 
     def deco(fn: SparkQuery) -> SparkQuery:
@@ -105,7 +123,7 @@ def _load_all() -> None:
 #      ev17, ev18, inc01, inc02, mix02, samp06, sim11, dd13, dq03,
 #      dq04, stats02, ab01, st11, st12, x22.
 #   4. freshness re-verification on the OLDEST-checked round-1 names
-#      (q01-q18, w01-w04, x01-x04) to fill the remaining slots.
+#      (q01-q18 plus w01-w02 — w03-w04/x01-x04 did not fit the 50).
 # With all 50 green, cumulative distinct driver-checked closes to the
 # full registry. Nothing is removed — every query stays registered and
 # the pytest mirror in tests/test_queries_oracle.py still covers all.

@@ -88,6 +88,39 @@ def compare(spark_df, duck_con, oracle_sql: str) -> None:
         f"oracle-checked query returns ZONED timestamp columns {zoned}; "
         "cast to timestamp_ntz so collection is process-timezone-independent"
     )
+    # DECIMAL finals pandas-collect as object Decimal('100.10') on the Spark
+    # side but float64 100.1 on the DuckDB side; the driver's string
+    # canonicalization then diverges on trailing zeros (the r07
+    # ev16/inc01/stats02 hash fails). Compute in DECIMAL, but CAST the
+    # OUTPUT to DOUBLE on BOTH engine sides (the ev15 convention). This
+    # fetchall-based mirror compares Decimal==Decimal and would pass, so the
+    # class is enforced here mechanically instead.
+    from pyspark.sql.types import DecimalType
+
+    decimals = [
+        f.name for f in spark_df.schema.fields if isinstance(f.dataType, DecimalType)
+    ]
+    assert not decimals, (
+        f"oracle-checked query returns raw DECIMAL columns {decimals}; "
+        "CAST(... AS DOUBLE) after the final ROUND on both engine sides — "
+        "the driver canonicalizes Spark Decimal vs DuckDB float64 differently"
+    )
+    # DATE finals are the same class of asymmetry: Spark pandas-collects
+    # datetime.date objects ('2024-01-01') while DuckDB DATE materializes as
+    # datetime64[us] ('2024-01-01 00:00:00') — string canonicalization
+    # diverges. Convention: cast DATE finals to timestamp_ntz on the Spark
+    # side and TIMESTAMP in the oracle (timestamp_ntz finals are proven
+    # driver-green: st11/st12/st13 in r07).
+    from pyspark.sql.types import DateType
+
+    dates = [
+        f.name for f in spark_df.schema.fields if isinstance(f.dataType, DateType)
+    ]
+    assert not dates, (
+        f"oracle-checked query returns DATE columns {dates}; "
+        "cast to timestamp_ntz (Spark) / TIMESTAMP (oracle) — pandas collects "
+        "Spark DATE as datetime.date but DuckDB DATE as datetime64"
+    )
     duck_types = {
         name: _norm_type(typ, _DUCK_TYPES)
         for name, typ in duck_con.execute(

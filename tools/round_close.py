@@ -142,7 +142,8 @@ def _scan_audit_allowlist() -> set[str]:
         #   production diffs two snapshot PATHS, one scan each
         "cur03_snapshot_diff",
         # round 7: dq05 — one traversal per FK edge is the audit's
-        #   definition (lineitem 3x as the child of 3 edges); the
+        #   definition (lineitem 4x: child of 3 FK edges plus the
+        #   fault-injected detection leg); the
         #   multi-FK single-scan rewrite is documented for 100 TB.
         #   (dd14/tx22 also read their base table twice by design but
         #   do not fire here: their first traversal is lineage-
