@@ -115,6 +115,67 @@ def backoff_delays(attempts: int, initial: float = 0.2, maximum: float = 5.0,
     return out
 
 
+def _append_param(url: str, name: str, value) -> str:
+    sep = "&" if "?" in url else "?"
+    return f"{url}{sep}{name}={value}"
+
+
+def _request_with_retry(
+    item: dict,
+    method: str,
+    url: str,
+    host: str,
+    transport: Transport,
+    limiter: RateLimiter,
+    *,
+    max_attempts: int,
+    max_bytes: int,
+    backoff: list[float] | None,
+    sleep: Callable[[float], None],
+    subscription_key: str | None,
+) -> tuple[list[dict], bytes | None]:
+    """One logical request: the bounded-retry loop for a single URL.
+    Returns (attempt rows, final successful body or None)."""
+    rows: list[dict] = []
+    for attempt in range(1, max_attempts + 1):
+        limiter.acquire_host(host)
+        if subscription_key and host == "adams-api.nrc.gov":
+            limiter.acquire_key(subscription_key, host)
+        base = {
+            "item_index": item.get("item_index", -1),
+            "provider": item.get("provider", ""),
+            "method": method,
+            "url": url,
+            "attempt_number": attempt,
+        }
+        try:
+            status, headers, body = transport(method, url, item.get("headers") or {})
+        except Exception as exc:  # transport error: status-0 attempt, retry
+            rows.append({**base, "status_code": 0, "error_type": type(exc).__name__,
+                         "error_message": str(exc)[:400], "body": None})
+            if attempt < max_attempts and backoff:
+                sleep(backoff[attempt - 1])
+            continue
+        if len(body) > max_bytes:  # F9: cap breach — no retry
+            rows.append({**base, "status_code": status, "error_type": "ArtifactTooLarge",
+                         "error_message": f"{len(body)} > {max_bytes}", "body": None})
+            return rows, None
+        if is_retryable_status(status):
+            rows.append({**base, "status_code": status, "error_type": "RetryableStatus",
+                         "error_message": f"HTTP {status}", "body": None})
+            if attempt < max_attempts and backoff:
+                sleep(backoff[attempt - 1])
+            continue
+        if status >= 400:  # non-retryable client error — one attempt
+            rows.append({**base, "status_code": status, "error_type": "HttpStatusError",
+                         "error_message": f"HTTP {status}", "body": None})
+            return rows, None
+        rows.append({**base, "status_code": status, "error_type": None,
+                     "error_message": None, "body": bytes(body)})
+        return rows, bytes(body)
+    return rows, None  # retries exhausted
+
+
 def fetch_items(
     items: Iterator[dict],
     transport: Transport,
@@ -127,47 +188,67 @@ def fetch_items(
     subscription_key: str | None = None,
 ) -> Iterator[dict]:
     """The per-partition client loop: for each plan item emit one row per
-    HTTP attempt (successful final attempts carry the body)."""
+    HTTP attempt (successful final attempts carry the body).
+
+    T4 offset pagination (dossier §4.1/§4.2, Golden_Record_API_Dossiers.md:
+    685-689 "page by skip until results array is empty" and :703-715 step 3):
+    an item may carry a ``paginate`` spec (dict / struct column) with keys
+    ``skip_param`` (default "skip"), ``page_size`` (expected page length, may
+    be None when the server cap is unknown), ``take_param`` (appended with
+    page_size when both set), ``results_key`` (default "results"),
+    ``max_pages`` (safety bound, default 1000) and ``start`` (initial skip).
+    The loop issues one logical request per page (each through the full
+    retry machinery, each page an attempt row with its own skip-qualified
+    URL) and stops when the results array is EMPTY or SHORTER than
+    page_size. Per the dossier's count-ambiguity warning (:689 — "may be
+    total count, page count, or returned count") any ``count``/``total``
+    field in the response is deliberately IGNORED; skip advances by the
+    RETURNED length, never by trusted metadata. A failed or unparseable
+    page ends the chain (its error attempts are already captured).
+
+    Scale shape: a pagination chain is inherently sequential (page N's skip
+    depends on page N-1's length) but chains across plan items run in
+    parallel, one per partition slot — the per-provider sync-loop grain."""
     limiter = limiter or RateLimiter()
+    kw = dict(max_attempts=max_attempts, max_bytes=max_bytes, backoff=backoff,
+              sleep=sleep, subscription_key=subscription_key)
     for item in items:
         method, url = item.get("method", "GET"), item["url"]
         host = url.split("://", 1)[-1].split("/", 1)[0]
-        for attempt in range(1, max_attempts + 1):
-            limiter.acquire_host(host)
-            if subscription_key and host == "adams-api.nrc.gov":
-                limiter.acquire_key(subscription_key, host)
-            base = {
-                "item_index": item.get("item_index", -1),
-                "provider": item.get("provider", ""),
-                "method": method,
-                "url": url,
-                "attempt_number": attempt,
-            }
+        paginate = item.get("paginate")
+        if not isinstance(paginate, dict):  # None / pandas NaN → single request
+            rows, _ = _request_with_retry(item, method, url, host, transport,
+                                          limiter, **kw)
+            yield from rows
+            continue
+        skip_param = paginate.get("skip_param") or "skip"
+        results_key = paginate.get("results_key") or "results"
+        take_param = paginate.get("take_param")
+        page_size = paginate.get("page_size")
+        page_size = int(page_size) if page_size is not None else None
+        max_pages = int(paginate.get("max_pages") or 1000)
+        skip = int(paginate.get("start") or 0)
+        for _page in range(max_pages):
+            page_url = _append_param(url, skip_param, skip)
+            if take_param and page_size:
+                page_url = _append_param(page_url, take_param, page_size)
+            rows, body = _request_with_retry(item, method, page_url, host,
+                                             transport, limiter, **kw)
+            yield from rows
+            if body is None:  # request failed — chain cannot continue
+                break
             try:
-                status, headers, body = transport(method, url, item.get("headers") or {})
-            except Exception as exc:  # transport error: status-0 attempt, retry
-                yield {**base, "status_code": 0, "error_type": type(exc).__name__,
-                       "error_message": str(exc)[:400], "body": None}
-                if attempt < max_attempts and backoff:
-                    sleep(backoff[attempt - 1])
-                continue
-            if len(body) > max_bytes:  # F9: cap breach — no retry
-                yield {**base, "status_code": status, "error_type": "ArtifactTooLarge",
-                       "error_message": f"{len(body)} > {max_bytes}", "body": None}
+                import json
+
+                results = json.loads(body).get(results_key) or []
+            except Exception:  # unparseable page — stop; attempts captured
                 break
-            if is_retryable_status(status):
-                yield {**base, "status_code": status, "error_type": "RetryableStatus",
-                       "error_message": f"HTTP {status}", "body": None}
-                if attempt < max_attempts and backoff:
-                    sleep(backoff[attempt - 1])
-                continue
-            if status >= 400:  # non-retryable client error — one attempt
-                yield {**base, "status_code": status, "error_type": "HttpStatusError",
-                       "error_message": f"HTTP {status}", "body": None}
+            n = len(results)
+            if n == 0:  # dossier stop condition 1: empty results array
                 break
-            yield {**base, "status_code": status, "error_type": None,
-                   "error_message": None, "body": bytes(body)}
-            break
+            if page_size and n < page_size:  # stop condition 2: short page
+                break
+            skip += n
 
 
 def http_source(plan_df, transport_factory: Callable[[], Transport], **kwargs):

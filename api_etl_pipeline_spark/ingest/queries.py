@@ -797,3 +797,111 @@ def ing20_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_order",
         (total / F.col("n_orders")).alias("avg_price"),
     )
+
+
+_PAGE_SIZE = 20  # fixture page cap (dossier §4.1: "take" cap unconfirmed)
+
+
+def _paged_fake_transport():
+    """Deterministic multi-page API fixture for ing21 (T4). Four providers
+    with totals 60/62/79/96: provider 0 is an exact page multiple, so its
+    chain must hit the EMPTY-page stop (3 full pages + 1 empty probe); the
+    others stop on a SHORT page. The `count` field is deliberately
+    ambiguous per dossier :689 — total for p0, page count for p1, returned
+    count for p2, junk for p3 — a paginator that trusts it breaks on at
+    least one provider; the skip-until-empty/short loop must ignore it."""
+    import json
+    from urllib.parse import parse_qs, urlparse
+
+    def transport(method: str, url: str, headers: dict):
+        q = parse_qs(urlparse(url).query)
+        p = int(q["provider"][0])
+        skip = int(q.get("skip", ["0"])[0])
+        take = int(q.get("take", [str(_PAGE_SIZE)])[0])
+        total = 60 if p == 0 else 45 + 17 * p
+        results = [
+            {"id": p * 1000 + k, "value": (p * 1000 + k) * 7 % 101}
+            for k in range(skip, min(skip + take, total))
+        ]
+        count = [total, -(-total // take), len(results), 999999][p]
+        return 200, {}, json.dumps({"results": results, "count": count}).encode()
+
+    return transport
+
+
+@query(
+    "ing21_offset_pagination",
+    oracle="""
+    WITH providers AS (
+        SELECT unnest(generate_series(0, 3)) AS p
+    ),
+    sized AS (
+        SELECT p, CASE WHEN p = 0 THEN 60 ELSE 45 + 17 * p END AS total
+        FROM providers
+    ),
+    recs AS (
+        SELECT p, total, unnest(generate_series(0, total - 1)) AS k
+        FROM sized
+    )
+    SELECT concat('prov', p) AS provider,
+           COUNT(*)::BIGINT AS n_records,
+           (CASE WHEN total % 20 = 0 THEN total // 20 + 1
+                 ELSE (total + 19) // 20 END)::BIGINT AS n_pages,
+           SUM((p * 1000 + k) * 7 % 101)::BIGINT AS sum_value,
+           MIN(p * 1000 + k)::BIGINT AS min_id,
+           MAX(p * 1000 + k)::BIGINT AS max_id
+    FROM recs
+    GROUP BY p, total
+    """,
+)
+def ing21_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 offset-pagination loop (dossier :685-689, :703-715 step 3) end to
+    end through the DISTRIBUTED source: a 4-provider plan fans out one
+    pagination chain per partition; each chain pages by `skip` (take=20)
+    until the results array is empty (prov0, an exact page multiple — 3
+    full pages + 1 empty probe) or short (prov1-3), distrusting the
+    response's ambiguous `count` field. Attempts are emitted PER PAGE, so
+    n_pages — count(distinct page URL) — is itself oracle-checked: the
+    oracle recomputes the page count a correct skip-loop must issue from
+    the fixture totals alone.
+
+    Scale shape: chains are sequential per provider by nature (page N's
+    skip depends on page N-1's returned length) and parallel ACROSS
+    providers — exactly the reference's per-provider incremental-sync
+    grain. Records never touch the driver: pages land as attempt rows,
+    from_json + explode keeps parsing columnar."""
+    from api_etl_pipeline_spark.ingest.http_source import (
+        http_source,
+        responses_from_attempts,
+    )
+
+    plan = spark.range(4).select(
+        F.col("id").alias("item_index"),
+        F.concat(F.lit("prov"), F.col("id")).alias("provider"),
+        F.concat(
+            F.lit("https://api.example.gov/search?provider="), F.col("id")
+        ).alias("url"),
+        F.struct(
+            F.lit("skip").alias("skip_param"),
+            F.lit(_PAGE_SIZE).alias("page_size"),
+            F.lit("take").alias("take_param"),
+            F.lit("results").alias("results_key"),
+        ).alias("paginate"),
+    )
+    attempts = http_source(plan.repartition(4, "item_index"), _paged_fake_transport)
+    pages = responses_from_attempts(attempts).select(
+        "provider",
+        "url",
+        F.from_json(
+            F.col("body").cast("string"),
+            "results array<struct<id bigint, value bigint>>, count bigint",
+        ).alias("j"),
+    )
+    rec = pages.select("provider", "url", F.explode_outer("j.results").alias("r"))
+    return rec.groupBy("provider").agg(
+        F.count("r.id").alias("n_records"),
+        F.count_distinct("url").alias("n_pages"),
+        F.sum("r.value").cast("bigint").alias("sum_value"),
+        F.min("r.id").cast("bigint").alias("min_id"),
+        F.max("r.id").cast("bigint").alias("max_id"),
+    )

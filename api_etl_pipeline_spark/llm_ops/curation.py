@@ -676,6 +676,12 @@ def mix02_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("epochs_mills"),
         )
+        # ~20 rows feeding TWO pruning-divergent consumers (the broadcast
+        # into copies and the final audit-spine left join) — without
+        # truncation each recomputes the per-source aggregate's documents
+        # scan (the round-7 zero-emission fix added the second consumer
+        # and silently grew the plan 3→5 scans; round-8 drift adjudication)
+        .transform(lazy_checkpoint)
     )
     mills = F.col("epochs_mills")
     n_copies = (
@@ -706,7 +712,7 @@ def mix02_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("de"),
         F.sum("n_chars").cast("bigint").alias("ce"),
     )
-    return rates.join(emitted, "source", "left").select(
+    return rates.join(F.broadcast(emitted), "source", "left").select(
         "source",
         "epochs_mills",
         "n_docs",

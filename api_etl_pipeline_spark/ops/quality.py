@@ -693,3 +693,164 @@ def dq06_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("psi", 9).alias("psi"),
         )
     )
+
+
+# dq07 — streaming drift monitor. Fixed-edge value buckets in integer
+# CENTS so both engines bucket identically (events.value is exact
+# 2-decimal; ROUND(value*100) round-trips): bucket = min(cents // 2500, 14)
+# -> 15 buckets over [0, 350+) dollars.
+DQ07_N_BUCKETS = 15
+DQ07_BASELINE_END = "2024-01-08 00:00:00"  # frozen: the first week
+
+
+def _dq07_bucket(value_col: F.Column) -> F.Column:
+    cents = F.round(value_col * 100).cast("bigint")
+    bucket = F.floor(cents / F.lit(2500)).cast("bigint")  # int DIV for cents >= 0
+    return F.least(bucket, F.lit(DQ07_N_BUCKETS - 1).cast("bigint"))
+
+
+def dq07_psi_surface(daily: DataFrame, base: DataFrame) -> DataFrame:
+    """The PSI tail shared by the batch twin and the live monitor: given
+    per-(day, bucket) counts and frozen baseline per-bucket counts
+    (both SPARSE — zero buckets absent), align both onto the FIXED
+    0..14 bucket spine (the dq06 ADVICE lesson: a data-dependent spine
+    makes smoothed denominators — and PSI — incomparable across
+    windows), Laplace-smooth, and emit per-(day, bucket) contributions
+    plus the day's PSI as an ordered fold (tx13 float discipline).
+
+    Everything here is constant-size (days x 15 rows); the corpus-scale
+    work is the two histogram aggs the caller provides."""
+    spine = F.explode(
+        F.sequence(F.lit(0).cast("bigint"), F.lit(DQ07_N_BUCKETS - 1).cast("bigint"))
+    ).alias("bucket")
+    base_s = (
+        daily.sparkSession.range(1)
+        .select(spine)
+        .join(F.broadcast(base), "bucket", "left")
+        .select("bucket", (F.coalesce("cb", F.lit(0)) + 1).cast("bigint").alias("sb"))
+    )
+    grid = (
+        daily.select("day").distinct().select("day", spine)
+        .join(daily, ["day", "bucket"], "left")
+        .select(
+            "day", "bucket",
+            (F.coalesce("cd", F.lit(0)) + 1).cast("bigint").alias("sd"),
+        )
+    )
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
+    grid = lazy_checkpoint(grid)  # feeds totals AND contributions
+    tot = grid.groupBy(F.col("day").alias("td_day")).agg(
+        F.sum("sd").cast("bigint").alias("td")
+    )
+    tb = base_s.agg(F.sum("sb").cast("bigint").alias("tb"))
+    pd_ = F.col("sd") / F.col("td")
+    pb = F.col("sb") / F.col("tb")
+    contrib = (
+        grid.join(F.broadcast(tot), F.col("day") == F.col("td_day"))
+        .join(F.broadcast(base_s), "bucket")
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "day", "bucket",
+            (F.col("sd") - 1).alias("cnt_day"),
+            (F.col("sb") - 1).alias("cnt_base"),
+            ((pd_ - pb) * F.log(pd_ / pb)).alias("c"),
+        )
+    )
+    psi = contrib.groupBy(F.col("day").alias("pf")).agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bucket").alias("b"), F.col("c")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("psi")
+    )
+    return (
+        contrib.join(F.broadcast(psi), F.col("day") == F.col("pf"))
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("window_start"),
+            "bucket",
+            "cnt_day",
+            "cnt_base",
+            F.round("c", 9).alias("contrib"),
+            F.round("psi", 9).alias("day_psi"),
+        )
+    )
+
+
+@query(
+    "dq07_window_psi_drift",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               LEAST(CAST(ROUND(value * 100) AS BIGINT) // 2500,
+                     {DQ07_N_BUCKETS - 1})::BIGINT AS bucket,
+               ts
+        FROM events
+    ),
+    spine AS (SELECT unnest(generate_series(0, {DQ07_N_BUCKETS - 1}))::BIGINT
+                  AS bucket),
+    base AS (
+        SELECT bucket, COUNT(*)::BIGINT AS cb FROM e
+        WHERE ts < TIMESTAMP '{DQ07_BASELINE_END}' GROUP BY bucket
+    ),
+    base_s AS (
+        SELECT s.bucket, (COALESCE(cb, 0) + 1)::BIGINT AS sb
+        FROM spine s LEFT JOIN base USING (bucket)
+    ),
+    daily AS (SELECT day, bucket, COUNT(*)::BIGINT AS cd FROM e GROUP BY 1, 2),
+    grid AS (
+        SELECT d.day, s.bucket, (COALESCE(cd, 0) + 1)::BIGINT AS sd
+        FROM (SELECT DISTINCT day FROM e) d
+        CROSS JOIN spine s
+        LEFT JOIN daily USING (day, bucket)
+    ),
+    tot AS (SELECT day, SUM(sd)::BIGINT AS td FROM grid GROUP BY day),
+    tb AS (SELECT SUM(sb)::BIGINT AS tb FROM base_s),
+    contrib AS (
+        SELECT g.day, g.bucket, g.sd - 1 AS cnt_day, b.sb - 1 AS cnt_base,
+               (g.sd / t.td::DOUBLE - b.sb / tb.tb::DOUBLE)
+                 * ln((g.sd / t.td::DOUBLE) / (b.sb / tb.tb::DOUBLE)) AS c
+        FROM grid g JOIN base_s b USING (bucket) JOIN tot t USING (day), tb
+    ),
+    psi AS (
+        SELECT day, list_reduce(list(c ORDER BY bucket), (a, b) -> a + b) AS psi
+        FROM contrib GROUP BY day
+    )
+    SELECT contrib.day AS window_start, bucket, cnt_day, cnt_base,
+           ROUND(c, 9) AS contrib, ROUND(psi.psi, 9) AS day_psi
+    FROM contrib JOIN psi USING (day)
+    """,
+)
+def dq07_window_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-WINDOW drift monitoring against a frozen baseline — dq06
+    promoted from a batch-vs-batch audit to the shape production
+    observability needs: every 1-day event-time window's value
+    histogram is PSI-scored against the frozen first-week baseline, so
+    a distribution shift surfaces in the window it happens, not at the
+    next snapshot audit. This is the batch twin and carries the full
+    oracle; the LIVE leg runs the identical windowed histogram as a
+    real Structured Streaming query through the identical PSI tail
+    (dq07_psi_surface) and is pinned live==batch in
+    tests/test_streaming_psi.py — the st08/st09 stream-static pattern.
+
+    Plan shape: ONE corpus-scale agg for the daily histograms (shuffle
+    on (day, bucket) — days x 15 rows out), one filtered agg for the
+    frozen baseline; everything downstream of the two histograms is
+    constant-size spine algebra (fixed 15-bucket spine per the dq06
+    ADVICE lesson, so smoothed denominators are comparable across
+    windows). At 100 TB the baseline is a STORED 15-row table, not a
+    rescan — only the current window's histogram is ever computed."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.window("ts", "1 day").start.alias("day"),
+        _dq07_bucket(F.col("value")).alias("bucket"),
+        "ts",
+    )
+    base = (
+        e.filter(F.col("ts") < F.lit(DQ07_BASELINE_END).cast("timestamp_ntz"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cb"))
+    )
+    daily = e.groupBy("day", "bucket").agg(F.count("*").alias("cd"))
+    return dq07_psi_surface(daily, base)

@@ -645,3 +645,119 @@ def st12_streaming_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c, t in out.dtypes
     ]
     return out.select(*ntz)
+
+_ST14_CUT = "2024-01-15 00:00:00"  # standing-table high-water mark
+_ST14_OVERLAP_H = 48  # SEC overlap re-fetch window (dossier :230)
+
+
+def run_streaming_sync(
+    spark: SparkSession, sf_dir: str, table_dir: str, runs: int = 1
+) -> DataFrame:
+    """The reference's COMPOSED incremental-sync loop (dossier :703-715)
+    as one end-to-end Structured Streaming pipeline — previously only its
+    pieces existed (st04/st05 batch semantics, ing01 dedup_insert, st13
+    live dedup); this wires them into the canonical cycle:
+
+      1. standing table = already-synced history (events ts <= cutoff);
+      2. overlap re-fetch: the stream re-reads everything newer than
+         cutoff - 48 h (the conservative overlap, so late arrivals behind
+         the stored watermark are re-fetched) — and the source is
+         DELIBERATELY DOUBLED (two file-source readers, unioned), the
+         at-least-once redelivery every real transport exhibits;
+      3. in-stream dedupe: dropDuplicatesWithinWatermark(event_id)
+         collapses the redelivery (st13's operator);
+      4. idempotent sink: foreachBatch anti-joins the batch against the
+         standing table on event_id and appends only unseen rows (ing01's
+         dedup_insert semantics as a streaming sink) — re-fetched overlap
+         rows already in the table land in the anti-join, not the output;
+      5. watermark advance = max(ts) of the standing table (read back by
+         the caller; st05's state-advance semantics).
+
+    `runs` > 1 replays the whole sync (fresh stream + fresh checkpoint)
+    against the SAME standing table — the idempotency property: a re-run
+    must insert zero rows and leave table state byte-identical.
+
+    Scale: the standing table is parquet (appends only); the anti-join is
+    one shuffle of micro-batch vs table keys per batch — at 100 TB the
+    table side prunes to the overlap horizon's partitions (ts-partitioned
+    layout) so the join never rescans full history; state in step 3 is
+    bounded by the watermark horizon."""
+    import uuid
+
+    from api_etl_pipeline_spark.streaming.stream_ops import dedup_redelivery
+    from api_etl_pipeline_spark.tables import load_events_stream, load_table
+
+    cut = F.lit(_ST14_CUT).cast("timestamp_ntz")
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") <= cut)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "value",
+        )
+    )
+    base.write.mode("overwrite").parquet(table_dir)
+
+    stage_dir = _stage_events_dir(sf_dir)
+    for _ in range(runs):
+        doubled = load_events_stream(spark, stage_dir).unionByName(
+            load_events_stream(spark, stage_dir)
+        )
+        overlap = doubled.filter(
+            F.col("ts").cast("timestamp_ntz")
+            > cut - F.expr(f"INTERVAL {_ST14_OVERLAP_H} HOURS")
+        )
+
+        def merge_batch(batch: DataFrame, _epoch: int) -> None:
+            existing = batch.sparkSession.read.parquet(table_dir).select("event_id")
+            fresh = (
+                batch.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+                .join(existing, "event_id", "left_anti")
+            )
+            fresh.write.mode("append").parquet(table_dir)
+
+        q = (
+            dedup_redelivery(overlap)
+            .writeStream.outputMode("append")
+            .foreachBatch(merge_batch)
+            .queryName("st14_" + uuid.uuid4().hex[:10])
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.read.parquet(table_dir)
+
+
+@query(
+    "st14_streaming_sync_live",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value FROM events
+    """,
+)
+def st14_streaming_sync_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_streaming_sync driven end to end, driver-hash-checked: history
+    (ts <= cutoff) seeds the standing table, the doubled overlap stream
+    (ts > cutoff - 48 h, every record delivered twice) drains through
+    dedupe + idempotent merge, and the final standing table must equal
+    the plain events relation EXACTLY ONCE each — redelivery collapsed
+    by step 3, already-synced overlap rows suppressed by step 4, and
+    nothing lost (the overlap covers everything past the cutoff). A
+    duplicate insert, a dropped late row, or a non-idempotent merge each
+    flip the driver's hash. Single-micro-batch staging invariant applies
+    (st13's argument). Two-run idempotency is pinned in
+    tests/test_streaming_sync.py over the same helper."""
+    import atexit
+    import shutil
+    import tempfile
+
+    # the standing table must outlive this call (the returned DataFrame is
+    # lazy — collecting it here would drag the whole relation through the
+    # driver); per-invocation dir, interpreter-exit cleanup like _STAGE_CACHE
+    table_dir = tempfile.mkdtemp(prefix="st14_table_")
+    atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
+    return run_streaming_sync(spark, sf_dir, table_dir, runs=1).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )

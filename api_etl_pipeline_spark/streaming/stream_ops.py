@@ -191,3 +191,19 @@ def purchase_click_left_join(purchases: DataFrame, clicks: DataFrame,
         F.expr("c_user = p_user AND c_ts > p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"),
         "left_outer",
     ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id", "c_ts")
+
+
+def windowed_value_histogram(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """dq07's LIVE leg: per-(1-day window, fixed value bucket) counts —
+    the corpus-scale half of the streaming drift monitor. The constant-
+    size PSI tail (ops.quality.dq07_psi_surface) runs on the drained
+    counts against the frozen baseline; tests/test_streaming_psi.py pins
+    the live monitor row-identical to the dq07 batch twin."""
+    from api_etl_pipeline_spark.ops.quality import _dq07_bucket
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day"), _dq07_bucket(F.col("value")).alias("bucket"))
+        .agg(F.count("*").alias("cd"))
+        .select(F.col("window.start").alias("day"), "bucket", "cd")
+    )

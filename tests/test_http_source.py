@@ -194,3 +194,113 @@ def test_live_transport_round_trip_when_network_allowed(monkeypatch):
     transport = live_transport_factory(timeout=10.0)()
     status, headers, body = transport("GET", "https://example.com/", {})
     assert status == 200 and len(body) > 0
+
+
+# --- T4 offset pagination (dossier :685-689, :703-715 step 3) ---
+
+def _paged_server(total, page_size=10, count_mode="junk", fail_on_skip=None):
+    """3-page-style fixture server: serves `total` records in pages of
+    `page_size`; `count` field deliberately misleading per count_mode."""
+    import json
+
+    calls = []
+
+    def transport(method, url, headers):
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(url).query)
+        skip = int(q.get("skip", ["0"])[0])
+        calls.append(skip)
+        if fail_on_skip is not None and skip == fail_on_skip:
+            return 500, {}, b""
+        results = list(range(skip, min(skip + page_size, total)))
+        count = {"junk": 999999, "total": total, "returned": len(results)}[count_mode]
+        return 200, {}, json.dumps({"results": results, "count": count}).encode()
+
+    return transport, calls
+
+
+def _paginate_item(**over):
+    item = {"item_index": 0, "provider": "t",
+            "url": "https://api.example.gov/search",
+            "paginate": {"skip_param": "skip", "page_size": 10}}
+    item["paginate"].update(over.pop("paginate", {}))
+    item.update(over)
+    return item
+
+
+def test_pagination_three_pages_short_stop():
+    # 25 records, pages of 10: 10, 10, 5(short) -> exactly 3 requests
+    transport, calls = _paged_server(total=25)
+    rows = list(fetch_items([_paginate_item()], transport, limiter=_no_limit()))
+    assert calls == [0, 10, 20]
+    assert [r["status_code"] for r in rows] == [200, 200, 200]
+    assert [r["url"] for r in rows] == [
+        "https://api.example.gov/search?skip=0",
+        "https://api.example.gov/search?skip=10",
+        "https://api.example.gov/search?skip=20",
+    ]
+
+
+def test_pagination_empty_page_stop():
+    # exact multiple: 30 records -> 3 full pages + 1 empty probe = 4 requests
+    transport, calls = _paged_server(total=30)
+    rows = list(fetch_items([_paginate_item()], transport, limiter=_no_limit()))
+    assert calls == [0, 10, 20, 30]
+    assert len(rows) == 4  # the empty probe is a real captured attempt
+
+
+def test_pagination_ignores_ambiguous_count():
+    # dossier :689 — count may be total/page/returned; the loop must not
+    # trust ANY of them: identical request sequence under all three modes
+    for mode in ("junk", "total", "returned"):
+        transport, calls = _paged_server(total=25, count_mode=mode)
+        list(fetch_items([_paginate_item()], transport, limiter=_no_limit()))
+        assert calls == [0, 10, 20], mode
+
+
+def test_pagination_unknown_page_size_stops_on_empty_only():
+    # page_size=None (server cap unconfirmed): short pages can't be
+    # detected, so the chain runs to the empty probe
+    transport, calls = _paged_server(total=25)
+    item = _paginate_item(paginate={"page_size": None})
+    list(fetch_items([item], transport, limiter=_no_limit()))
+    assert calls == [0, 10, 20, 25]
+
+
+def test_pagination_mid_chain_failure_stops_after_retries():
+    # page 2 500s: 3 retry attempts captured, chain ends (no page 3 probe)
+    transport, calls = _paged_server(total=25, fail_on_skip=10)
+    rows = list(fetch_items([_paginate_item()], transport, limiter=_no_limit()))
+    assert calls == [0, 10, 10, 10]
+    assert [r["status_code"] for r in rows] == [200, 500, 500, 500]
+
+
+def test_pagination_take_param_and_start():
+    transport, calls = _paged_server(total=25)
+    item = _paginate_item(paginate={"take_param": "take", "start": 10})
+    rows = list(fetch_items([item], transport, limiter=_no_limit()))
+    assert calls == [10, 20]
+    assert rows[0]["url"] == "https://api.example.gov/search?skip=10&take=10"
+
+
+def test_pagination_max_pages_bound():
+    # a server that never drains is cut off at max_pages
+    transport, calls = _paged_server(total=10**9, page_size=10)
+    item = _paginate_item(paginate={"max_pages": 5})
+    rows = list(fetch_items([item], transport, limiter=_no_limit()))
+    assert len(calls) == 5 and len(rows) == 5
+
+
+def test_non_paginated_items_unchanged():
+    # absent/NaN paginate -> exactly one request, url untouched
+    import math
+
+    transport, calls = _paged_server(total=25)
+    items = [{"item_index": 0, "provider": "t",
+              "url": "https://api.example.gov/doc/1"},
+             {"item_index": 1, "provider": "t",
+              "url": "https://api.example.gov/doc/2", "paginate": math.nan}]
+    rows = list(fetch_items(items, transport, limiter=_no_limit()))
+    assert [r["url"] for r in rows] == [
+        "https://api.example.gov/doc/1", "https://api.example.gov/doc/2"]
