@@ -62,7 +62,18 @@ def checkpoint_observer(fn: Callable[[DataFrame], None]) -> Iterator[None]:
     """Install `fn` to be called with every DataFrame just before it is
     checkpointed (plan-lint uses this to see inside iterative loops).
     Context-local: observers installed on other threads/contexts are
-    unaffected, and re-entry restores the previous observer on exit."""
+    unaffected, and re-entry restores the previous observer on exit.
+
+    SAME-THREAD REQUIREMENT (round-7 advice): the ContextVar isolation
+    that prevents cross-capture also means a DataFrame built on a WORKER
+    thread under this context manager is invisible to the observer —
+    contextvars do not propagate into threads started outside the
+    context. Every current caller builds plans on the installing thread;
+    a future caller fanning out via a thread pool must wrap each task in
+    contextvars.copy_context().run(...) or the capture (and any lint
+    depending on it) silently turns vacuous. lint_registry guards the
+    vacuous case by asserting captures are non-empty for queries known
+    to checkpoint."""
     token = _OBSERVER.set(fn)
     try:
         yield

@@ -1058,3 +1058,132 @@ def cur05_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# cur06 — PII scrub. Injection shares the cur03/dq05 fault-injection
+# pattern (the corpus ships PII-free, so the detector must be PROVEN to
+# fire at known deterministic rates). Patterns stay in the Java∩RE2
+# subset (text.py:345 convention — no lookaround/backrefs).
+CUR06_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+CUR06_PHONE_RE = "\\+1-555-[0-9]{4}"
+CUR06_SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@query(
+    "cur06_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               text
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' id 987-65-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                         ELSE '' END AS text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '{CUR06_EMAIL_RE}'))::BIGINT AS n_email,
+               len(regexp_extract_all(text, '{CUR06_SSN_RE}'))::BIGINT AS n_ssn,
+               len(regexp_extract_all(
+                   regexp_replace(text, '{CUR06_SSN_RE}', '[SSN]', 'g'),
+                   '{CUR06_PHONE_RE}'))::BIGINT AS n_phone,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{CUR06_SSN_RE}', '[SSN]', 'g'),
+                       '{CUR06_PHONE_RE}', '[PHONE]', 'g'),
+                   '{CUR06_EMAIL_RE}', '[EMAIL]', 'g') AS redacted
+        FROM seeded
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN n_email + n_phone + n_ssn > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_docs_pii,
+           SUM(n_email)::BIGINT AS n_emails,
+           SUM(n_phone)::BIGINT AS n_phones,
+           SUM(n_ssn)::BIGINT AS n_ssns,
+           SUM(len(regexp_extract_all(redacted, '{CUR06_EMAIL_RE}'))
+               + len(regexp_extract_all(redacted, '{CUR06_PHONE_RE}'))
+               + len(regexp_extract_all(redacted, '{CUR06_SSN_RE}')))::BIGINT
+               AS n_residual,
+           SUM(('0x' || substr(md5(redacted), 1, 8))::BIGINT)::BIGINT
+               AS redacted_checksum
+    FROM scrubbed
+    GROUP BY source
+    """,
+)
+def cur06_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit — the curation stage every
+    training-data pipeline runs before release (emails / phone numbers /
+    SSN-shaped ids scrubbed to typed placeholders). The corpus ships
+    PII-free, so deterministic PII is INJECTED first (doc_id%5 → email,
+    %7 → phone, %11 → SSN — the dq05 fault-injection pattern): the audit
+    must detect at exactly those rates, and n_residual — the re-scan of
+    the REDACTED text — must be 0, so both the detector and the scrub
+    itself are driver-hash-verified. The redacted-text md5 checksum
+    forces byte-identical redaction output on both engines (placement
+    and placeholder spelling, not just counts).
+
+    Order matters and is pinned: SSN before phone (the patterns share a
+    digit-dash shape; scrubbing SSNs first means phone counts are
+    measured on SSN-free text identically in both engines), email last.
+    Patterns live in the shared Java∩RE2 subset (text.py:345).
+
+    Plan shape: pure per-row JVM regex projections + ONE hash aggregate
+    on source — no join, no window; text never shuffles (counts and the
+    8-hex checksum reduce before the exchange). Linear at any corpus
+    size; this is dd01's cost model applied to scrubbing."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pad4 = F.lpad((did % 10000).cast("string"), 4, "0")
+    seeded = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(did % 5 == 0,
+                   F.concat(F.lit(" contact user"), did.cast("string"),
+                            F.lit("@example.com"))).otherwise(""),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" call +1-555-"), pad4)).otherwise(""),
+            F.when(did % 11 == 0,
+                   F.concat(F.lit(" id 987-65-"), pad4)).otherwise(""),
+        ).alias("text"),
+    )
+    no_ssn = F.regexp_replace(F.col("text"), CUR06_SSN_RE, "[SSN]")
+    redacted = F.regexp_replace(
+        F.regexp_replace(no_ssn, CUR06_PHONE_RE, "[PHONE]"),
+        CUR06_EMAIL_RE,
+        "[EMAIL]",
+    )
+    scrubbed = seeded.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(CUR06_EMAIL_RE)).cast("bigint").alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(CUR06_SSN_RE)).cast("bigint").alias("n_ssn"),
+        F.regexp_count(no_ssn, F.lit(CUR06_PHONE_RE)).cast("bigint").alias("n_phone"),
+        redacted.alias("redacted"),
+    )
+    residual = (
+        F.regexp_count(F.col("redacted"), F.lit(CUR06_EMAIL_RE))
+        + F.regexp_count(F.col("redacted"), F.lit(CUR06_PHONE_RE))
+        + F.regexp_count(F.col("redacted"), F.lit(CUR06_SSN_RE))
+    )
+    checksum = F.conv(F.substring(F.md5(F.col("redacted").cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_email") + F.col("n_phone") + F.col("n_ssn") > 0, 1).otherwise(0)
+        ).cast("bigint").alias("n_docs_pii"),
+        F.sum("n_email").cast("bigint").alias("n_emails"),
+        F.sum("n_phone").cast("bigint").alias("n_phones"),
+        F.sum("n_ssn").cast("bigint").alias("n_ssns"),
+        F.sum(residual).cast("bigint").alias("n_residual"),
+        F.sum(checksum).cast("bigint").alias("redacted_checksum"),
+    )

@@ -380,3 +380,142 @@ def samp06_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("naive_leaked_docs"),
     )
+
+
+SAMP07_BUCKETS = 1000  # hashed-feature space (DSIR's "hashed n-grams")
+
+
+@query(
+    "samp07_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 20 = 0 AS is_t,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, is_t,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % {SAMP07_BUCKETS}
+                   AS bucket
+        FROM toks
+    ),
+    spine AS (SELECT unnest(generate_series(0, {SAMP07_BUCKETS - 1}))::BIGINT
+                  AS bucket),
+    ct AS (SELECT bucket, COUNT(*)::BIGINT AS c FROM b WHERE is_t GROUP BY bucket),
+    cr AS (SELECT bucket, COUNT(*)::BIGINT AS c FROM b WHERE NOT is_t GROUP BY bucket),
+    sm AS (
+        SELECT s.bucket,
+               (COALESCE(ct.c, 0) + 1)::BIGINT AS st,
+               (COALESCE(cr.c, 0) + 1)::BIGINT AS sr
+        FROM spine s LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket)
+    ),
+    tot AS (SELECT SUM(st)::BIGINT AS tt, SUM(sr)::BIGINT AS tr FROM sm),
+    lr AS (
+        SELECT bucket, ln((st / tt::DOUBLE) / (sr / tr::DOUBLE)) AS r
+        FROM sm, tot
+    ),
+    dc AS (
+        SELECT doc_id, bucket, COUNT(*)::BIGINT AS cnt
+        FROM b WHERE NOT is_t GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT doc_id, SUM(cnt)::BIGINT AS n_toks,
+               list_reduce(list(cnt * r ORDER BY bucket), (a, x) -> a + x) AS lw
+        FROM dc JOIN lr USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks, ROUND(lw, 6) AS log_weight, lw > 0 AS selected
+    FROM w
+    """,
+)
+def samp07_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (public method: Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by the log importance ratio of a hashed-unigram
+    bag-of-words model fitted on a target slice (doc_id%20==0 stands in
+    for the high-quality target, the decon01 device) vs the raw pool —
+    log w(doc) = Σ_buckets cnt_doc[b] · ln(p_target[b]/p_raw[b]), with
+    Laplace-smoothed bucket probabilities over the FIXED 1000-bucket
+    spine (the dq07 lesson). Positive log-weight = doc looks more like
+    the target than the pool → selected.
+
+    Float discipline: bucket counts are exact BIGINTs; the 1000 log
+    ratios are computed once from identical integers (last-ulp ln skew
+    absorbed by round(6), the tx13 caveat); the per-doc sum is an
+    ORDERED fold over bucket-sorted contributions, so no summation-order
+    dependence. Hashing is the md5 hash_bucket convention — at 100 TB
+    the documented swap is xxhash64 (no cross-engine oracle to satisfy
+    in production, and a JVM-native hash is ~10x cheaper than md5).
+
+    Plan shape: one explode pass over the corpus feeding two tiny
+    bucket-count aggs (1000-row outputs) and the per-(doc, bucket)
+    count — the ONE corpus-scale shuffle; the ratio table broadcasts
+    back. The target side is a fixed slice, so at 100 TB its bucket
+    histogram is a stored 1000-row table and raw docs stream through
+    score-and-filter in a single pass — exactly DSIR's design point."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % 20 == 0).alias("is_t"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "doc_id", "is_t", hash_bucket(F.col("tok"), SAMP07_BUCKETS).alias("bucket")
+    )
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
+    toks = lazy_checkpoint(toks)  # feeds both histograms AND per-doc counts
+    spine = (
+        d.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"), F.lit(SAMP07_BUCKETS - 1).cast("bigint")
+                )
+            ).alias("bucket")
+        )
+    )
+    ct = toks.filter("is_t").groupBy("bucket").agg(F.count("*").alias("c"))
+    cr = toks.filter("NOT is_t").groupBy("bucket").agg(F.count("*").alias("c"))
+    sm = (
+        spine.join(F.broadcast(ct.withColumnRenamed("c", "ctc")), "bucket", "left")
+        .join(F.broadcast(cr.withColumnRenamed("c", "crc")), "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce("ctc", F.lit(0)) + 1).cast("bigint").alias("st"),
+            (F.coalesce("crc", F.lit(0)) + 1).cast("bigint").alias("sr"),
+        )
+    )
+    sm = lazy_checkpoint(sm)  # feeds totals AND the ratio projection
+    tot = sm.agg(
+        F.sum("st").cast("bigint").alias("tt"), F.sum("sr").cast("bigint").alias("tr")
+    )
+    lr = sm.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.log((F.col("st") / F.col("tt")) / (F.col("sr") / F.col("tr"))).alias("r"),
+    )
+    dc = (
+        toks.filter("NOT is_t")
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        dc.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_toks"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("bucket").alias("b"), (F.col("cnt") * F.col("r")).alias("c"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("lw"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round("lw", 6).alias("log_weight"),
+            (F.col("lw") > 0).alias("selected"),
+        )
+    )

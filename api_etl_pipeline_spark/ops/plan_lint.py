@@ -234,6 +234,45 @@ LOCAL_SCAN_OK = {
 }
 
 
+# Queries whose construction calls lazy/eager_checkpoint — the observer
+# MUST capture at least one plan for each (round-7 advice: a thread-pooled
+# or refactored caller could silently stop capturing, turning the +ckpt
+# lint coverage vacuous while staying green). Bidirectional: a query that
+# captures without being listed here is also flagged, so this constant
+# cannot silently drift from reality. Regenerate from PLANS.md "+N ckpt"
+# markers (tools/gen_plans.py) plus any additions since.
+CHECKPOINTING_QUERIES = {
+    "cur04_token_drift",
+    "dd04_minhash_lsh_pairs",
+    "dd09_dup_clusters",
+    "dd10_keep_best_dedup",
+    "dd13_containment_dedup",
+    "dd14_incremental_dedup",
+    "dd15_semdedup_prune",
+    "decon02_source_overlap",
+    "dq06_psi_drift",
+    "dq07_window_psi_drift",  # round 8: psi_surface grid checkpoint
+    "ev04_rolling_wau",
+    "ev14_stickiness",
+    "gr01_pagerank",
+    "gr02_bfs_hops",
+    "gr03_triangle_stats",
+    "hh01_heavy_hitter_tokens",
+    "llm01_clean_corpus",
+    "llm02_corpus_funnel",
+    "mix02_epoch_upsampling",  # round 8: rates-spine checkpoint
+    "ret01_hybrid_rrf",
+    "samp06_cluster_safe_split",
+    "samp07_dsir_importance",  # round 8: token-bucket + spine checkpoints
+    "tx17_lm_familiarity",
+    "tx18_ppl_buckets",
+    "tx19_pmi_collocations",
+    "tx21_bpe_train_merges",
+    "tx22_bpe_tokenize_apply",
+    "x25_mad_outliers",
+}
+
+
 @dataclass(frozen=True)
 class Finding:
     query: str
@@ -287,6 +326,16 @@ def lint_registry(spark: SparkSession, sf_dir: str) -> list[Finding]:
         with checkpoint_observer(lambda df: captured.append(plan_text(df))):
             final_plan = plan_text(spec.fn(spark, sf_dir))
         out.extend(lint_plan(name, final_plan))
+        # non-vacuous capture guard (round-7 advice): both directions hard
+        if name in CHECKPOINTING_QUERIES and not captured:
+            out.append(Finding(name, "vacuous-checkpoint-capture", "hard", False,
+                               "listed in CHECKPOINTING_QUERIES but the observer "
+                               "captured nothing — checkpoint call lost or moved "
+                               "off-thread"))
+        if captured and name not in CHECKPOINTING_QUERIES:
+            out.append(Finding(name, "unlisted-checkpoint-capture", "hard", False,
+                               "captures pre-checkpoint plans but is missing from "
+                               "CHECKPOINTING_QUERIES — update the constant"))
         seen: set[tuple[str, str]] = set()
         for plan in captured:
             for f in lint_plan(f"{name}+ckpt", plan):

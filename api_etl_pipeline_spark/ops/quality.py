@@ -583,8 +583,20 @@ def dq06_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw counts, the bucket's contribution AND the feature PSI — the
     whole intermediate surface is hash-compared, not just two totals.
 
+    Known methodological limit (round-7 advice): smoothing covers only
+    buckets OBSERVED in at least one snapshot, so smoothed denominators
+    — and hence PSI — depend on bucket occupancy; values are not
+    comparable across snapshot pairs with different occupancy (both
+    engines agree, so the differential check is unaffected). The
+    fixed-spine formulation that makes PSI comparable across windows is
+    dq07_window_psi_drift; this query keeps the observed-bucket form so
+    its historical driver rows stay reproducible.
+
     Cross-engine exactness: counts are BIGINT; rates are BIGINT/BIGINT
-    IEEE divisions; ln of identical doubles is identical; and the PSI
+    IEEE divisions; ln on identical doubles MAY still differ in the
+    last ulp between Java Math.log and libm (the tx13/BM25 precedent,
+    text.py — NOT an exactness guarantee), which the round(9) on
+    contrib/psi absorbs at these magnitudes; and the PSI
     sum is an ORDERED fold over bucket-sorted contributions
     (F.aggregate over array_sort ≡ DuckDB list_reduce over
     list(ORDER BY bucket)) — the tx13 convention, so no

@@ -110,6 +110,20 @@ OPTIONAL = [
     # does not track. Measurement, not structure: the exact-MAD 3-pass
     # floor is the right 100 TB shape and stays.
     "x25_mad_outliers",  # two-phase robust MAD bands
+    # Round-8 adjudication of the r7 +10% calibrated drift (verdict task
+    # 3), min-of-7 on a quiet box: of the seven >1.4x queries, SIX had
+    # byte-identical plan fingerprints and REVERSED without code change
+    # (vs r7: gr01 0.69x, mm06 0.78x, tx05 0.84x, ret01 0.99x, shuf01
+    # 1.05x, llm03 1.10x) — measurement, per the x25 precedent. The ONE
+    # fingerprint change was mix02 (its r7 zero-emission fix added a
+    # second consumer of the 20-row rates relation, re-running the
+    # documents scan: 3->5 scans); fixed round 8 via checkpoint +
+    # broadcast, now 0.39x vs r7 / 0.57x vs r6. Round-8 median vs r7 =
+    # 1.045 (<=1.1 criterion met); the residual ~1.13 median vs r6 on
+    # unchanged code is uniform across sub-second queries — per the
+    # verdict the yardstick was extended with spark_stage_floor_sec
+    # (min-of-5 trivial two-stage job = the scheduling floor the sha256
+    # probes can't see) rather than rewriting calibrated_value history.
     "llm03_dataset_card",  # one-agg corpus observability
     "mm05_caption_pairs",  # metadata-only multimodal pairing
     "samp03_fixed_size_sample",  # TakeOrdered exact-N sample
@@ -174,6 +188,13 @@ OPTIONAL = [
     "cur04_token_drift",  # vocab-bounded full-outer token join, top-K movers
     "dq06_psi_drift",  # 26-row histogram join, ordered-fold PSI
     "cur05_url_dedup",  # URL canonicalization dedup: 3-level agg cascade
+    # round 8
+    "dq07_window_psi_drift",  # per-window PSI vs frozen baseline, 2 aggs
+    "cur06_pii_scrub",  # regex PII detect+redact, 1 agg, text never shuffles
+    "samp07_dsir_importance",  # DSIR hashed-feature log-weights, 1 shuffle
+    # (ing21 is fixed-size fixture work — SF-invariant, no perf signal;
+    # st14 live streaming — exempt by the live-run convention, its batch
+    # pieces st04/st05/ing01 carry the perf signal)
     # (st11/st12 live-streaming runs are NOT benched, same as st06/07/09:
     # their wall is Structured Streaming micro-batch machinery, not plan
     # execution — the batch twins st02/st03 carry the perf signal, and
@@ -229,6 +250,31 @@ def prepare_layout(spark, sf_dir: str, cpus: int) -> tuple[str, float]:
         df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
     marker.write_text(sf_dir)
     return out, round(time.perf_counter() - t0, 3)
+
+
+def spark_stage_floor(spark) -> float:
+    """Round-8 yardstick extension (round-7 verdict task 3): the sha256
+    calibration tracks raw CPU speed but NOT Spark scheduling/JIT
+    overhead, which dominates sub-second queries — r7's uniform +10%
+    calibrated drift on unchanged code+plans persisted into r8 vs r6
+    (median 1.13x) while the same queries measured ≤1.05x vs r7,
+    i.e. the box's STAGE overhead moved, not the plans. This measures
+    that overhead directly: min-of-5 wall of a trivial 32-partition
+    two-stage job (shuffle + count) whose work is ~zero, so its wall IS
+    the per-stage scheduling floor. Recorded alongside the sha256 pair;
+    when two rounds' calibrated ratios disagree uniformly, compare their
+    stage floors before blaming the plans."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(0, 32 * 1000, 1, 32).groupBy(F.col("id") % 7).count().write.mode(
+            "overwrite"
+        ).format("noop").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
 
 
 def cpu_calibration() -> float:
@@ -321,6 +367,7 @@ def main() -> None:
 
     calib = cpu_calibration()
     calib_par = cpu_calibration_parallel(cpus)
+    stage_floor = spark_stage_floor(spark)
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_query_wall_seconds",
@@ -334,6 +381,7 @@ def main() -> None:
         "timing": "min",
         "cpu_calib_sec": calib,
         "cpu_calib_par_sec": calib_par,
+        "spark_stage_floor_sec": stage_floor,
         # box-speed-normalized numbers (round-5 verdict task 2): the
         # driver's r5 run was uniformly ~1.25x the r4 wall-clocks on
         # plan-pinned unchanged queries — host CPU steal, not code.
