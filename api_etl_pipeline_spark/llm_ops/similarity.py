@@ -1200,3 +1200,221 @@ def sim11_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("ann_neighbor_id") / 3.0, 6).alias("recall_at_3"),
         )
     )
+
+
+# sim12 — product quantization. M subspaces × K codes; codewords are the
+# first-8-vector subslices (the sim04 deterministic-codebook device).
+PQ_M = 4
+PQ_SUB = 16  # 64-dim vectors / 4 subspaces
+PQ_K = 8
+PQ_TOPK = 3
+
+_DUCK_L2SQ_SLICE = (
+    "list_reduce(list_transform(list_slice({a}, {off} + 1, {off} + 16),"
+    " (x, i) -> (x - ({b})[i]) * (x - ({b})[i])), (s, y) -> s + y)"
+)
+
+
+def _pq_literals(spark: SparkSession, sf_dir: str):
+    """Codebook + query literals for PQ: cb[m][k] = 16-dim subslice of
+    codeword k, plus per-query asymmetric-distance lookup tables
+    LUT[q][m][k] = L2²(query_sub, codeword_sub) folded in Python with the
+    identical sequential order (0.0 + (x-y)² left fold) both engines use
+    — the _centroid_array_lit bit-identity argument. All of it is
+    kilobytes: 8 codewords × 64 dims + 5 queries × (64 dims + 4×8 LUT)."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < max(PQ_K, 5))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    cb = [
+        [vecs[k][m * PQ_SUB:(m + 1) * PQ_SUB] for k in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+    cb_lits = [
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.array(*[F.lit(x) for x in cb[m][k]]).alias("cw"),
+                )
+                for k in range(PQ_K)
+            ]
+        )
+        for m in range(PQ_M)
+    ]
+    q_lits = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("bigint").alias("query_id"),
+                F.array(*[F.lit(x) for x in vecs[qid]]).alias("qe"),
+                F.array(
+                    *[
+                        F.array(
+                            *[
+                                F.lit(l2sq(vecs[qid][m * PQ_SUB:(m + 1) * PQ_SUB], cb[m][k]))
+                                for k in range(PQ_K)
+                            ]
+                        )
+                        for m in range(PQ_M)
+                    ]
+                ).alias("lut"),
+            )
+            for qid in range(5)
+        ]
+    )
+    return cb_lits, q_lits
+
+
+@query(
+    "sim12_pq_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cb AS (
+        SELECT c.vec_id AS k, m.m, list_slice(c.e, m.m * 16 + 1, m.m * 16 + 16) AS cw
+        FROM v c, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+        WHERE c.vec_id < {PQ_K}
+    ),
+    codes AS (
+        SELECT vec_id, m, k FROM (
+            SELECT v.vec_id, cb.m, cb.k,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id, cb.m
+                       ORDER BY {_DUCK_L2SQ_SLICE.format(a='v.e', off='cb.m * 16', b='cb.cw')} ASC,
+                                cb.k ASC
+                   ) AS rn
+            FROM v CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    cpiv AS (
+        SELECT vec_id,
+               MAX(CASE WHEN m = 0 THEN k END) AS c0,
+               MAX(CASE WHEN m = 1 THEN k END) AS c1,
+               MAX(CASE WHEN m = 2 THEN k END) AS c2,
+               MAX(CASE WHEN m = 3 THEN k END) AS c3
+        FROM codes GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    lut AS (
+        SELECT q.query_id, cb.m, cb.k,
+               {_DUCK_L2SQ_SLICE.format(a='q.qe', off='cb.m * 16', b='cb.cw')} AS d
+        FROM q CROSS JOIN cb
+    ),
+    approx AS (
+        SELECT q.query_id, p.vec_id AS neighbor_id,
+               l0.d + l1.d + l2.d + l3.d AS approx_l2sq,
+               list_reduce(list_transform(v.e, (x, i) -> (x - q.qe[i]) * (x - q.qe[i])),
+                           (s, y) -> s + y) AS exact_l2sq
+        FROM cpiv p
+        CROSS JOIN q
+        JOIN lut l0 ON l0.query_id = q.query_id AND l0.m = 0 AND l0.k = p.c0
+        JOIN lut l1 ON l1.query_id = q.query_id AND l1.m = 1 AND l1.k = p.c1
+        JOIN lut l2 ON l2.query_id = q.query_id AND l2.m = 2 AND l2.k = p.c2
+        JOIN lut l3 ON l3.query_id = q.query_id AND l3.m = 3 AND l3.k = p.c3
+        JOIN v ON v.vec_id = p.vec_id
+        WHERE p.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rnk,
+           ROUND(approx_l2sq, 6) AS approx_l2sq,
+           ROUND(exact_l2sq, 6) AS exact_l2sq
+    FROM (
+        SELECT query_id, neighbor_id, approx_l2sq, exact_l2sq,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY approx_l2sq ASC, neighbor_id ASC
+               )::BIGINT AS rnk
+        FROM approx
+    )
+    WHERE rnk <= {PQ_TOPK}
+    """,
+)
+def sim12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN (public method: Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): vectors are
+    encoded as M=4 one-byte codes (nearest codeword per 16-dim
+    subspace), and queries score candidates by ASYMMETRIC distance —
+    sum of per-subspace lookup-table entries LUT[m][code] — without
+    ever touching the original vectors. This is the memory half of the
+    ANN story the IVF family (sim04/05) leaves open: at 100 TB the
+    corpus holds 4 bytes/vector of code where the raw float32 corpus
+    holds 256, so the index fits RAM and the scan is a narrow
+    integer-lookup pass. exact_l2sq rides along so the driver hash also
+    pins the quantization ERROR surface, not just the ranking.
+
+    Bit-identity discipline: codebooks and per-query LUTs fold in
+    Python with the same sequential left-fold order both engines use
+    (the _centroid_array_lit argument); encoding ties break on code id;
+    the M partial distances add in fixed subspace order (never a
+    float SUM aggregate).
+
+    Plan shape: encode = ONE narrow zero-shuffle pass (codebook folded
+    in as literals, the sim04 device); scoring explodes the 5-query
+    literal against encoded rows (row growth |Q|x but each row is 4
+    ints + 2 doubles); ONE window for the per-query top-k. At corpus
+    scale the ADC scan is embarrassingly parallel and the top-k is
+    TakeOrdered-shaped (partial top-k per partition, merge k·|Q|)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb_lits, q_lits = _pq_literals(spark, sf_dir)
+    base = e.select("vec_id", _dvec("embedding").alias("e"))
+
+    def code_for(m: int):
+        sub = F.slice(F.col("e"), m * PQ_SUB + 1, PQ_SUB)
+        ranked = F.array_sort(
+            F.transform(
+                cb_lits[m],
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(sub, s["cw"], lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    s["k"].alias("k"),
+                ),
+            )
+        )
+        return F.element_at(ranked, 1)["k"]
+
+    encoded = base.select(
+        "vec_id", "e", *[code_for(m).alias(f"c{m}") for m in range(PQ_M)]
+    )
+    qx = encoded.select("vec_id", "e", "c0", "c1", "c2", "c3",
+                        F.explode(q_lits).alias("q"))
+    scored = qx.filter(F.col("vec_id") != F.col("q.query_id")).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        # fixed subspace order — never a float SUM aggregate
+        (
+            F.element_at(F.element_at(F.col("q.lut"), 1), F.col("c0") + 1)
+            + F.element_at(F.element_at(F.col("q.lut"), 2), F.col("c1") + 1)
+            + F.element_at(F.element_at(F.col("q.lut"), 3), F.col("c2") + 1)
+            + F.element_at(F.element_at(F.col("q.lut"), 4), F.col("c3") + 1)
+        ).alias("approx_l2sq"),
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("q.qe"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("exact_l2sq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_l2sq").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            F.round("approx_l2sq", 6).alias("approx_l2sq"),
+            F.round("exact_l2sq", 6).alias("exact_l2sq"),
+        )
+    )

@@ -66,6 +66,14 @@ ALLOWED: dict[tuple[str, str], str] = {
     ),
     ("q09_cross_join", "BroadcastNestedLoopJoin"): "intentional cross join, 5×25-row dims",
     ("q34_dormant_rich_customers", "BroadcastNestedLoopJoin"): "single-row scalar avg broadcast",
+    ("dq07_window_psi_drift", "BroadcastNestedLoopJoin"): (
+        "single-row baseline-total broadcast into the contribution "
+        "projection (the tx08 single-row-scalar shape)"
+    ),
+    ("samp07_dsir_importance", "BroadcastNestedLoopJoin"): (
+        "single-row (target_total, raw_total) broadcast into the "
+        "1000-row ratio projection (the tx16 corpus-stats shape)"
+    ),
     ("tx08_tfidf_top_term", "BroadcastNestedLoopJoin"): "single-row corpus-count broadcast",
     ("tx16_bm25_topk", "BroadcastNestedLoopJoin"): "single-row (N, avgdl) corpus-stats broadcast",
     ("samp04_temperature_mix", "BroadcastNestedLoopJoin"): "single-row (budget, w_sum) broadcast",

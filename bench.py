@@ -192,6 +192,7 @@ OPTIONAL = [
     "dq07_window_psi_drift",  # per-window PSI vs frozen baseline, 2 aggs
     "cur06_pii_scrub",  # regex PII detect+redact, 1 agg, text never shuffles
     "samp07_dsir_importance",  # DSIR hashed-feature log-weights, 1 shuffle
+    "sim12_pq_topk",  # PQ encode (zero-shuffle) + ADC scan + top-k window
     # (ing21 is fixed-size fixture work — SF-invariant, no perf signal;
     # st14 live streaming — exempt by the live-run convention, its batch
     # pieces st04/st05/ing01 carry the perf signal)

@@ -101,7 +101,9 @@ def test_inc01_merge_is_associative(spark):
         partials.groupBy("hour_id", "event_type")
         .agg(
             F.sum("p_n").cast("bigint").alias("n_events"),
-            F.round(F.sum("p_sum"), 2).alias("sum_value"),
+            # DOUBLE-cast matches inc01's round-8 output convention (raw
+            # DECIMAL finals are banned — the r07 driver hash fix)
+            F.round(F.sum("p_sum"), 2).cast("double").alias("sum_value"),
             F.min("p_min").alias("min_value"),
             F.max("p_max").alias("max_value"),
             F.min("p_first").cast("bigint").alias("first_ts_us"),

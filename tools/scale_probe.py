@@ -88,6 +88,10 @@ QUERIES = [
     "cur04_token_drift",  # round-7: token join must stay vocab-bounded
     "dq06_psi_drift",  # round-7: everything past the two 26-row aggs is constant
     "cur05_url_dedup",  # round-7: agg cascade, only URL keys shuffle (never text)
+    "dq07_window_psi_drift",  # round-8: constant past the two histogram aggs
+    "cur06_pii_scrub",  # round-8: per-row regex + 1 agg, text never shuffles
+    "samp07_dsir_importance",  # round-8: one (doc,bucket) shuffle, ratio broadcast
+    "sim12_pq_topk",  # round-8: ADC scan must stay narrow; top-k window per query
 ]
 
 
