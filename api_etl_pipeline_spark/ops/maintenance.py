@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.tables import load_table
 
 
 def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
@@ -342,4 +343,106 @@ def stats02_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w_n").cast("bigint").alias("w_n"),
         F.round(z, 6).alias("z_score"),
         F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+MAINT01_TARGET = 262144  # planner target bytes per output group (fixture scale)
+
+
+@query(
+    "maint01_compaction_plan",
+    oracle=f"""
+    WITH inv AS (
+        SELECT source AS part, doc_id AS file_id,
+               (n_chars * 64 + 1024)::BIGINT AS size_bytes
+        FROM documents
+    ),
+    classified AS (
+        SELECT part, file_id, size_bytes,
+               CASE WHEN size_bytes >= {MAINT01_TARGET} // 2
+                    THEN 'keep' ELSE 'compact' END AS action
+        FROM inv
+    ),
+    grouped AS (
+        SELECT part, file_id, size_bytes, action,
+               CASE WHEN action = 'compact' THEN
+                   (SUM(size_bytes) OVER (
+                        PARTITION BY part, action ORDER BY file_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - size_bytes) // {MAINT01_TARGET}
+               END::BIGINT AS group_id
+        FROM classified
+    )
+    SELECT part, file_id, size_bytes, action, group_id,
+           COUNT(*) OVER w::BIGINT AS group_files,
+           SUM(size_bytes) OVER w::BIGINT AS group_bytes
+    FROM grouped
+    WINDOW w AS (PARTITION BY part, action, group_id)
+    """,
+)
+def maint01_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed small-file compaction PLANNER — the missing half of
+    this module's `compact` executor: at 100 TB the file manifest itself
+    is big data (a petabyte table holds millions of files across
+    thousands of partitions), so the file→output-group assignment must
+    be a DataFrame job over the inventory, not the driver-side listing
+    `plan_compaction` uses at single-table scale. The inventory here is
+    synthesized deterministically from documents (file per doc,
+    size = n_chars*64+1024, partition = source — the dq05 fixture
+    device); production swaps in the catalog manifest scan.
+
+    Semantics: files already ≥ half the target are KEPT in place
+    (rewriting them wastes I/O); the small remainder is packed per
+    partition in file-id order by the next-fit rule group = running
+    cumsum-before DIV target (pack02's device — deterministic, order-
+    preserving so clustering survives, and a group overshoots the
+    target by at most one file). Every column is an exact integer, so
+    the plan — not just its summary — is driver-hash-pinned, including
+    each group's file count and byte total.
+
+    Plan shape: one scan, one window per (partition, action) for the
+    running sum, one window for the group rollup — both over the same
+    partitioning, so ONE exchange serves all. Nothing leaves the
+    executor tier; the output IS the work order a rewrite job
+    (`compact`) executes per group."""
+    inv = load_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("part"),
+        F.col("doc_id").alias("file_id"),
+        (F.col("n_chars").cast("bigint") * 64 + 1024).alias("size_bytes"),
+    )
+    classified = inv.select(
+        "part",
+        "file_id",
+        "size_bytes",
+        F.when(F.col("size_bytes") >= MAINT01_TARGET // 2, "keep")
+        .otherwise("compact")
+        .alias("action"),
+    )
+    run = Window.partitionBy("part", "action").orderBy(F.col("file_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grouped = classified.select(
+        "part",
+        "file_id",
+        "size_bytes",
+        "action",
+        F.when(
+            F.col("action") == "compact",
+            F.floor(
+                (F.sum("size_bytes").over(run) - F.col("size_bytes"))
+                / F.lit(MAINT01_TARGET)
+            ),
+        )
+        .cast("bigint")
+        .alias("group_id"),
+    )
+    w = Window.partitionBy("part", "action", "group_id")
+    return grouped.select(
+        "part",
+        "file_id",
+        "size_bytes",
+        "action",
+        "group_id",
+        F.count("*").over(w).cast("bigint").alias("group_files"),
+        F.sum("size_bytes").over(w).cast("bigint").alias("group_bytes"),
     )

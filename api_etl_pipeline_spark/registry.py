@@ -113,30 +113,30 @@ def _load_all() -> None:
 #   2. the round-8 additions: ing21 (T4 offset pagination), st14
 #      (composed streaming incremental sync), dq07 (windowed PSI drift
 #      vs frozen baseline), cur06 (PII scrub audit), samp07 (DSIR
-#      importance resampling), sim12 (product-quantization ANN).
+#      importance resampling), sim12 (product-quantization ANN), maint01 (distributed
+#      compaction planner).
 #   3. the seven queries whose OUTPUT CODE changed this round (DATE
 #      finals re-typed to timestamp_ntz — same canonicalization class
 #      as the decimal bug): ev04, ev05, ev14, x11, x24, w03, ing05.
 #   4. freshness fill from the queries whose LATEST driver row is
 #      pre-r4 (46 such; 37 fit): all ev01-ev12 / q19-q38 /
-#      stats01 / udaf01 / udtf01 / x01 — deferring ten pre-r4
-#      scalar projections (x02-x10 minus x01, plus x25: zero code
-#      change since round 1, pytest-oracle green every session, lowest
-#      divergence risk; x25 additionally re-measured min-of-7 in the
-#      r7 adjudication) to the round-9 fill. x05/x04/x07/x25 sit at
-#      positions 51-54 so they lead that fill.
+#      stats01 / udaf01 / udtf01 — deferring the eleven pre-r4
+#      scalar projections (x01-x10, x25: zero code change since round
+#      1, pytest-oracle green every session, lowest divergence risk;
+#      x25 additionally re-measured min-of-7 in the r7 adjudication)
+#      to the round-9 fill, which x01/x05/x04/x07/x25 lead from
+#      positions 51-55.
 # Nothing is removed — every query stays registered and the pytest
 # mirror in tests/test_queries_oracle.py still covers all.
 _DRIVER_SAMPLE_PREFIX = [
     "ev16", "inc01", "stats02",
-    "ing21", "st14", "dq07", "cur06", "samp07", "sim12",
+    "ing21", "st14", "dq07", "cur06", "samp07", "sim12", "maint01",
     "ev04", "ev05", "ev14", "x11", "x24", "w03", "ing05",
     "ev01", "ev02", "ev03", "ev06", "ev07", "ev08",
     "ev09", "ev10", "ev11", "ev12",
     *[f"q{i:02d}" for i in range(19, 39)],
     "stats01", "udaf01", "udtf01",
-    "x01",
-    "x05", "x04", "x07", "x25",  # positions 51-54: lead the round-9 fill
+    "x01", "x05", "x04", "x07", "x25",  # 50 cuts here; tail leads round 9
 ]
 
 

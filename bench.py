@@ -193,6 +193,7 @@ OPTIONAL = [
     "cur06_pii_scrub",  # regex PII detect+redact, 1 agg, text never shuffles
     "samp07_dsir_importance",  # DSIR hashed-feature log-weights, 1 shuffle
     "sim12_pq_topk",  # PQ encode (zero-shuffle) + ADC scan + top-k window
+    "maint01_compaction_plan",  # manifest-scale planner: 1 exchange, 2 windows
     # (ing21 is fixed-size fixture work — SF-invariant, no perf signal;
     # st14 live streaming — exempt by the live-run convention, its batch
     # pieces st04/st05/ing01 carry the perf signal)

@@ -26,6 +26,14 @@ The round-7 additions (tx22, dd14, dd15, st13, dq05 + the reworked
 tx21/mix02) were likewise swept green under TZ=America/New_York and
 at sf0.001 this round; st13's timestamps go through the same
 cast-to-NTZ collection convention as the other live runs.
+
+Round 8: the six additions (ing21, st14, dq07, cur06, samp07, sim12),
+the fixed decimal trio (ev16/inc01/stats02) and the seven date-final
+retypes (ev04/ev05/ev14/x11/x24/w03/ing05) swept green under
+TZ=America/New_York at BOTH sf0.001 and sf0.01 — the date/decimal
+retypes ride the timestamp_ntz / CAST-AS-DOUBLE conventions, so no
+process-TZ or pandas-canonicalization dependence remains by
+construction.
 """
 
 from __future__ import annotations

@@ -92,6 +92,7 @@ QUERIES = [
     "cur06_pii_scrub",  # round-8: per-row regex + 1 agg, text never shuffles
     "samp07_dsir_importance",  # round-8: one (doc,bucket) shuffle, ratio broadcast
     "sim12_pq_topk",  # round-8: ADC scan must stay narrow; top-k window per query
+    "maint01_compaction_plan",  # round-8: one exchange serves both planner windows
 ]
 
 
