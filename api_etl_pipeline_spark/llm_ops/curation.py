@@ -1118,8 +1118,15 @@ CUR06_SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
     """,
 )
 def cur06_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detection + redaction audit — the curation stage every
-    training-data pipeline runs before release (emails / phone numbers /
+    """PII detection + redaction AUDIT — the release-gate companion to
+    tx10_pii_redaction (text.py): tx10 is the per-document redaction
+    pass (emits every redacted row); this is the per-SOURCE compliance
+    summary a release sign-off reads, with two guarantees tx10 does not
+    carry — `n_residual` (the redacted text re-scanned, must count 0:
+    the scrub PROVABLY converged) and a redacted-text checksum (the
+    redaction byte-identical, not just count-identical). Different PII
+    classes too (phone/SSN-shaped vs tx10's IP/account-number), so the
+    pair covers both pattern families (emails / phone numbers /
     SSN-shaped ids scrubbed to typed placeholders). The corpus ships
     PII-free, so deterministic PII is INJECTED first (doc_id%5 → email,
     %7 → phone, %11 → SSN — the dq05 fault-injection pattern): the audit
