@@ -141,6 +141,11 @@ def _scan_audit_allowlist() -> set[str]:
         #   this differential setting (so the oracle can restate both);
         #   production diffs two snapshot PATHS, one scan each
         "cur03_snapshot_diff",
+        # round 8: dq07 — the frozen BASELINE histogram is recomputed
+        #   from the same events table the daily histograms scan, only
+        #   so the oracle can restate it; production reads the stored
+        #   15-row baseline table (the cur03 differential-setting class)
+        "dq07_window_psi_drift",
         # round 7: dq05 — one traversal per FK edge is the audit's
         #   definition (lineitem 4x: child of 3 FK edges plus the
         #   fault-injected detection leg); the
