@@ -1229,6 +1229,8 @@ def _pq_literals(spark: SparkSession, sf_dir: str):
         .collect()
     )
     vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    if len(vecs) < max(PQ_K, 5):  # empty/degenerate corpus: no codebook
+        return None, None
 
     def l2sq(a, b):
         acc = 0.0
@@ -1364,6 +1366,13 @@ def sim12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered-shaped (partial top-k per partition, merge k·|Q|)."""
     e = load_table(spark, sf_dir, "embeddings")
     cb_lits, q_lits = _pq_literals(spark, sf_dir)
+    if cb_lits is None:  # degenerate corpus (< K codewords): empty result,
+        # not a crash — the empty-partition robustness convention
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, rnk bigint, "
+            "approx_l2sq double, exact_l2sq double",
+        )
     base = e.select("vec_id", _dvec("embedding").alias("e"))
 
     def code_for(m: int):

@@ -46,7 +46,17 @@ def _stage_events_dir(sf_dir: str) -> str:
     if sf_dir not in _STAGE_CACHE:
         stage_dir = tempfile.mkdtemp(prefix="st_live_events_")
         atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
-        shutil.copy(f"{sf_dir}/events.parquet", f"{stage_dir}/events.parquet")
+        src = f"{sf_dir}/events.parquet"
+        if os.path.isdir(src):
+            # Spark-written table directory (e.g. the empty-input fixture):
+            # stage its data files, skipping _SUCCESS/.crc metadata. The
+            # one-file invariant below still gates — a multi-part source
+            # would need a coalesce rewrite first, not a silent multi-copy.
+            for part in os.listdir(src):
+                if not part.startswith(("_", ".")):
+                    shutil.copy(f"{src}/{part}", f"{stage_dir}/{part}")
+        else:
+            shutil.copy(src, f"{stage_dir}/events.parquet")
         staged = os.listdir(stage_dir)
         assert len(staged) == 1, f"single-micro-batch invariant broken: {staged}"
         _STAGE_CACHE[sf_dir] = stage_dir

@@ -29,6 +29,14 @@ _REPRESENTATIVE = [
     "ev13_time_weighted_value",  # lead window + folded rollup (round 4)
     "st08_enriched_segment_windows",  # dim join + windowed agg (round 4)
     "sim10_random_projection",   # literal-matrix scan-project (round 4)
+    "dq07_window_psi_drift",     # fixed-spine PSI vs empty baseline (round 8)
+    "cur06_pii_scrub",           # regex scrub audit (round 8)
+    "samp07_dsir_importance",    # hashed-feature log-weights (round 8)
+    "sim12_pq_topk",             # PQ: degenerate codebook guard (round 8)
+    "maint01_compaction_plan",   # compaction planner over empty manifest (round 8)
+    "st14_streaming_sync_live",  # composed sync: empty base + empty stream (round 8)
+    # (ing21 deliberately absent: its input is the fixture transport,
+    # not a table — it returns 4 provider rows regardless of SF data)
 ]
 
 
