@@ -70,6 +70,12 @@ QUERIES = [
     # production k ~ n/target_cell_size explicitly avoids — see its
     # docstring and SCALE.md row.)
     "dd14_incremental_dedup",
+    # round 8: DSIR importance scoring joins the set — its per-(doc,
+    # bucket) count is the round's heaviest new corpus-scale shuffle,
+    # and the re-vocabularied replicas grow the token stream honestly
+    # while the hashed 1000-bucket feature space stays fixed (DSIR's
+    # own design point: the model size is independent of corpus size).
+    "samp07_dsir_importance",
 ]
 
 
