@@ -16,6 +16,10 @@ Exit code 0 iff every executed leg passed. Legs:
    mirror and the registry-wide plan lint)
 2. sf0.1 oracle sweep — the same differential mirror at 10x data and
    shuffle partitions (catches summation-order value dependence)
+2b. driver-canonicalization sweep (round 8) — every registered query
+   compared the way the DRIVER compares (toPandas vs DuckDB .df(),
+   sorted-column string hashing); catches pandas-representation
+   divergence the value mirror cannot (the r07 decimal/date class)
 3. PLANS.md regeneration — fails if fingerprints changed but were not
    committed (run again after reviewing/committing the diff)
 4. scan audit — fails if a query newly scans a big table >= 2x beyond
@@ -199,6 +203,14 @@ def main() -> int:
             "sf0.1 oracle sweep",
             [sys.executable, "-m", "pytest", "tests/test_queries_oracle.py", "-q"],
             env={"SPARK_GRAFT_TEST_SF_DIR": "/root/testdata/sf0.1"},
+        ))
+        # round 8: the DRIVER-CLASS comparison (toPandas vs .df(), sorted
+        # string hashing) — the value mirror above compares collected
+        # Python objects and provably cannot see pandas-representation
+        # divergence (the r07 decimal/date fails). Registry-wide.
+        results.append(run_leg(
+            "driver-canonicalization sweep sf0.01",
+            [sys.executable, "tools/canon_sweep.py"],
         ))
     results.append(leg_plans_fingerprints())
     results.append(leg_scan_audit())
