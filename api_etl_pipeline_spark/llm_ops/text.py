@@ -1598,3 +1598,195 @@ def tx22_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+TX23_ZIPF_TOP = 200  # rank-frequency fit window
+
+
+@query(
+    "tx23_corpus_laws",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    deciles AS (
+        SELECT doc_id, NTILE(10) OVER (ORDER BY doc_id ASC)::BIGINT AS decile
+        FROM (SELECT DISTINCT doc_id FROM documents)
+    ),
+    -- Zipf: ln(freq) ~ a + slope * ln(rank) over the top-{TX23_ZIPF_TOP}
+    freq AS (SELECT tok, COUNT(*)::BIGINT AS f FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC)::BIGINT AS r
+        FROM freq
+    ),
+    zpts AS (
+        SELECT r, ln(r::DOUBLE) AS x, ln(f::DOUBLE) AS y
+        FROM ranked WHERE r <= {TX23_ZIPF_TOP}
+    ),
+    zfit AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               list_reduce(list(x ORDER BY r), (a, b) -> a + b) AS sx,
+               list_reduce(list(y ORDER BY r), (a, b) -> a + b) AS sy,
+               list_reduce(list(x * y ORDER BY r), (a, b) -> a + b) AS sxy,
+               list_reduce(list(x * x ORDER BY r), (a, b) -> a + b) AS sxx
+        FROM zpts
+    ),
+    -- Heaps: ln(vocab) ~ a + beta * ln(cum_tokens) over doc-id deciles
+    per_doc AS (SELECT doc_id, COUNT(*)::BIGINT AS nt FROM toks GROUP BY doc_id),
+    dtok AS (
+        SELECT d.decile, SUM(nt)::BIGINT AS toks_in
+        FROM per_doc p JOIN deciles d USING (doc_id) GROUP BY d.decile
+    ),
+    first_seen AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok),
+    dvocab AS (
+        SELECT d.decile, COUNT(*)::BIGINT AS vocab_in
+        FROM first_seen f JOIN deciles d ON d.doc_id = f.fd GROUP BY d.decile
+    ),
+    curve AS (
+        SELECT t.decile,
+               SUM(t.toks_in) OVER w AS cum_tokens,
+               SUM(COALESCE(v.vocab_in, 0)) OVER w AS cum_vocab
+        FROM dtok t LEFT JOIN dvocab v USING (decile)
+        WINDOW w AS (ORDER BY t.decile ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    hfit AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               list_reduce(list(ln(cum_tokens::DOUBLE) ORDER BY decile),
+                           (a, b) -> a + b) AS sx,
+               list_reduce(list(ln(cum_vocab::DOUBLE) ORDER BY decile),
+                           (a, b) -> a + b) AS sy,
+               list_reduce(list(ln(cum_tokens::DOUBLE) * ln(cum_vocab::DOUBLE)
+                                ORDER BY decile), (a, b) -> a + b) AS sxy,
+               list_reduce(list(ln(cum_tokens::DOUBLE) * ln(cum_tokens::DOUBLE)
+                                ORDER BY decile), (a, b) -> a + b) AS sxx
+        FROM curve
+    )
+    SELECT c.decile,
+           c.cum_tokens::BIGINT AS cum_tokens,
+           c.cum_vocab::BIGINT AS cum_vocab,
+           ROUND((z.n * z.sxy - z.sx * z.sy)
+                 / (z.n * z.sxx - z.sx * z.sx), 6) AS zipf_slope,
+           ROUND((h.n * h.sxy - h.sx * h.sy)
+                 / (h.n * h.sxx - h.sx * h.sx), 6) AS heaps_beta
+    FROM curve c, zfit z, hfit h
+    """,
+)
+def tx23_corpus_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-law audit — the two classical regularities a healthy
+    natural-language corpus obeys, fitted as observability metrics:
+    Zipf (ln frequency vs ln rank slope ≈ -1 over the top-200 tokens)
+    and Heaps (vocabulary grows ~ n^beta, beta fitted over doc-id-decile
+    prefixes using each token's FIRST-seen doc — one pass, no
+    per-prefix re-distinct). A corpus whose slope or beta drifts between
+    snapshots changed character (boilerplate flooding flattens Zipf;
+    dedup starves Heaps) — the cheap canary cur04/dq06/dq07 complement.
+
+    Float discipline: both OLS fits run over exact-integer counts'
+    logarithms, summed as ORDERED folds (rank order / decile order —
+    the tx13 convention), then one closed-form slope division rounded
+    to 6; ln's last-ulp skew is absorbed by the rounding.
+
+    Plan shape: one token explode feeds three aggs (global frequencies,
+    per-doc counts, per-token first-doc) — checkpointed so the corpus
+    explodes once; everything downstream is ≤ |vocab| rows collapsing
+    to a 10-row curve and two 1-row fits (broadcast back onto the
+    curve). At 100 TB the explode is the only corpus-scale stage and it
+    is map-side-combined on every path."""
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = lazy_checkpoint(
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    deciles = (
+        d.select("doc_id")
+        .distinct()
+        .select(
+            "doc_id",
+            F.ntile(10).over(Window.orderBy(F.col("doc_id").asc())).cast("bigint")
+            .alias("decile"),
+        )
+    )
+
+    def fold_sum(expr, order_col):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(order_col).alias("o"), expr.alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        )
+
+    freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), F.col("tok").asc()))
+        .cast("bigint")
+        .alias("r"),
+    ).filter(F.col("r") <= TX23_ZIPF_TOP)
+    x, y = F.log(F.col("r").cast("double")), F.log(F.col("f").cast("double"))
+    zfit = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        fold_sum(x, "r").alias("sx"),
+        fold_sum(y, "r").alias("sy"),
+        fold_sum(x * y, "r").alias("sxy"),
+        fold_sum(x * x, "r").alias("sxx"),
+    )
+
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    dtok = (
+        per_doc.join(deciles, "doc_id")
+        .groupBy("decile")
+        .agg(F.sum("nt").cast("bigint").alias("toks_in"))
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+    dvocab = (
+        first_seen.join(deciles, "doc_id")
+        .groupBy("decile")
+        .agg(F.count("*").cast("bigint").alias("vocab_in"))
+    )
+    w = Window.orderBy(F.col("decile").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        dtok.join(dvocab, "decile", "left")
+        .select(
+            "decile",
+            F.sum("toks_in").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("vocab_in", F.lit(0))).over(w).cast("bigint")
+            .alias("cum_vocab"),
+        )
+    )
+    curve = lazy_checkpoint(curve)  # feeds the fit AND the output rows
+    hx = F.log(F.col("cum_tokens").cast("double"))
+    hy = F.log(F.col("cum_vocab").cast("double"))
+    hfit = curve.agg(
+        F.count("*").cast("double").alias("hn"),
+        fold_sum(hx, "decile").alias("hsx"),
+        fold_sum(hy, "decile").alias("hsy"),
+        fold_sum(hx * hy, "decile").alias("hsxy"),
+        fold_sum(hx * hx, "decile").alias("hsxx"),
+    )
+    zslope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    hbeta = F.round(
+        (F.col("hn") * F.col("hsxy") - F.col("hsx") * F.col("hsy"))
+        / (F.col("hn") * F.col("hsxx") - F.col("hsx") * F.col("hsx")),
+        6,
+    )
+    return (
+        curve.crossJoin(F.broadcast(zfit))
+        .crossJoin(F.broadcast(hfit))
+        .select(
+            "decile",
+            "cum_tokens",
+            "cum_vocab",
+            zslope.alias("zipf_slope"),
+            hbeta.alias("heaps_beta"),
+        )
+    )

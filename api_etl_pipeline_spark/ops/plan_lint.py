@@ -74,6 +74,10 @@ ALLOWED: dict[tuple[str, str], str] = {
         "single-row (target_total, raw_total) broadcast into the "
         "1000-row ratio projection (the tx16 corpus-stats shape)"
     ),
+    ("tx23_corpus_laws", "BroadcastNestedLoopJoin"): (
+        "two single-row OLS-fit aggregates broadcast onto the 10-row "
+        "decile curve (the tx08 single-row-scalar shape, twice)"
+    ),
     ("tx08_tfidf_top_term", "BroadcastNestedLoopJoin"): "single-row corpus-count broadcast",
     ("tx16_bm25_topk", "BroadcastNestedLoopJoin"): "single-row (N, avgdl) corpus-stats broadcast",
     ("samp04_temperature_mix", "BroadcastNestedLoopJoin"): "single-row (budget, w_sum) broadcast",
@@ -277,6 +281,7 @@ CHECKPOINTING_QUERIES = {
     "tx19_pmi_collocations",
     "tx21_bpe_train_merges",
     "tx22_bpe_tokenize_apply",
+    "tx23_corpus_laws",  # round 8: token-explode + curve checkpoints
     "x25_mad_outliers",
 }
 

@@ -114,7 +114,7 @@ def _load_all() -> None:
 #      (composed streaming incremental sync), dq07 (windowed PSI drift
 #      vs frozen baseline), cur06 (PII scrub audit), samp07 (DSIR
 #      importance resampling), sim12 (product-quantization ANN), maint01 (distributed
-#      compaction planner).
+#      compaction planner), tx23 (Zipf/Heaps corpus-law audit).
 #   3. the seven queries whose OUTPUT CODE changed this round (DATE
 #      finals re-typed to timestamp_ntz — same canonicalization class
 #      as the decimal bug): ev04, ev05, ev14, x11, x24, w03, ing05.
@@ -131,12 +131,13 @@ def _load_all() -> None:
 _DRIVER_SAMPLE_PREFIX = [
     "ev16", "inc01", "stats02",
     "ing21", "st14", "dq07", "cur06", "samp07", "sim12", "maint01",
+    "tx23",
     "ev04", "ev05", "ev14", "x11", "x24", "w03", "ing05",
     "ev01", "ev02", "ev03", "ev06", "ev07", "ev08",
     "ev09", "ev10", "ev11", "ev12",
     *[f"q{i:02d}" for i in range(19, 39)],
     "stats01", "udaf01", "udtf01",
-    "x01", "x05", "x04", "x07", "x25",  # 50 cuts here; tail leads round 9
+    "x01", "x05", "x04", "x07", "x25",  # 50 cuts at udtf01; tail leads round 9
 ]
 
 

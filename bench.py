@@ -194,6 +194,7 @@ OPTIONAL = [
     "samp07_dsir_importance",  # DSIR hashed-feature log-weights, 1 shuffle
     "sim12_pq_topk",  # PQ encode (zero-shuffle) + ADC scan + top-k window
     "maint01_compaction_plan",  # manifest-scale planner: 1 exchange, 2 windows
+    "tx23_corpus_laws",  # Zipf/Heaps OLS fits, one corpus explode
     # (ing21 is fixed-size fixture work — SF-invariant, no perf signal;
     # st14 live streaming — exempt by the live-run convention, its batch
     # pieces st04/st05/ing01 carry the perf signal)

@@ -93,6 +93,7 @@ QUERIES = [
     "samp07_dsir_importance",  # round-8: one (doc,bucket) shuffle, ratio broadcast
     "sim12_pq_topk",  # round-8: ADC scan must stay narrow; top-k window per query
     "maint01_compaction_plan",  # round-8: one exchange serves both planner windows
+    "tx23_corpus_laws",  # round-8: single corpus explode, vocab-bounded tails
 ]
 
 
