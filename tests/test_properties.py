@@ -342,3 +342,95 @@ def test_bpe_sentinel_replace_equals_classical_merge(words, rounds):
             sentinel[w] = sentinel[w].replace(enc([lhs, rhs]), enc([lhs + rhs]))
     for w in classical:
         assert sentinel[w] == enc(classical[w]), (w, classical[w], sentinel[w])
+
+
+# --- T4 pagination properties (round 8) ---
+
+@given(
+    total=st.integers(min_value=0, max_value=137),
+    page_size=st.integers(min_value=1, max_value=25),
+)
+@settings(max_examples=60, deadline=None)
+def test_pagination_drains_exactly_once(total, page_size):
+    """For ANY (total, page_size): the skip loop sees every record
+    exactly once, in order, and issues exactly the request count the
+    dossier's stop rules imply (ceil pages; +1 empty probe iff the
+    total is an exact page multiple — including total=0's single
+    empty-page probe)."""
+    import json as _json
+
+    from api_etl_pipeline_spark.ingest.http_source import RateLimiter, fetch_items
+
+    calls = []
+
+    def transport(method, url, headers):
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(url).query)
+        skip = int(q.get("skip", ["0"])[0])
+        calls.append(skip)
+        results = list(range(skip, min(skip + page_size, total)))
+        return 200, {}, _json.dumps({"results": results, "count": 999999}).encode()
+
+    item = {"item_index": 0, "provider": "t",
+            "url": "https://api.example.gov/search",
+            "paginate": {"skip_param": "skip", "page_size": page_size}}
+    rows = list(fetch_items([item], transport,
+                            limiter=RateLimiter(clock=lambda: 0.0,
+                                                sleep=lambda s: None)))
+    seen = []
+    for r in rows:
+        body = r["body"]
+        assert r["status_code"] == 200 and body is not None
+        seen.extend(_json.loads(body)["results"])
+    assert seen == list(range(total))  # exactly once, in order
+    expected_pages = (
+        total // page_size + 1 if total % page_size == 0 else -(-total // page_size)
+    )
+    assert len(calls) == expected_pages
+    assert calls == [i * page_size for i in range(expected_pages)]
+
+
+# --- maint01 next-fit packing properties (round 8) ---
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=60),
+    target=st.integers(min_value=100, max_value=1000),
+)
+@settings(max_examples=60, deadline=None)
+def test_next_fit_packing_invariants(sizes, target):
+    """The cumsum-before DIV target rule (maint01/pack02) for ANY size
+    sequence: groups are contiguous in input order (clustering
+    survives), ids ascend with position, every group except possibly
+    the last would not have accepted its first file earlier (next-fit),
+    and no group exceeds target by more than ONE file's worth."""
+    cum = 0
+    groups = []
+    for s in sizes:
+        groups.append(cum // target)
+        cum += s
+    # contiguous + monotone
+    assert groups == sorted(groups)
+    # group byte totals: each group except the last ends because cumsum
+    # crossed a target boundary => total >= its boundary remainder, and
+    # overshoot is bounded by the last file added
+    from collections import defaultdict
+
+    by_group = defaultdict(list)
+    start_cum: dict[int, int] = {}
+    cum = 0
+    for s, g in zip(sizes, groups):
+        start_cum.setdefault(g, cum)
+        by_group[g].append(s)
+        cum += s
+    for g, members in by_group.items():
+        total_g = sum(members)
+        end_cum = start_cum[g] + total_g
+        if g != max(groups):
+            # closed group: its cumsum crossed the next target boundary
+            assert end_cum >= (g + 1) * target
+            # ...but only because of its LAST member (next-fit bound):
+            # without that file it was still inside the window
+            assert end_cum - members[-1] < (g + 1) * target
+            # overshoot bounded by one file
+            assert total_g < target + members[-1]
