@@ -831,7 +831,9 @@ def _paged_fake_transport():
 
 @query(
     "ing21_offset_pagination",
-    oracle="""
+    # f-string so the page size stays tied to _PAGE_SIZE — a literal 20/19
+    # here would silently desynchronize the oracle if the constant moved.
+    oracle=f"""
     WITH providers AS (
         SELECT unnest(generate_series(0, 3)) AS p
     ),
@@ -845,8 +847,8 @@ def _paged_fake_transport():
     )
     SELECT concat('prov', p) AS provider,
            COUNT(*)::BIGINT AS n_records,
-           (CASE WHEN total % 20 = 0 THEN total // 20 + 1
-                 ELSE (total + 19) // 20 END)::BIGINT AS n_pages,
+           (CASE WHEN total % {_PAGE_SIZE} = 0 THEN total // {_PAGE_SIZE} + 1
+                 ELSE (total + {_PAGE_SIZE - 1}) // {_PAGE_SIZE} END)::BIGINT AS n_pages,
            SUM((p * 1000 + k) * 7 % 101)::BIGINT AS sum_value,
            MIN(p * 1000 + k)::BIGINT AS min_id,
            MAX(p * 1000 + k)::BIGINT AS max_id

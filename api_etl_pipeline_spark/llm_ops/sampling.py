@@ -423,7 +423,8 @@ SAMP07_BUCKETS = 1000  # hashed-feature space (DSIR's "hashed n-grams")
                list_reduce(list(cnt * r ORDER BY bucket), (a, x) -> a + x) AS lw
         FROM dc JOIN lr USING (bucket) GROUP BY doc_id
     )
-    SELECT doc_id, n_toks, ROUND(lw, 6) AS log_weight, lw > 0 AS selected
+    SELECT doc_id, n_toks, ROUND(lw, 6) AS log_weight,
+           ROUND(lw, 6) > 0 AS selected
     FROM w
     """,
 )
@@ -516,6 +517,8 @@ def samp07_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_toks",
             F.round("lw", 6).alias("log_weight"),
-            (F.col("lw") > 0).alias("selected"),
+            # selected derives from the ROUNDED weight on both sides: a true
+            # lw within accumulated ulp of 0 must not flip cross-engine.
+            (F.round("lw", 6) > 0).alias("selected"),
         )
     )

@@ -421,17 +421,21 @@ def maint01_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = Window.partitionBy("part", "action").orderBy(F.col("file_id").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    grouped = classified.select(
+    # group_id must be EXACT integer arithmetic end-to-end: the oracle uses
+    # `//`, and floor-of-double mis-assigns boundary files once per-(part,
+    # action) cumulative bytes pass 2^53 — real at petabyte-manifest scale.
+    # `div` is Spark's integer division on bigints (exact match for the
+    # non-negative cumsums here).
+    grouped = classified.withColumn(
+        "cum_before", F.sum("size_bytes").over(run) - F.col("size_bytes")
+    ).select(
         "part",
         "file_id",
         "size_bytes",
         "action",
         F.when(
             F.col("action") == "compact",
-            F.floor(
-                (F.sum("size_bytes").over(run) - F.col("size_bytes"))
-                / F.lit(MAINT01_TARGET)
-            ),
+            F.expr(f"cum_before div {MAINT01_TARGET}"),
         )
         .cast("bigint")
         .alias("group_id"),

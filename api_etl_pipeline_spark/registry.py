@@ -103,41 +103,38 @@ def _load_all() -> None:
 
 
 # Driver-coverage rotation. The driver's per-round correctness gate samples
-# the FIRST 50 entries of queries() in dict order. As of round 7 every
-# registered query has at least one driver CORRECTNESS row (cumulative
-# 244/244). This round-8 prefix (per the round-7 verdict tasks 1/4)
-# front-loads, in order:
-#   1. the three r07 hash-FAIL queries, now fixed (raw DECIMAL finals →
-#      CAST AS DOUBLE, the ev15 convention): ev16, inc01, stats02 — the
-#      re-check that closes the regression.
-#   2. the round-8 additions: ing21 (T4 offset pagination), st14
-#      (composed streaming incremental sync), dq07 (windowed PSI drift
-#      vs frozen baseline), cur06 (PII scrub audit), samp07 (DSIR
-#      importance resampling), sim12 (product-quantization ANN), maint01 (distributed
-#      compaction planner), tx23 (Zipf/Heaps corpus-law audit).
-#   3. the seven queries whose OUTPUT CODE changed this round (DATE
-#      finals re-typed to timestamp_ntz — same canonicalization class
-#      as the decimal bug): ev04, ev05, ev14, x11, x24, w03, ing05.
-#   4. freshness fill from the queries whose LATEST driver row is
-#      pre-r4 (46 such; 37 fit): all ev01-ev12 / q19-q38 /
-#      stats01 / udaf01 / udtf01 — deferring the eleven pre-r4
-#      scalar projections (x01-x10, x25: zero code change since round
-#      1, pytest-oracle green every session, lowest divergence risk;
-#      x25 additionally re-measured min-of-7 in the r7 adjudication)
-#      to the round-9 fill, which x01/x05/x04/x07/x25 lead from
-#      positions 51-55.
-# Nothing is removed — every query stays registered and the pytest
-# mirror in tests/test_queries_oracle.py still covers all.
+# the FIRST 50 entries of queries() in dict order. This round-9 prefix (per
+# the round-8 verdict task 1) front-loads, in order:
+#   1. ALL 12 queries whose latest driver row predates round 4 — the last
+#      such tail in the registry: x01-x10 (latest row r1), x25 and
+#      udtf01_bigram_expand (latest row r3). After this round no
+#      registered query's newest driver row predates r4.
+#   2. the queries whose code or oracle changed in round 9 and therefore
+#      need a fresh driver row: samp07 (`selected` now derives from the
+#      ROUNDED log-weight on both sides), maint01 (group_id via exact
+#      integer `div`, not floor-of-double), ing21 (oracle page size now
+#      interpolated from _PAGE_SIZE), sim12 (top-k rewritten to the
+#      per-partition partial top-k shape), plus the round-9 additions
+#      cur07 (HTML main-text extraction) and llm04 (composed curation
+#      funnel). Names listed here before the op lands are skipped by
+#      _rotated until registered.
+#   3. freshness fill, oldest first: 32 of the 45 queries whose latest
+#      driver row is r4, in registry order (q51, dd01-dd07/dd09/dd10,
+#      w04-w11, ing01-ing04/ing06-ing15). The 13 r4 leftovers
+#      (ing16-ing20, dd08, sim01-sim05, sim07, sim08) lead the round-10
+#      fill from positions 51+.
+# 12 + 6 + 32 = 50 exactly. Nothing is removed — every query stays
+# registered and the pytest mirror in tests/test_queries_oracle.py still
+# covers all.
 _DRIVER_SAMPLE_PREFIX = [
-    "ev16", "inc01", "stats02",
-    "ing21", "st14", "dq07", "cur06", "samp07", "sim12", "maint01",
-    "tx23",
-    "ev04", "ev05", "ev14", "x11", "x24", "w03", "ing05",
-    "ev01", "ev02", "ev03", "ev06", "ev07", "ev08",
-    "ev09", "ev10", "ev11", "ev12",
-    *[f"q{i:02d}" for i in range(19, 39)],
-    "stats01", "udaf01", "udtf01",
-    "x01", "x05", "x04", "x07", "x25",  # 50 cuts at udtf01; tail leads round 9
+    *[f"x{i:02d}" for i in range(1, 11)], "x25", "udtf01",
+    "samp07", "maint01", "ing21", "sim12", "cur07", "llm04",
+    "q51",
+    "dd01", "dd02", "dd03", "dd04", "dd05", "dd06", "dd07", "dd09", "dd10",
+    *[f"w{i:02d}" for i in range(4, 12)],
+    "ing01", "ing02", "ing03", "ing04",
+    *[f"ing{i:02d}" for i in range(6, 16)],
+    # round-10 fill queue: ing16-ing20, dd08, sim01-sim05, sim07, sim08
 ]
 
 
