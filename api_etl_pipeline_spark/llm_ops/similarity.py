@@ -1361,9 +1361,18 @@ def sim12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: encode = ONE narrow zero-shuffle pass (codebook folded
     in as literals, the sim04 device); scoring explodes the 5-query
     literal against encoded rows (row growth |Q|x but each row is 4
-    ints + 2 doubles); ONE window for the per-query top-k. At corpus
-    scale the ADC scan is embarrassingly parallel and the top-k is
-    TakeOrdered-shaped (partial top-k per partition, merge k·|Q|)."""
+    ints + 2 doubles); top-k is TakeOrdered-SHAPED IN THE PHYSICAL
+    PLAN, not just asserted: Catalyst's rank-limit pushdown
+    (SPARK-37099) compiles the row_number-then-filter pattern to
+    ``WindowGroupLimit [query_id] ... row_number(), k, Partial``
+    BELOW the exchange — every map task emits at most k rows per
+    query under the full (approx_l2sq, neighbor_id) total order, so
+    the only exchange carries ≤ k·|Q| rows per input partition, never
+    the scored stream, and the |Q| window reducers see kilobytes at
+    any corpus scale. Pinned by tests/test_plan_shapes.py
+    (test_sim12_partial_topk_below_exchange); a hand-rolled pandas
+    partial top-k was evaluated and REJECTED — it re-routes the whole
+    scored stream through Arrow for pruning the JVM already does."""
     e = load_table(spark, sf_dir, "embeddings")
     cb_lits, q_lits = _pq_literals(spark, sf_dir)
     if cb_lits is None:  # degenerate corpus (< K codewords): empty result,

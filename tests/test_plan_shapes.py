@@ -344,3 +344,23 @@ def test_sim10_is_pure_scan_project(spark):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", p, flags=re.M))
     assert n_exchanges == 0, f"expected 0 exchanges, got {n_exchanges}"
     assert "Join" not in p
+
+
+def test_sim12_partial_topk_below_exchange(spark):
+    # Round-9 verdict task 5: the per-query top-k must be TakeOrdered-shaped
+    # — a PARTIAL WindowGroupLimit (SPARK-37099 rank-limit pushdown) below
+    # the query_id exchange, so map tasks emit ≤ k rows per query and the
+    # exchange never carries the full scored stream. The simple-string plan
+    # prints children below parents, so Partial must appear AFTER Exchange.
+    from api_etl_pipeline_spark.registry import all_queries
+
+    df = all_queries()["sim12_pq_topk"].fn(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    i_exch = p.find("Exchange hashpartitioning(query_id")
+    i_partial = p.find("row_number(), 3, Partial")
+    i_final = p.find("row_number(), 3, Final")
+    assert i_exch != -1, "expected a query_id exchange"
+    assert i_partial != -1, "rank-limit pushdown missing: no Partial WindowGroupLimit"
+    assert i_final != -1 and i_final < i_exch < i_partial, (
+        "Partial WindowGroupLimit must sit upstream (below) the exchange"
+    )
