@@ -1194,3 +1194,232 @@ def cur06_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(residual).cast("bigint").alias("n_residual"),
         F.sum(checksum).cast("bigint").alias("redacted_checksum"),
     )
+
+
+# cur07 — HTML main-text extraction. The first stage of the C4/CCNet/
+# RefinedWeb lineage (cur05 cites it): strip markup, drop script/style
+# blocks whole, decode entities, and drop BOILERPLATE lines by a
+# text-density + link-count signal (the jusText/boilerpipe family's
+# core heuristic, simplified to integer arithmetic so both engines
+# agree bit-for-bit). The reference's own artifact class is HTML
+# (tests/fixtures/sec_edgar/artifact.htm; sec_edgar.py:27-31 fetches
+# the primary DOCUMENT, not the JSON), so this is also the parity
+# operator for "what would the reference do with the bytes it stores".
+# The corpus ships markup-free, so deterministic HTML is INJECTED
+# first (the cur06 fault-injection device): title/style/script/nav/
+# footer boilerplate plus entity-laden content paragraphs at known
+# rates — the extractor must keep exactly the content lines, and the
+# kept-text md5 checksum pins the extraction byte-identically.
+# Patterns stay in the Java∩RE2 subset (text.py:345): non-greedy +
+# (?s) are in both; no lookaround, no backrefs.
+CUR07_SCRIPT_RE = "(?s)<script[^>]*>.*?</script>"
+CUR07_STYLE_RE = "(?s)<style[^>]*>.*?</style>"
+CUR07_TAG_RE = "<[^>]*>"
+# boilerplate: stripped text shorter than 20 chars, 2+ links, or text
+# density below 1/4 (integer form: txt_len*4 < raw_len — no float
+# threshold to diverge cross-engine)
+CUR07_MIN_TXT = 20
+CUR07_MAX_LINKS = 2
+CUR07_STYLE_LINE = '<style>.nav a,.footer a .x0 .x1 color #000 display flex</style>'
+
+
+@query(
+    "cur07_html_main_text",
+    oracle=f"""
+    WITH wrapped AS (
+        SELECT doc_id, source,
+               '<html><head><title>Doc ' || doc_id::VARCHAR || '</title>'
+               || chr(10) || '{CUR07_STYLE_LINE}'
+               || chr(10) || '<script>var t=' || doc_id::VARCHAR
+                          || ';track(t);</script>'
+               || chr(10) || '</head><body><div class="nav"><a href="/">Home</a>'
+                          || ' | <a href="/s/' || source || '">Section</a>'
+                          || ' | <a href="/d/' || (doc_id % 10)::VARCHAR
+                          || '">More</a></div>'
+               || chr(10) || '<p>Q&amp;A ' || text || ' &lt;end '
+                          || doc_id::VARCHAR || '&gt;</p>'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || '<p>&quot;review&quot; &#39;s&nbsp;note '
+                            || (doc_id % 100)::VARCHAR || '</p>'
+                       ELSE '' END
+               || chr(10) || '<div class="footer"><a href="/terms">Terms</a>'
+                          || '<a href="/privacy">Privacy</a> (c) 2026</div>'
+                          || '</body></html>' AS html
+        FROM documents
+    ),
+    per AS (
+        SELECT doc_id, source,
+               list_transform(string_split(html, chr(10)), ln -> struct_pack(
+                   txt := trim(regexp_replace(regexp_replace(regexp_replace(
+                              regexp_replace(ln,
+                                  '{CUR07_SCRIPT_RE}', ' ', 'g'),
+                                  '{CUR07_STYLE_RE}', ' ', 'g'),
+                                  '{CUR07_TAG_RE}', ' ', 'g'),
+                                  ' +', ' ', 'g')),
+                   raw_len := length(ln),
+                   n_links := len(regexp_extract_all(ln, '<a '))
+               )) AS stats
+        FROM wrapped
+    ),
+    kept AS (
+        SELECT doc_id, source,
+               len(stats) AS n_lines,
+               list_filter(stats, s -> NOT (
+                   length(s.txt) < {CUR07_MIN_TXT}
+                   OR s.n_links >= {CUR07_MAX_LINKS}
+                   OR length(s.txt) * 4 < s.raw_len)) AS keep
+        FROM per
+    ),
+    joined AS (
+        SELECT doc_id, source, n_lines,
+               n_lines - len(keep) AS n_boiler,
+               array_to_string(list_transform(keep, s -> s.txt), ' ') AS kept_txt
+        FROM kept
+    ),
+    dec AS (
+        SELECT doc_id, source, n_lines, n_boiler,
+               len(regexp_extract_all(kept_txt, '{CUR07_TAG_RE}')) AS n_res_tags,
+               trim(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(kept_txt,
+                       '&lt;', '<', 'g'),
+                       '&gt;', '>', 'g'),
+                       '&quot;', '"', 'g'),
+                       '&#39;', chr(39), 'g'),
+                       '&nbsp;', ' ', 'g'),
+                   ' +', ' ', 'g')) AS main0
+        FROM joined
+    ),
+    fin AS (
+        SELECT doc_id, source, n_lines, n_boiler, n_res_tags,
+               regexp_replace(main0, '&amp;', '&', 'g') AS main_text
+        FROM dec
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_lines)::BIGINT AS n_lines,
+           SUM(n_boiler)::BIGINT AS n_boiler_lines,
+           ROUND(SUM(n_boiler) / SUM(n_lines)::DOUBLE, 9) AS boiler_rate,
+           SUM(n_res_tags)::BIGINT AS n_residual_tags,
+           SUM(length(main_text))::BIGINT AS kept_chars,
+           SUM(('0x' || substr(md5(main_text), 1, 8))::BIGINT)::BIGINT
+               AS main_text_checksum
+    FROM fin
+    GROUP BY source
+    """,
+)
+def cur07_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup main-text extraction — boilerplate-strip, the first
+    stage of every web-scale corpus pipeline (C4 / CCNet / RefinedWeb;
+    the reference's stored artifact class is itself HTML:
+    tests/fixtures/sec_edgar/artifact.htm via sec_edgar.py:27-31).
+
+    Stages, all per-row JVM expressions:
+    1. INJECT deterministic HTML around each document (the cur06
+       device): title + style + script + link-heavy nav and footer
+       lines (boilerplate at known rates) and entity-laden content
+       paragraphs (every doc gets `Q&amp;A <text> &lt;end id&gt;`;
+       doc_id%3 adds a quote/apostrophe/nbsp paragraph).
+    2. Per LINE (higher-order transform over split — the text never
+       leaves the row): remove <script>/<style> blocks WHOLE, strip
+       remaining tags, collapse whitespace; record raw length and
+       `<a ` link count.
+    3. Classify boilerplate by the jusText-family signal reduced to
+       integers: stripped length < 20, links ≥ 2, or text density
+       < 1/4 (txt_len*4 < raw_len — no float threshold).
+    4. Join kept lines; count residual tags BEFORE entity decode
+       (must sum 0 — the cur06 "provably converged" guarantee; decode
+       may legitimately introduce literal `<end id>` text, which is
+       content, not markup).
+    5. Decode entities (&lt; &gt; &quot; &#39; &nbsp; first, &amp;
+       LAST so double-encoded text never double-decodes), collapse
+       whitespace — the main text. Its per-doc md5-8 checksum rides
+       into the hash, pinning extraction byte-identically.
+
+    Plan shape / 100 TB: scan-bound narrow projections (split +
+    transform/filter lambdas are whole-stage-codegen'd per row) and
+    ONE hash aggregate on source — no join, no window; only ~60-byte
+    count/checksum rows reach the exchange. Linear in corpus bytes,
+    the dd01 cost model."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did.cast("string"), F.lit("</title>"),
+        F.lit("\n" + CUR07_STYLE_LINE),
+        F.lit("\n<script>var t="), did.cast("string"), F.lit(";track(t);</script>"),
+        F.lit('\n</head><body><div class="nav"><a href="/">Home</a>'
+              ' | <a href="/s/'), F.col("source"),
+        F.lit('">Section</a> | <a href="/d/'), (did % 10).cast("string"),
+        F.lit('">More</a></div>'),
+        F.lit("\n<p>Q&amp;A "), F.col("text"),
+        F.lit(" &lt;end "), did.cast("string"), F.lit("&gt;</p>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("\n<p>&quot;review&quot; &#39;s&nbsp;note "),
+                     (did % 100).cast("string"), F.lit("</p>")),
+        ).otherwise(""),
+        F.lit('\n<div class="footer"><a href="/terms">Terms</a>'
+              '<a href="/privacy">Privacy</a> (c) 2026</div></body></html>'),
+    )
+
+    def strip_line(ln):
+        s = F.regexp_replace(ln, CUR07_SCRIPT_RE, " ")
+        s = F.regexp_replace(s, CUR07_STYLE_RE, " ")
+        s = F.regexp_replace(s, CUR07_TAG_RE, " ")
+        return F.trim(F.regexp_replace(s, " +", " "))
+
+    stats = F.transform(
+        F.split(F.col("html"), "\n"),
+        lambda ln: F.struct(
+            strip_line(ln).alias("txt"),
+            F.length(ln).alias("raw_len"),
+            F.regexp_count(ln, F.lit("<a ")).alias("n_links"),
+        ),
+    )
+    keep = F.filter(
+        F.col("stats"),
+        lambda s: ~(
+            (F.length(s["txt"]) < CUR07_MIN_TXT)
+            | (s["n_links"] >= CUR07_MAX_LINKS)
+            | (F.length(s["txt"]) * 4 < s["raw_len"])
+        ),
+    )
+    per = (
+        d.select("doc_id", "source", html.alias("html"))
+        .select("doc_id", "source", stats.alias("stats"))
+        .select(
+            "source",
+            F.size("stats").alias("n_lines"),
+            keep.alias("keep"),
+        )
+        .select(
+            "source",
+            "n_lines",
+            (F.col("n_lines") - F.size("keep")).alias("n_boiler"),
+            F.array_join(F.transform("keep", lambda s: s["txt"]), " ").alias("kept_txt"),
+        )
+    )
+    decoded = F.col("kept_txt")
+    for pat, rep in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "'"), ("&nbsp;", " ")]:
+        decoded = F.regexp_replace(decoded, pat, rep)
+    main0 = F.trim(F.regexp_replace(decoded, " +", " "))
+    fin = per.select(
+        "source",
+        "n_lines",
+        "n_boiler",
+        F.regexp_count(F.col("kept_txt"), F.lit(CUR07_TAG_RE)).alias("n_res_tags"),
+        F.regexp_replace(main0, "&amp;", "&").alias("main_text"),
+    )
+    checksum = F.conv(
+        F.substring(F.md5(F.col("main_text").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+    return fin.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum("n_boiler").cast("bigint").alias("n_boiler_lines"),
+        F.round(F.sum("n_boiler") / F.sum("n_lines"), 9).alias("boiler_rate"),
+        F.sum("n_res_tags").cast("bigint").alias("n_residual_tags"),
+        F.sum(F.length("main_text")).cast("bigint").alias("kept_chars"),
+        F.sum(checksum).cast("bigint").alias("main_text_checksum"),
+    )
