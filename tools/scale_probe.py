@@ -94,6 +94,7 @@ QUERIES = [
     "sim12_pq_topk",  # round-8: ADC scan must stay narrow; top-k window per query
     "maint01_compaction_plan",  # round-8: one exchange serves both planner windows
     "tx23_corpus_laws",  # round-8: single corpus explode, vocab-bounded tails
+    "cur07_html_main_text",  # round-9: per-row regex extraction + 1 agg, text never shuffles
 ]
 
 

@@ -57,6 +57,15 @@ KEY_SHIFT = {
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "documents": ["doc_id"],
+    # round 9: events and embeddings join the replicated set so the
+    # round-8 shuffle ops can be probed at 100x volume — timestamps and
+    # values stay verbatim (dq07's per-day histogram windows must GROW
+    # 100x within the same day spine, which is exactly the production
+    # shape: more traffic, same calendar), and embedding vectors stay
+    # verbatim (sim12's ADC scan cost is per-row; replica-0 query ids
+    # survive the shift so the 5-query literal still resolves).
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
 }
 
 QUERIES = [
@@ -76,20 +85,43 @@ QUERIES = [
     # while the hashed 1000-bucket feature space stays fixed (DSIR's
     # own design point: the model size is independent of corpus size).
     "samp07_dsir_importance",
+    # round 9 (round-8 verdict task 4): the remaining round-8 ops whose
+    # corpus-scale stage deserves a second decade —
+    # dq07: the daily-histogram agg is the only corpus-scale stage;
+    # everything past the two histograms is 15-bucket spine algebra.
+    "dq07_window_psi_drift",
+    # cur06: per-row JVM regex + ONE hash agg; text never shuffles, so
+    # wall must track the scan, not any exchange.
+    "cur06_pii_scrub",
+    # sim12: the scored stream grows 100x but the WindowGroupLimit
+    # Partial below the exchange must keep the exchange at k·|Q| rows
+    # per input partition — the plan-shape claim this probe tests.
+    "sim12_pq_topk",
 ]
 
 
 def build_100x(spark) -> float:
-    marker = Path(OUT) / "_READY"
-    if marker.exists():
-        return 0.0
-    import shutil
-
+    # Per-table markers carrying the table's replication spec: a table is
+    # rebuilt only when its spec changed (round 9 added events/embeddings
+    # to KEY_SHIFT — the expensive re-vocabularied documents build from
+    # the prior run is reused as-is).
+    legacy = Path(OUT) / "_READY"
     t0 = time.perf_counter()
-    shutil.rmtree(OUT, ignore_errors=True)
-    Path(OUT).mkdir(parents=True)
+    Path(OUT).mkdir(parents=True, exist_ok=True)
     reps = F.broadcast(spark.range(REPLICAS).withColumnRenamed("id", "_rep"))
     for name in TABLES:
+        spec = repr(KEY_SHIFT.get(name))
+        marker = Path(OUT) / f"_READY_{name}"
+        if marker.exists() and marker.read_text() == spec:
+            continue
+        if legacy.exists() and not marker.exists() and name not in (
+            "events",
+            "embeddings",
+        ):
+            # data on disk predates per-table markers but was built with
+            # an identical spec — seed the marker instead of rebuilding
+            marker.write_text(spec)
+            continue
         df = load_table(spark, SF_DIR, name)
         if name in KEY_SHIFT:
             r = df.crossJoin(reps)
@@ -113,8 +145,9 @@ def build_100x(spark) -> float:
             )
         else:
             df.write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+        marker.write_text(spec)
     dt = time.perf_counter() - t0
-    marker.write_text("ok")
+    legacy.write_text("ok")
     return round(dt, 1)
 
 
@@ -140,7 +173,12 @@ def main() -> None:
 
     specs = all_queries()
     rows = []
-    for name in QUERIES:
+    # optional argv filter: probe only the named queries (substring match)
+    wanted = sys.argv[1:]
+    names = [
+        q for q in QUERIES if not wanted or any(w in q for w in wanted)
+    ]
+    for name in names:
         fn = specs[name].fn
         fp1 = summarize_plan(plan_text(fn(spark, base_dir)))
         t1 = time_query(spark, fn, base_dir)
