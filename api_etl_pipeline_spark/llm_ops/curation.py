@@ -929,6 +929,45 @@ def cur04_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUR05_PATH_BUCKETS = 100
 
 
+def cur05_raw_url(path_bucket: "F.Column | None" = None) -> "F.Column":
+    """The cur05 synthesized raw URL from (doc_id, source) — shared with
+    llm04's composed funnel so the injection device cannot drift. The
+    default path bucket is cur05's doc_id % CUR05_PATH_BUCKETS; llm04
+    passes doc_id div 100 instead (the documents fixture's source is a
+    pure function of doc_id % 20, so the modulo bucket caps canonical
+    URLs at 100 groups at EVERY scale — fine for cur05's per-source
+    audit, degenerate for a funnel whose later stages need survivor
+    volume to grow with the corpus)."""
+    if path_bucket is None:
+        path_bucket = F.col("doc_id") % CUR05_PATH_BUCKETS
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.org/doc/"),
+        path_bucket.cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_campaign=x&utm_medium=y"))
+        .otherwise(F.lit("")),
+    )
+
+
+def cur05_canonical_url(raw: "F.Column") -> "F.Column":
+    """cur05's canonicalization chain (lowercase, strip utm query, www.
+    prefix, trailing slash) — anchored-regex only, Java∩RE2 subset."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), "[?]utm.*$", ""),
+            "^https://www\\.",
+            "https://",
+        ),
+        "/$",
+        "",
+    )
+
+
 @query(
     "cur05_url_dedup",
     oracle=f"""
@@ -1009,27 +1048,8 @@ def cur05_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a derived key — the cheapest stage of the pipeline, which is why
     crawls run it first."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    raw = F.concat(
-        F.lit("https://"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
-            F.col("source")
-        ),
-        F.lit(".example.org/doc/"),
-        (F.col("doc_id") % CUR05_PATH_BUCKETS).cast("string"),
-        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_campaign=x&utm_medium=y"))
-        .otherwise(F.lit("")),
-    ).alias("raw_url")
-    canonical = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("raw_url")), "[?]utm.*$", ""),
-            "^https://www\\.",
-            "https://",
-        ),
-        "/$",
-        "",
-    ).alias("canonical_url")
+    raw = cur05_raw_url().alias("raw_url")
+    canonical = cur05_canonical_url(F.col("raw_url")).alias("canonical_url")
     lvl0 = (
         d.select("doc_id", "source", raw)
         .select("doc_id", "source", "raw_url", canonical)
@@ -1067,6 +1087,41 @@ def cur05_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUR06_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 CUR06_PHONE_RE = "\\+1-555-[0-9]{4}"
 CUR06_SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def cur06_seeded(text: "F.Column") -> "F.Column":
+    """cur06's deterministic PII injection appended to `text` (doc_id%5 →
+    email, %7 → phone, %11 → SSN) — shared with llm04's composed funnel
+    so the injection device cannot drift."""
+    did = F.col("doc_id")
+    pad4 = F.lpad((did % 10000).cast("string"), 4, "0")
+    return F.concat(
+        text,
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@example.com"))).otherwise(""),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" call +1-555-"), pad4)).otherwise(""),
+        F.when(did % 11 == 0,
+               F.concat(F.lit(" id 987-65-"), pad4)).otherwise(""),
+    )
+
+
+def cur06_no_ssn(text: "F.Column") -> "F.Column":
+    """Stage 1 of the pinned scrub order: SSN first (shares the
+    digit-dash shape with phone, so phone counts are measured on
+    SSN-free text identically in both engines)."""
+    return F.regexp_replace(text, CUR06_SSN_RE, "[SSN]")
+
+
+def cur06_redacted(no_ssn: "F.Column") -> "F.Column":
+    """Stages 2-3 of the pinned scrub order over SSN-free text: phone,
+    then email last."""
+    return F.regexp_replace(
+        F.regexp_replace(no_ssn, CUR06_PHONE_RE, "[PHONE]"),
+        CUR06_EMAIL_RE,
+        "[EMAIL]",
+    )
 
 
 @query(
@@ -1146,28 +1201,11 @@ def cur06_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-hex checksum reduce before the exchange). Linear at any corpus
     size; this is dd01's cost model applied to scrubbing."""
     d = load_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    pad4 = F.lpad((did % 10000).cast("string"), 4, "0")
     seeded = d.select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.col("text"),
-            F.when(did % 5 == 0,
-                   F.concat(F.lit(" contact user"), did.cast("string"),
-                            F.lit("@example.com"))).otherwise(""),
-            F.when(did % 7 == 0,
-                   F.concat(F.lit(" call +1-555-"), pad4)).otherwise(""),
-            F.when(did % 11 == 0,
-                   F.concat(F.lit(" id 987-65-"), pad4)).otherwise(""),
-        ).alias("text"),
+        "doc_id", "source", cur06_seeded(F.col("text")).alias("text")
     )
-    no_ssn = F.regexp_replace(F.col("text"), CUR06_SSN_RE, "[SSN]")
-    redacted = F.regexp_replace(
-        F.regexp_replace(no_ssn, CUR06_PHONE_RE, "[PHONE]"),
-        CUR06_EMAIL_RE,
-        "[EMAIL]",
-    )
+    no_ssn = cur06_no_ssn(F.col("text"))
+    redacted = cur06_redacted(no_ssn)
     scrubbed = seeded.select(
         "source",
         F.regexp_count(F.col("text"), F.lit(CUR06_EMAIL_RE)).cast("bigint").alias("n_email"),
@@ -1223,11 +1261,18 @@ CUR07_MAX_LINKS = 2
 CUR07_STYLE_LINE = '<style>.nav a,.footer a .x0 .x1 color #000 display flex</style>'
 
 
-@query(
-    "cur07_html_main_text",
-    oracle=f"""
-    WITH wrapped AS (
-        SELECT doc_id, source,
+def cur07_extract_sql(src: str, carry: str = "") -> str:
+    """The cur07 wrap-and-extract CTE chain (`wrapped → per → kept →
+    joined → dec → fin`) over relation `src`, for composition into a
+    WITH clause — shared between cur07's own oracle and llm04's composed
+    funnel so the DuckDB-side semantics cannot drift either. `carry` is
+    a comma-led column list propagated verbatim through every stage
+    (e.g. ", curl, h"); `fin` exposes (doc_id, source{carry}, n_lines,
+    n_boiler, n_res_tags, main_text)."""
+    c = carry
+    return f"""
+    wrapped AS (
+        SELECT doc_id, source{c},
                '<html><head><title>Doc ' || doc_id::VARCHAR || '</title>'
                || chr(10) || '{CUR07_STYLE_LINE}'
                || chr(10) || '<script>var t=' || doc_id::VARCHAR
@@ -1245,10 +1290,10 @@ CUR07_STYLE_LINE = '<style>.nav a,.footer a .x0 .x1 color #000 display flex</sty
                || chr(10) || '<div class="footer"><a href="/terms">Terms</a>'
                           || '<a href="/privacy">Privacy</a> (c) 2026</div>'
                           || '</body></html>' AS html
-        FROM documents
+        FROM {src}
     ),
     per AS (
-        SELECT doc_id, source,
+        SELECT doc_id, source{c},
                list_transform(string_split(html, chr(10)), ln -> struct_pack(
                    txt := trim(regexp_replace(regexp_replace(regexp_replace(
                               regexp_replace(ln,
@@ -1262,7 +1307,7 @@ CUR07_STYLE_LINE = '<style>.nav a,.footer a .x0 .x1 color #000 display flex</sty
         FROM wrapped
     ),
     kept AS (
-        SELECT doc_id, source,
+        SELECT doc_id, source{c},
                len(stats) AS n_lines,
                list_filter(stats, s -> NOT (
                    length(s.txt) < {CUR07_MIN_TXT}
@@ -1271,13 +1316,13 @@ CUR07_STYLE_LINE = '<style>.nav a,.footer a .x0 .x1 color #000 display flex</sty
         FROM per
     ),
     joined AS (
-        SELECT doc_id, source, n_lines,
+        SELECT doc_id, source{c}, n_lines,
                n_lines - len(keep) AS n_boiler,
                array_to_string(list_transform(keep, s -> s.txt), ' ') AS kept_txt
         FROM kept
     ),
     dec AS (
-        SELECT doc_id, source, n_lines, n_boiler,
+        SELECT doc_id, source{c}, n_lines, n_boiler,
                len(regexp_extract_all(kept_txt, '{CUR07_TAG_RE}')) AS n_res_tags,
                trim(regexp_replace(
                    regexp_replace(regexp_replace(regexp_replace(
@@ -1291,10 +1336,16 @@ CUR07_STYLE_LINE = '<style>.nav a,.footer a .x0 .x1 color #000 display flex</sty
         FROM joined
     ),
     fin AS (
-        SELECT doc_id, source, n_lines, n_boiler, n_res_tags,
+        SELECT doc_id, source{c}, n_lines, n_boiler, n_res_tags,
                regexp_replace(main0, '&amp;', '&', 'g') AS main_text
         FROM dec
-    )
+    )"""
+
+
+@query(
+    "cur07_html_main_text",
+    oracle=f"""
+    WITH {cur07_extract_sql('documents')}
     SELECT source,
            COUNT(*)::BIGINT AS n_docs,
            SUM(n_lines)::BIGINT AS n_lines,
@@ -1341,7 +1392,29 @@ def cur07_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE hash aggregate on source — no join, no window; only ~60-byte
     count/checksum rows reach the exchange. Linear in corpus bytes,
     the dd01 cost model."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    fin = cur07_extract(d)
+    checksum = F.conv(
+        F.substring(F.md5(F.col("main_text").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+    return fin.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum("n_boiler").cast("bigint").alias("n_boiler_lines"),
+        F.round(F.sum("n_boiler") / F.sum("n_lines"), 9).alias("boiler_rate"),
+        F.sum("n_res_tags").cast("bigint").alias("n_residual_tags"),
+        F.sum(F.length("main_text")).cast("bigint").alias("kept_chars"),
+        F.sum(checksum).cast("bigint").alias("main_text_checksum"),
+    )
+
+
+def cur07_extract(d: DataFrame) -> DataFrame:
+    """The cur07 wrap-and-extract core over an arbitrary document set —
+    shared with llm04's composed funnel so the two can never drift.
+    `d` must carry (doc_id, source, text) plus any passthrough columns;
+    returns the frame with `text` REPLACED by the extraction surface
+    (n_lines, n_boiler, n_res_tags, main_text), all other columns
+    untouched. Every stage is a per-row JVM expression — no shuffle."""
     did = F.col("doc_id")
     html = F.concat(
         F.lit("<html><head><title>Doc "), did.cast("string"), F.lit("</title>"),
@@ -1385,41 +1458,30 @@ def cur07_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     per = (
-        d.select("doc_id", "source", html.alias("html"))
-        .select("doc_id", "source", stats.alias("stats"))
-        .select(
-            "source",
-            F.size("stats").alias("n_lines"),
-            keep.alias("keep"),
+        d.withColumn("html", html)
+        .drop("text")
+        .withColumn("stats", stats)
+        .drop("html")
+        .withColumn("n_lines", F.size("stats"))
+        .withColumn("keep", keep)
+        .drop("stats")
+        .withColumn("n_boiler", F.col("n_lines") - F.size("keep"))
+        .withColumn(
+            "kept_txt",
+            F.array_join(F.transform("keep", lambda s: s["txt"]), " "),
         )
-        .select(
-            "source",
-            "n_lines",
-            (F.col("n_lines") - F.size("keep")).alias("n_boiler"),
-            F.array_join(F.transform("keep", lambda s: s["txt"]), " ").alias("kept_txt"),
-        )
+        .drop("keep")
     )
     decoded = F.col("kept_txt")
     for pat, rep in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                      ("&#39;", "'"), ("&nbsp;", " ")]:
         decoded = F.regexp_replace(decoded, pat, rep)
     main0 = F.trim(F.regexp_replace(decoded, " +", " "))
-    fin = per.select(
-        "source",
-        "n_lines",
-        "n_boiler",
-        F.regexp_count(F.col("kept_txt"), F.lit(CUR07_TAG_RE)).alias("n_res_tags"),
-        F.regexp_replace(main0, "&amp;", "&").alias("main_text"),
-    )
-    checksum = F.conv(
-        F.substring(F.md5(F.col("main_text").cast("binary")), 1, 8), 16, 10
-    ).cast("bigint")
-    return fin.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_lines").cast("bigint").alias("n_lines"),
-        F.sum("n_boiler").cast("bigint").alias("n_boiler_lines"),
-        F.round(F.sum("n_boiler") / F.sum("n_lines"), 9).alias("boiler_rate"),
-        F.sum("n_res_tags").cast("bigint").alias("n_residual_tags"),
-        F.sum(F.length("main_text")).cast("bigint").alias("kept_chars"),
-        F.sum(checksum).cast("bigint").alias("main_text_checksum"),
+    return (
+        per.withColumn(
+            "n_res_tags",
+            F.regexp_count(F.col("kept_txt"), F.lit(CUR07_TAG_RE)),
+        )
+        .withColumn("main_text", F.regexp_replace(main0, "&amp;", "&"))
+        .drop("kept_txt")
     )

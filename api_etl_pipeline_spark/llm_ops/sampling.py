@@ -454,10 +454,20 @@ def samp07_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram is a stored 1000-row table and raw docs stream through
     score-and-filter in a single pass — exactly DSIR's design point."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        (F.col("doc_id") % 20 == 0).alias("is_t"),
-        F.explode(F.split("text", " ")).alias("tok"),
+    return dsir_log_weights(
+        d.select("doc_id", (F.col("doc_id") % 20 == 0).alias("is_t"), "text")
+    )
+
+
+def dsir_log_weights(docs: DataFrame) -> DataFrame:
+    """The samp07 scoring core over an arbitrary document set — shared
+    with llm04's composed funnel so the two can never drift. `docs` must
+    carry (doc_id, is_t, text); returns (doc_id, n_toks, log_weight,
+    selected) for every NOT-is_t doc, with samp07's exact float
+    discipline (bucket-sorted ordered fold, round(6) both for the
+    published weight and the selection cut)."""
+    toks = docs.select(
+        "doc_id", "is_t", F.explode(F.split("text", " ")).alias("tok")
     ).select(
         "doc_id", "is_t", hash_bucket(F.col("tok"), SAMP07_BUCKETS).alias("bucket")
     )
@@ -465,7 +475,7 @@ def samp07_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = lazy_checkpoint(toks)  # feeds both histograms AND per-doc counts
     spine = (
-        d.sparkSession.range(1)
+        docs.sparkSession.range(1)
         .select(
             F.explode(
                 F.sequence(

@@ -272,6 +272,7 @@ CHECKPOINTING_QUERIES = {
     "hh01_heavy_hitter_tokens",
     "llm01_clean_corpus",
     "llm02_corpus_funnel",
+    "llm04_curation_funnel",  # round 9: per-row chain + narrow-flags checkpoints
     "mix02_epoch_upsampling",  # round 8: rates-spine checkpoint
     "ret01_hybrid_rrf",
     "samp06_cluster_safe_split",

@@ -204,6 +204,7 @@ OPTIONAL = [
     # the oracle mirror carries live==batch correctness)
     # round 9
     "cur07_html_main_text",  # HTML boilerplate-strip: per-row regex, 1 agg
+    "llm04_curation_funnel",  # composed url->html->pii->dedup->DSIR funnel
 ]
 
 
