@@ -95,6 +95,7 @@ QUERIES = [
     "maint01_compaction_plan",  # round-8: one exchange serves both planner windows
     "tx23_corpus_laws",  # round-8: single corpus explode, vocab-bounded tails
     "cur07_html_main_text",  # round-9: per-row regex extraction + 1 agg, text never shuffles
+    "llm04_curation_funnel",  # round-9: composed funnel — narrow flag shuffles + DSIR's (doc,bucket) shuffle
 ]
 
 
