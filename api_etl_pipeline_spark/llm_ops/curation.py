@@ -1485,3 +1485,158 @@ def cur07_extract(d: DataFrame) -> DataFrame:
         .withColumn("main_text", F.regexp_replace(main0, "&amp;", "&"))
         .drop("kept_txt")
     )
+
+
+# cur08 — Gopher-style quality-rule battery (public method: Rae et al.
+# 2021, "Scaling Language Models: Methods, Analysis & Insights from
+# Training Gopher", App. A quality heuristics). Complements tx02's
+# three-gate filter with the canonical pretraining battery: word count,
+# mean word length, symbol-to-word ratio, alphabetic-word fraction, and
+# the required-stopword rule. Every threshold is INTEGER-rearranged
+# (3n <= sum_len <= 10n, sym*10 <= n, alpha*5 >= n*4) so no float
+# division can diverge cross-engine. The corpus is clean synthetic text,
+# so rule-specific corruptions are INJECTED deterministically (the
+# cur06/cur07 device): %9==2 appends hash runs (symbol rule), %9==5
+# appends 25 24-char words (mean-length rule), %9==7 replaces the doc
+# with 60 digit words (alpha + stopword rules, word count kept valid);
+# the word-count rule discriminates naturally (docs run 10-99 words
+# against Gopher's 50-word floor).
+CUR08_MIN_WORDS = 50
+CUR08_MAX_WORDS = 100_000
+CUR08_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "cur08_gopher_rules",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               CASE
+                   WHEN doc_id % 9 = 7 THEN trim(repeat('777 ', 60))
+                   WHEN doc_id % 9 = 2 THEN text || ' ##### ##### ##### #####'
+                   WHEN doc_id % 9 = 5
+                       THEN text || ' '
+                            || trim(repeat('zzzzzzzzzzzzzzzzzzzzzzzz ', 25))
+                   ELSE text END AS text
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' '))::BIGINT AS n,
+               list_reduce(list_transform(string_split(text, ' '),
+                                          w -> length(w)::BIGINT),
+                           (a, x) -> a + x)::BIGINT AS sum_len,
+               (len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT AS sym,
+               len(list_filter(string_split(text, ' '),
+                               w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+                   AS alpha,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN {CUR08_STOPWORDS}))::BIGINT AS stop
+        FROM seeded
+    ),
+    rules AS (
+        SELECT doc_id, source,
+               (n < {CUR08_MIN_WORDS} OR n > {CUR08_MAX_WORDS}) AS v_wordcount,
+               (sum_len < 3 * n OR sum_len > 10 * n) AS v_wordlen,
+               (sym * 10 > n) AS v_symbol,
+               (alpha * 5 < n * 4) AS v_alpha,
+               (stop < 2) AS v_stopword
+        FROM feats
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           COUNT(CASE WHEN v_wordcount THEN 1 END)::BIGINT AS v_wordcount,
+           COUNT(CASE WHEN v_wordlen THEN 1 END)::BIGINT AS v_wordlen,
+           COUNT(CASE WHEN v_symbol THEN 1 END)::BIGINT AS v_symbol,
+           COUNT(CASE WHEN v_alpha THEN 1 END)::BIGINT AS v_alpha,
+           COUNT(CASE WHEN v_stopword THEN 1 END)::BIGINT AS v_stopword,
+           COUNT(CASE WHEN NOT (v_wordcount OR v_wordlen OR v_symbol
+                                OR v_alpha OR v_stopword) THEN 1 END)::BIGINT
+               AS n_kept,
+           COALESCE(SUM(CASE WHEN NOT (v_wordcount OR v_wordlen OR v_symbol
+                                       OR v_alpha OR v_stopword)
+                             THEN doc_id END), 0)::BIGINT AS kept_id_checksum
+    FROM rules
+    GROUP BY source
+    """,
+)
+def cur08_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery — per-source violation counts for the
+    five canonical pretraining heuristics plus the kept set's doc-id
+    checksum (the cur05 convention: the actual keep decision is in the
+    hash, not just cardinalities).
+
+    Rules, integer-rearranged so both engines compare exact BIGINTs:
+    word count in [50, 100k]; mean word length in [3, 10] chars
+    (3n <= Σlen <= 10n); symbol-to-word ratio <= 0.1 (sym*10 <= n,
+    symbols = '#' chars + '...' runs); >= 80% words contain a letter
+    (alpha*5 >= n*4); >= 2 occurrences of the 8 Gopher stopwords.
+
+    Plan shape: per-row JVM lambda/regex projections + ONE hash
+    aggregate on source — no join, no window; only ~70-byte counter
+    rows reach the exchange (dd01's cost model, cur06's plan class).
+    Linear in corpus bytes at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = d.select(
+        "doc_id",
+        "source",
+        F.when(did % 9 == 7, F.trim(F.repeat(F.lit("777 "), 60)))
+        .when(did % 9 == 2, F.concat(F.col("text"), F.lit(" ##### ##### ##### #####")))
+        .when(
+            did % 9 == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.trim(F.repeat(F.lit("zzzzzzzzzzzzzzzzzzzzzzzz "), 25)),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = F.split(F.col("text"), " ")
+    feats = seeded.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        (
+            F.regexp_count(F.col("text"), F.lit("#"))
+            + F.regexp_count(F.col("text"), F.lit("\\.\\.\\."))
+        ).cast("bigint").alias("sym"),
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("bigint").alias("alpha"),
+        F.size(F.filter(toks, lambda w: w.isin(*CUR08_STOPWORDS))).cast("bigint").alias("stop"),
+    )
+    rules = feats.select(
+        "doc_id",
+        "source",
+        ((F.col("n") < CUR08_MIN_WORDS) | (F.col("n") > CUR08_MAX_WORDS)).alias("v_wordcount"),
+        ((F.col("sum_len") < 3 * F.col("n")) | (F.col("sum_len") > 10 * F.col("n"))).alias("v_wordlen"),
+        (F.col("sym") * 10 > F.col("n")).alias("v_symbol"),
+        (F.col("alpha") * 5 < F.col("n") * 4).alias("v_alpha"),
+        (F.col("stop") < 2).alias("v_stopword"),
+    )
+    kept = ~(
+        F.col("v_wordcount")
+        | F.col("v_wordlen")
+        | F.col("v_symbol")
+        | F.col("v_alpha")
+        | F.col("v_stopword")
+    )
+    return rules.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("v_wordcount"), 1)).alias("v_wordcount"),
+        F.count(F.when(F.col("v_wordlen"), 1)).alias("v_wordlen"),
+        F.count(F.when(F.col("v_symbol"), 1)).alias("v_symbol"),
+        F.count(F.when(F.col("v_alpha"), 1)).alias("v_alpha"),
+        F.count(F.when(F.col("v_stopword"), 1)).alias("v_stopword"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("doc_id"))), F.lit(0))
+        .cast("bigint")
+        .alias("kept_id_checksum"),
+    )

@@ -194,3 +194,119 @@ def test_llm04_flag_windows_are_narrow(spark):
     # both flag windows (curl, h) shuffle — if fewer exchanges appear the
     # plan moved and this pin went vacuous
     assert n_exchanges_checked >= 2
+
+
+def test_cur08_rule_semantics_reference():
+    """Pin the Gopher-rule battery against a plain-Python reference (a
+    third engine) on hand-built docs covering every rule and its
+    boundary — both SQL engines could agree on a wrongly-rearranged
+    integer inequality otherwise."""
+    import re
+
+    from api_etl_pipeline_spark.llm_ops.curation import (
+        CUR08_MAX_WORDS,
+        CUR08_MIN_WORDS,
+        CUR08_STOPWORDS,
+    )
+
+    def rules(text):
+        toks = text.split(" ")
+        n = len(toks)
+        sum_len = sum(len(w) for w in toks)
+        sym = text.count("#") + len(re.findall(r"\.\.\.", text))
+        alpha = sum(1 for w in toks if re.search("[A-Za-z]", w))
+        stop = sum(1 for w in toks if w in CUR08_STOPWORDS)
+        return {
+            "v_wordcount": n < CUR08_MIN_WORDS or n > CUR08_MAX_WORDS,
+            "v_wordlen": sum_len < 3 * n or sum_len > 10 * n,
+            "v_symbol": sym * 10 > n,
+            "v_alpha": alpha * 5 < n * 4,
+            "v_stopword": stop < 2,
+        }
+
+    base = ("the data " * 25).strip()  # 50 words, mean 3.5, 25 stopwords
+    assert not any(rules(base).values())
+    # one word below the floor
+    assert rules(" ".join(base.split()[:-1]))["v_wordcount"]
+    # mean length exactly 3 passes; push one word to tip the sum over 10n
+    assert not rules("the " * 49 + "and")["v_wordlen"]  # mean exactly 3
+    long_tail = base + " " + "z" * 351  # n=51, sum=175+351 > 510? no: boundary below
+    assert rules(base + " " + "z" * 340)["v_wordlen"]  # 175+340=515 > 10*51
+    assert not rules(base + " " + "z" * 330)["v_wordlen"]  # 505 <= 510
+    del long_tail
+    # symbol rule boundary: 5 hashes in 50 words = exactly 0.1 → passes
+    assert not rules(base.replace("data", "da#a", 5))["v_symbol"]
+    assert rules(base.replace("data", "da#a", 6))["v_symbol"]
+    # '...' runs count like hashes
+    assert rules(base + " " + "... " * 5 + "... ...")["v_symbol"]
+    # alpha boundary: 10 non-alpha of 50 = exactly 80% → passes; 11 fails
+    assert not rules(("the data " * 20 + "12 " * 10).strip())["v_alpha"]
+    assert rules(("the data " * 20 + "12 " * 11).strip())["v_wordcount"] is False
+    assert rules(("the data " * 20 + "12 " * 11).strip())["v_alpha"]
+    # stopword rule: exactly 2 passes, 1 fails
+    two = ("data " * 48 + "the of").strip()
+    one = ("data " * 49 + "the").strip()
+    assert not rules(two)["v_stopword"] and rules(one)["v_stopword"]
+
+
+def test_cur08_duckdb_matches_reference_rules():
+    """The oracle's lambda/regexp pipeline must agree with the Python
+    reference on the same boundary docs."""
+    import duckdb
+
+    from api_etl_pipeline_spark.llm_ops.curation import (
+        CUR08_MAX_WORDS,
+        CUR08_MIN_WORDS,
+        CUR08_STOPWORDS,
+    )
+
+    docs = [
+        ("the data " * 25).strip(),
+        " ".join(("the data " * 25).strip().split()[:-1]),
+        ("the data " * 25).strip() + " " + "z" * 340,
+        ("the data " * 25).strip().replace("data", "da#a", 6),
+        ("the data " * 20 + "12 " * 11).strip(),
+        ("data " * 49 + "the").strip(),
+    ]
+    con = duckdb.connect()
+    got = con.execute(
+        f"""
+        SELECT
+            (len(string_split(t, ' ')) < {CUR08_MIN_WORDS}
+             OR len(string_split(t, ' ')) > {CUR08_MAX_WORDS}),
+            (list_reduce(list_transform(string_split(t, ' '),
+                                        w -> length(w)::BIGINT), (a, x) -> a + x)
+                 < 3 * len(string_split(t, ' '))
+             OR list_reduce(list_transform(string_split(t, ' '),
+                                           w -> length(w)::BIGINT), (a, x) -> a + x)
+                 > 10 * len(string_split(t, ' '))),
+            ((len(regexp_extract_all(t, '#'))
+              + len(regexp_extract_all(t, '\\.\\.\\.'))) * 10
+                 > len(string_split(t, ' '))),
+            (len(list_filter(string_split(t, ' '),
+                             w -> regexp_matches(w, '[A-Za-z]'))) * 5
+                 < len(string_split(t, ' ')) * 4),
+            (len(list_filter(string_split(t, ' '),
+                             w -> w IN {CUR08_STOPWORDS})) < 2)
+        FROM (SELECT unnest(?) AS t)
+        """,
+        [docs],
+    ).fetchall()
+    import re
+
+    def rules(text):
+        toks = text.split(" ")
+        n = len(toks)
+        sum_len = sum(len(w) for w in toks)
+        sym = text.count("#") + len(re.findall(r"\.\.\.", text))
+        alpha = sum(1 for w in toks if re.search("[A-Za-z]", w))
+        stop = sum(1 for w in toks if w in CUR08_STOPWORDS)
+        return (
+            n < CUR08_MIN_WORDS or n > CUR08_MAX_WORDS,
+            sum_len < 3 * n or sum_len > 10 * n,
+            sym * 10 > n,
+            alpha * 5 < n * 4,
+            stop < 2,
+        )
+
+    assert [tuple(r) for r in got] == [rules(t) for t in docs]

@@ -96,6 +96,7 @@ QUERIES = [
     "tx23_corpus_laws",  # round-8: single corpus explode, vocab-bounded tails
     "cur07_html_main_text",  # round-9: per-row regex extraction + 1 agg, text never shuffles
     "llm04_curation_funnel",  # round-9: composed funnel — narrow flag shuffles + DSIR's (doc,bucket) shuffle
+    "cur08_gopher_rules",  # round-9: per-row lambda battery + 1 agg, text never shuffles
 ]
 
 
