@@ -915,3 +915,267 @@ def dd14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cross.unionByName(within)
+
+
+# dd16 — LSH recall/precision audit. sim11 audits the ANN index against
+# brute-force ground truth; the dedup family's LSH banding (dd03/dd04)
+# had no equivalent: banding is a RECALL device (P[candidate] =
+# 1-(1-J^r)^b), and an un-audited index silently under-recalls when its
+# band/row geometry drifts from the corpus's similarity profile. The
+# synthetic corpus has no true near-dup pairs to audit against, so a
+# bounded stratum derives an orig+mutant corpus PER ROW (the injection
+# device): each stratum doc spawns itself (id*2) and a mutant (id*2+1)
+# with every 5th token dropped — a known-similarity pair at every scale.
+# Ground truth = exact 3-gram-shingle Jaccard on ALL stratum pairs
+# (the SAME feature set the MinHash signatures summarize, so the audit
+# measures the INDEX, not a feature mismatch); threshold is the
+# integer-rearranged inter*5 >= union (J >= 0.2).
+DD16_STRATUM = 60  # stratum docs; derived corpus = 2x, pairs = C(120,2)
+DD16_DROP_EVERY = 5  # mutant drops every 5th token
+
+
+@query(
+    "dd16_lsh_recall_audit",
+    oracle=f"""
+    WITH stratum AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < {DD16_STRATUM}
+    ),
+    derived AS (
+        SELECT doc_id * 2 AS doc_id, text FROM stratum
+        UNION ALL
+        SELECT doc_id * 2 + 1 AS doc_id,
+               array_to_string(list_transform(
+                   list_filter(generate_series(1, len(t)),
+                               i -> i % {DD16_DROP_EVERY} != 0),
+                   i -> t[i]), ' ') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM stratum)
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM derived)
+        WHERE len(t) >= 3
+    ),
+    sig AS ({{SIG}}),
+    bands AS ({{BANDS}}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               len(list_intersect(a.sh, b.sh))::BIGINT AS inter,
+               (len(a.sh) + len(b.sh)
+                - len(list_intersect(a.sh, b.sh)))::BIGINT AS un
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+    ),
+    scored AS (
+        SELECT p.*,
+               ((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END))::BIGINT
+                   AS agree,
+               p.inter * 5 >= p.un AS is_dup,
+               c.da IS NOT NULL AS is_cand
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.da
+        JOIN sig sb ON sb.doc_id = p.db
+        LEFT JOIN cand c ON c.da = p.da AND c.db = p.db
+    )
+    SELECT (SELECT COUNT(*) FROM derived)::BIGINT AS n_docs,
+           COUNT(*)::BIGINT AS n_pairs,
+           COUNT(CASE WHEN is_dup THEN 1 END)::BIGINT AS n_true_dups,
+           COUNT(CASE WHEN is_cand THEN 1 END)::BIGINT AS n_candidates,
+           COUNT(CASE WHEN is_dup AND is_cand THEN 1 END)::BIGINT
+               AS n_true_positives,
+           COUNT(CASE WHEN is_dup AND NOT is_cand THEN 1 END)::BIGINT
+               AS n_false_negatives,
+           COUNT(CASE WHEN is_cand AND NOT is_dup THEN 1 END)::BIGINT
+               AS n_false_positives,
+           ROUND(COUNT(CASE WHEN is_dup AND is_cand THEN 1 END)
+                 / COUNT(CASE WHEN is_dup THEN 1 END)::DOUBLE, 6) AS recall,
+           CASE WHEN COUNT(CASE WHEN is_cand THEN 1 END) > 0
+                THEN ROUND(COUNT(CASE WHEN is_dup AND is_cand THEN 1 END)
+                           / COUNT(CASE WHEN is_cand THEN 1 END)::DOUBLE, 6)
+                ELSE 0.0 END AS precision,
+           SUM(ABS(agree * un - 4 * inter))::BIGINT AS est_err_num,
+           (4 * SUM(un))::BIGINT AS est_err_den,
+           COALESCE(SUM(CASE WHEN is_dup AND NOT is_cand
+                             THEN da * 10000 + db END), 0)::BIGINT
+               AS missed_pair_checksum
+    FROM scored
+    """.replace("{SIG}", _duck_sig_from("derived")).replace(
+        "{BANDS}", _duck_bands_from("sig")
+    ),
+)
+def dd16_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the dd04 LSH banding against exact
+    shingle-Jaccard ground truth on a bounded derived stratum — the
+    dedup family's sim11. Emits one row: pair population, true-dup /
+    candidate / TP-FN-FP counts, recall and precision (each ONE IEEE
+    division of exact bigints — never a float SUM), the MinHash
+    estimation error as an exact integer fraction (Σ|agree·union −
+    4·inter| over 4·Σunion — the driver hash pins the estimator's
+    calibration without summing floats), and a checksum of the exact
+    MISSED pairs (which false negatives, not just how many).
+
+    Measured geometry (sf0.01): the every-5th-token mutant lands at
+    J ≈ 0.4 on 3-gram shingles; the theory curve for 2 bands x 2 rows
+    says P[candidate] = 1-(1-J²)² ≈ 0.30, and the shipped 4-hash
+    signature MEASURES 11/60 = 0.18 recall at 0.92 precision — the
+    under-recall a tiny banding geometry buys, quantified. This is the
+    audit's whole point: SCALE.md's band-math row prescribes 64-128
+    minhashes (8x4+) at production scale, and this query is the
+    standing instrument that proves whether a geometry change actually
+    bought the recall it promised.
+
+    Plan shape: the derived corpus and its signatures are bounded
+    (2·DD16_STRATUM rows) and checkpointed once; ALL joins are
+    equi-joins or the dd04 bucket self-join — the all-pairs lattice is
+    an id-sequence explode (dense derived ids), never a cartesian. At
+    production scale the stratum stays FIXED-size while the index
+    grows, so the audit is O(stratum²) regardless of corpus size —
+    run it per ingest batch as a canary."""
+    n_derived = 2 * DD16_STRATUM
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < DD16_STRATUM)
+        .select("doc_id", "text")
+    )
+    toks = F.split(F.col("text"), " ")
+    mutant = F.array_join(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda i: i % DD16_DROP_EVERY != 0,
+            ),
+            lambda i: F.element_at(toks, i),
+        ),
+        " ",
+    )
+    derived = lazy_checkpoint(
+        d.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("doc_id") * 2).alias("doc_id"),
+                        F.col("text").alias("text"),
+                    ),
+                    F.struct(
+                        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+                        mutant.alias("text"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.doc_id", "r.text")
+    )
+    dtoks = derived.select("doc_id", F.split("text", " ").alias("toks"))
+    sh = dtoks.select(
+        "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("sh")
+    )
+    sig = lazy_checkpoint(_signatures_of(derived))
+    bands = _lsh_bands(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+        .withColumn("c", F.lit(1))
+    )
+    lattice = (
+        derived.select(F.col("doc_id").alias("da"))
+        .filter(F.col("da") < n_derived - 1)
+        .select(
+            "da",
+            F.explode(
+                F.sequence(F.col("da") + 1, F.lit(n_derived - 1))
+            ).alias("db"),
+        )
+        .filter(F.col("db") > F.col("da"))
+    )
+    sha = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha"))
+    shb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb"))
+    siga = sig.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("bigint")
+    agree = sum(
+        [
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(N_MINHASH)
+        ],
+        start=F.lit(0),
+    ).cast("bigint")
+    scored = (
+        lattice.join(sha, "da")
+        .join(shb, "db")
+        .join(siga, "da")
+        .join(sigb, "db")
+        .join(cand, ["da", "db"], "left")
+        .select(
+            "da",
+            "db",
+            inter.alias("inter"),
+            (F.size("sha") + F.size("shb")).cast("bigint").alias("szsum"),
+            agree.alias("agree"),
+            F.col("c").isNotNull().alias("is_cand"),
+        )
+        .select(
+            "da",
+            "db",
+            "inter",
+            (F.col("szsum") - F.col("inter")).alias("un"),
+            "agree",
+            "is_cand",
+        )
+        .withColumn("is_dup", F.col("inter") * 5 >= F.col("un"))
+    )
+    tp = F.count(F.when(F.col("is_dup") & F.col("is_cand"), 1))
+    n_true = F.count(F.when(F.col("is_dup"), 1))
+    n_cand = F.count(F.when(F.col("is_cand"), 1))
+    return scored.agg(
+        F.lit(n_derived).cast("bigint").alias("n_docs"),
+        F.count("*").alias("n_pairs"),
+        n_true.alias("n_true_dups"),
+        n_cand.alias("n_candidates"),
+        tp.alias("n_true_positives"),
+        F.count(F.when(F.col("is_dup") & ~F.col("is_cand"), 1)).alias(
+            "n_false_negatives"
+        ),
+        F.count(F.when(F.col("is_cand") & ~F.col("is_dup"), 1)).alias(
+            "n_false_positives"
+        ),
+        F.round(tp / n_true, 6).alias("recall"),
+        F.when(n_cand > 0, F.round(tp / n_cand, 6))
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        F.sum(F.abs(F.col("agree") * F.col("un") - 4 * F.col("inter")))
+        .cast("bigint")
+        .alias("est_err_num"),
+        (4 * F.sum("un")).cast("bigint").alias("est_err_den"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("is_dup") & ~F.col("is_cand"),
+                    F.col("da") * 10000 + F.col("db"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("missed_pair_checksum"),
+    )

@@ -261,6 +261,7 @@ CHECKPOINTING_QUERIES = {
     "dd13_containment_dedup",
     "dd14_incremental_dedup",
     "dd15_semdedup_prune",
+    "dd16_lsh_recall_audit",  # round 9: derived-corpus + signature checkpoints
     "decon02_source_overlap",
     "dq06_psi_drift",
     "dq07_window_psi_drift",  # round 8: psi_surface grid checkpoint

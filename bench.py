@@ -206,6 +206,7 @@ OPTIONAL = [
     "cur07_html_main_text",  # HTML boilerplate-strip: per-row regex, 1 agg
     "llm04_curation_funnel",  # composed url->html->pii->dedup->DSIR funnel
     "cur08_gopher_rules",  # Gopher quality battery: per-row lambdas, 1 agg
+    "dd16_lsh_recall_audit",  # bounded-stratum LSH recall/precision audit
 ]
 
 

@@ -310,3 +310,30 @@ def test_cur08_duckdb_matches_reference_rules():
         )
 
     assert [tuple(r) for r in got] == [rules(t) for t in docs]
+
+
+def test_dd16_audit_invariants(spark):
+    """dd16's population and injection invariants: the derived corpus is
+    exactly 2x the stratum, every orig+mutant pair must be a true dup
+    (the device's whole point — if the mutant drifts below tau the
+    ground truth goes vacuous), and the confusion-matrix identities must
+    hold exactly."""
+    from api_etl_pipeline_spark.llm_ops.dedup import DD16_STRATUM
+    from api_etl_pipeline_spark.registry import all_queries
+
+    row = (
+        all_queries()["dd16_lsh_recall_audit"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    n = 2 * DD16_STRATUM
+    assert row.n_docs == n
+    assert row.n_pairs == n * (n - 1) // 2
+    # all 60 injected orig->mutant pairs must clear the tau threshold
+    assert row.n_true_dups >= DD16_STRATUM
+    assert row.n_true_positives + row.n_false_negatives == row.n_true_dups
+    assert row.n_true_positives + row.n_false_positives == row.n_candidates
+    assert 0.0 <= row.recall <= 1.0 and 0.0 <= row.precision <= 1.0
+    # estimator error is a proper fraction of its denominator
+    assert 0 <= row.est_err_num <= row.est_err_den
+    assert (row.n_false_negatives == 0) == (row.missed_pair_checksum == 0)

@@ -97,6 +97,7 @@ QUERIES = [
     "cur07_html_main_text",  # round-9: per-row regex extraction + 1 agg, text never shuffles
     "llm04_curation_funnel",  # round-9: composed funnel — narrow flag shuffles + DSIR's (doc,bucket) shuffle
     "cur08_gopher_rules",  # round-9: per-row lambda battery + 1 agg, text never shuffles
+    "dd16_lsh_recall_audit",  # round-9: fixed-stratum audit — must stay corpus-size-independent
 ]
 
 
