@@ -933,11 +933,9 @@ def dd14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 DD16_STRATUM = 60  # stratum docs; derived corpus = 2x, pairs = C(120,2)
 DD16_DROP_EVERY = 5  # mutant drops every 5th token
 
-
-@query(
-    "dd16_lsh_recall_audit",
-    oracle=f"""
-    WITH stratum AS (
+# the derived-stratum CTE fragment (stratum → derived → sh) shared by
+# dd16 and dd17's oracles so the audit population cannot drift
+_DUCK_DD16_DERIVED = f"""stratum AS (
         SELECT doc_id, text FROM documents WHERE doc_id < {DD16_STRATUM}
     ),
     derived AS (
@@ -956,7 +954,50 @@ DD16_DROP_EVERY = 5  # mutant drops every 5th token
                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM derived)
         WHERE len(t) >= 3
-    ),
+    )"""
+
+
+def _dd16_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dd16/dd17 derived audit corpus — fixed stratum, one orig +
+    one every-5th-token-dropped mutant per doc, checkpointed once."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < DD16_STRATUM)
+        .select("doc_id", "text")
+    )
+    toks = F.split(F.col("text"), " ")
+    mutant = F.array_join(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda i: i % DD16_DROP_EVERY != 0,
+            ),
+            lambda i: F.element_at(toks, i),
+        ),
+        " ",
+    )
+    return lazy_checkpoint(
+        d.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("doc_id") * 2).alias("doc_id"),
+                        F.col("text").alias("text"),
+                    ),
+                    F.struct(
+                        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+                        mutant.alias("text"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.doc_id", "r.text")
+    )
+
+
+@query(
+    "dd16_lsh_recall_audit",
+    oracle=f"""
+    WITH {_DUCK_DD16_DERIVED},
     sig AS ({{SIG}}),
     bands AS ({{BANDS}}),
     cand AS (
@@ -1041,38 +1082,7 @@ def dd16_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows, so the audit is O(stratum²) regardless of corpus size —
     run it per ingest batch as a canary."""
     n_derived = 2 * DD16_STRATUM
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < DD16_STRATUM)
-        .select("doc_id", "text")
-    )
-    toks = F.split(F.col("text"), " ")
-    mutant = F.array_join(
-        F.transform(
-            F.filter(
-                F.sequence(F.lit(1), F.size(toks)),
-                lambda i: i % DD16_DROP_EVERY != 0,
-            ),
-            lambda i: F.element_at(toks, i),
-        ),
-        " ",
-    )
-    derived = lazy_checkpoint(
-        d.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        (F.col("doc_id") * 2).alias("doc_id"),
-                        F.col("text").alias("text"),
-                    ),
-                    F.struct(
-                        (F.col("doc_id") * 2 + 1).alias("doc_id"),
-                        mutant.alias("text"),
-                    ),
-                )
-            ).alias("r")
-        ).select("r.doc_id", "r.text")
-    )
+    derived = _dd16_derived(spark, sf_dir)
     dtoks = derived.select("doc_id", F.split("text", " ").alias("toks"))
     sh = dtoks.select(
         "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("sh")
@@ -1167,6 +1177,293 @@ def dd16_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_err_num"),
         (4 * F.sum("un")).cast("bigint").alias("est_err_den"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("is_dup") & ~F.col("is_cand"),
+                    F.col("da") * 10000 + F.col("db"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("missed_pair_checksum"),
+    )
+
+
+# dd17 — LSH band-geometry sweep, measured by dd16's instrument. dd16
+# quantifies the shipped 2x2/4-hash geometry at ~0.18 recall on J≈0.4
+# pairs; SCALE.md's band-math row prescribes more hashes at production
+# scale. This query MEASURES the prescription instead of asserting it:
+# the same derived stratum and the same exact-Jaccard ground truth
+# score three geometries side by side — the shipped b2r2 (4 hashes,
+# byte-identical buckets to dd04), b4r2 (8 hashes, 4 bands of 2: the
+# recall direction), and b2r4 (8 hashes, 2 bands of 4: the precision
+# direction) — so the recall/precision trade of a geometry change is a
+# driver-hashed fact, not a formula. The 4 extra hashes come from a
+# salted second md5 ('g2'||shingle), the same slicing convention as
+# _DUCK_SIGNATURES.
+DD17_GEOMETRIES = (
+    ("b2r2", 2, 2, 4),
+    ("b4r2", 4, 2, 8),
+    ("b2r4", 2, 4, 8),
+)
+
+
+@query(
+    "dd17_lsh_geometry_sweep",
+    oracle=f"""
+    WITH {_DUCK_DD16_DERIVED},
+    sig8 AS (
+        SELECT doc_id,
+               MIN(('0x' || substr(h1, 1, 8))::BIGINT)  AS mh0,
+               MIN(('0x' || substr(h1, 9, 8))::BIGINT)  AS mh1,
+               MIN(('0x' || substr(h1, 17, 8))::BIGINT) AS mh2,
+               MIN(('0x' || substr(h1, 25, 8))::BIGINT) AS mh3,
+               MIN(('0x' || substr(h2, 1, 8))::BIGINT)  AS mh4,
+               MIN(('0x' || substr(h2, 9, 8))::BIGINT)  AS mh5,
+               MIN(('0x' || substr(h2, 17, 8))::BIGINT) AS mh6,
+               MIN(('0x' || substr(h2, 25, 8))::BIGINT) AS mh7
+        FROM (
+            SELECT doc_id,
+                   md5(tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS h1,
+                   md5('g2' || tokens[i] || ' ' || tokens[i+1] || ' '
+                       || tokens[i+2]) AS h2
+            FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM derived),
+                 UNNEST(generate_series(1, len(tokens) - 2)) AS u(i)
+            WHERE len(tokens) >= 3
+        )
+        GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 'b2r2' AS g, 0 AS band,
+               md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig8
+        UNION ALL SELECT doc_id, 'b2r2', 1,
+               md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig8
+        UNION ALL SELECT doc_id, 'b4r2', 0,
+               md5(mh0::VARCHAR || '_' || mh1::VARCHAR) FROM sig8
+        UNION ALL SELECT doc_id, 'b4r2', 1,
+               md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig8
+        UNION ALL SELECT doc_id, 'b4r2', 2,
+               md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig8
+        UNION ALL SELECT doc_id, 'b4r2', 3,
+               md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig8
+        UNION ALL SELECT doc_id, 'b2r4', 0,
+               md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_'
+                   || mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig8
+        UNION ALL SELECT doc_id, 'b2r4', 1,
+               md5(mh4::VARCHAR || '_' || mh5::VARCHAR || '_'
+                   || mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig8
+    ),
+    cand AS (
+        SELECT DISTINCT a.g AS g, a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b
+          ON a.g = b.g AND a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               len(list_intersect(a.sh, b.sh))::BIGINT AS inter,
+               (len(a.sh) + len(b.sh)
+                - len(list_intersect(a.sh, b.sh)))::BIGINT AS un
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+    ),
+    geoms AS (
+        SELECT * FROM (VALUES {", ".join(f"('{g}', {b}, {r}, {h})" for g, b, r, h in DD17_GEOMETRIES)})
+            v(geometry, n_bands, n_rows, n_hashes)
+    ),
+    scored AS (
+        SELECT geometry, n_bands::BIGINT AS n_bands, n_rows::BIGINT AS n_rows,
+               n_hashes::BIGINT AS n_hashes,
+               p.da, p.db, p.inter * 5 >= p.un AS is_dup,
+               c.da IS NOT NULL AS is_cand
+        FROM pairs p CROSS JOIN geoms
+        LEFT JOIN cand c ON c.g = geometry AND c.da = p.da AND c.db = p.db
+    )
+    SELECT geometry, n_bands, n_rows, n_hashes,
+           COUNT(CASE WHEN is_dup THEN 1 END)::BIGINT AS n_true_dups,
+           COUNT(CASE WHEN is_cand THEN 1 END)::BIGINT AS n_candidates,
+           COUNT(CASE WHEN is_dup AND is_cand THEN 1 END)::BIGINT
+               AS n_true_positives,
+           COUNT(CASE WHEN is_dup AND NOT is_cand THEN 1 END)::BIGINT
+               AS n_false_negatives,
+           COUNT(CASE WHEN is_cand AND NOT is_dup THEN 1 END)::BIGINT
+               AS n_false_positives,
+           ROUND(COUNT(CASE WHEN is_dup AND is_cand THEN 1 END)
+                 / COUNT(CASE WHEN is_dup THEN 1 END)::DOUBLE, 6) AS recall,
+           CASE WHEN COUNT(CASE WHEN is_cand THEN 1 END) > 0
+                THEN ROUND(COUNT(CASE WHEN is_dup AND is_cand THEN 1 END)
+                           / COUNT(CASE WHEN is_cand THEN 1 END)::DOUBLE, 6)
+                ELSE 0.0 END AS precision,
+           COALESCE(SUM(CASE WHEN is_dup AND NOT is_cand
+                             THEN da * 10000 + db END), 0)::BIGINT
+               AS missed_pair_checksum
+    FROM scored
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def dd17_lsh_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-geometry sweep over dd16's audit stratum: the shipped b2r2
+    geometry plus two 8-hash alternatives (b4r2 = more bands → recall,
+    b2r4 = longer bands → precision), each scored against the identical
+    exact-Jaccard ground truth. One row per geometry with the confusion
+    matrix, recall/precision (single bigint divisions), and the
+    missed-pair checksum — the measured trade-off curve the band-math
+    formula only predicts. b2r2's buckets are byte-identical to
+    dd04/dd16's, tying the sweep to the production index.
+
+    Plan shape: one derived-corpus checkpoint (shared builder with
+    dd16), one 8-hash signature checkpoint (two md5s per shingle in
+    the SAME explode pass — the salted second hash costs no extra
+    scan), a per-geometry bucket self-join keyed on (geometry, band,
+    bucket), and the dd16 id-sequence pair lattice crossed with the
+    3-row geometry literal (broadcast BNLJ). Fixed stratum —
+    corpus-size-independent like dd16."""
+    n_derived = 2 * DD16_STRATUM
+    derived = _dd16_derived(spark, sf_dir)
+    dtoks = derived.select("doc_id", F.split("text", " ").alias("toks"))
+    sh = dtoks.select(
+        "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("sh")
+    )
+    shing = dtoks.select(
+        "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
+    ).select(
+        "doc_id",
+        F.md5(F.col("shingle").cast("binary")).alias("h1"),
+        F.md5(F.concat(F.lit("g2"), F.col("shingle")).cast("binary")).alias("h2"),
+    )
+    sig8 = lazy_checkpoint(
+        shing.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.conv(F.substring("h1", 1 + 8 * i, 8), 16, 10).cast("bigint")
+                ).alias(f"mh{i}")
+                for i in range(4)
+            ],
+            *[
+                F.min(
+                    F.conv(F.substring("h2", 1 + 8 * i, 8), 16, 10).cast("bigint")
+                ).alias(f"mh{4 + i}")
+                for i in range(4)
+            ],
+        )
+    )
+
+    def bucket(*cols: str) -> Column:
+        return F.md5(
+            F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).cast("binary")
+        )
+
+    band_structs = [
+        F.struct(F.lit("b2r2").alias("g"), F.lit(0).alias("band"),
+                 bucket("mh0", "mh1").alias("bucket")),
+        F.struct(F.lit("b2r2").alias("g"), F.lit(1).alias("band"),
+                 bucket("mh2", "mh3").alias("bucket")),
+        F.struct(F.lit("b4r2").alias("g"), F.lit(0).alias("band"),
+                 bucket("mh0", "mh1").alias("bucket")),
+        F.struct(F.lit("b4r2").alias("g"), F.lit(1).alias("band"),
+                 bucket("mh2", "mh3").alias("bucket")),
+        F.struct(F.lit("b4r2").alias("g"), F.lit(2).alias("band"),
+                 bucket("mh4", "mh5").alias("bucket")),
+        F.struct(F.lit("b4r2").alias("g"), F.lit(3).alias("band"),
+                 bucket("mh6", "mh7").alias("bucket")),
+        F.struct(F.lit("b2r4").alias("g"), F.lit(0).alias("band"),
+                 bucket("mh0", "mh1", "mh2", "mh3").alias("bucket")),
+        F.struct(F.lit("b2r4").alias("g"), F.lit(1).alias("band"),
+                 bucket("mh4", "mh5", "mh6", "mh7").alias("bucket")),
+    ]
+    bands = sig8.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.g", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.g").alias("g"),
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+        )
+        .distinct()
+        .withColumn("c", F.lit(1))
+    )
+    lattice = (
+        derived.select(F.col("doc_id").alias("da"))
+        .filter(F.col("da") < n_derived - 1)
+        .select(
+            "da",
+            F.explode(
+                F.sequence(F.col("da") + 1, F.lit(n_derived - 1))
+            ).alias("db"),
+        )
+        .filter(F.col("db") > F.col("da"))
+    )
+    sha = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha"))
+    shb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("bigint")
+    pairs = (
+        lattice.join(sha, "da")
+        .join(shb, "db")
+        .select(
+            "da",
+            "db",
+            inter.alias("inter"),
+            (F.size("sha") + F.size("shb")).cast("bigint").alias("szsum"),
+        )
+        .select(
+            "da", "db", "inter", (F.col("szsum") - F.col("inter")).alias("un")
+        )
+    )
+    geoms = spark.createDataFrame(
+        list(DD17_GEOMETRIES), "geometry string, n_bands int, n_rows int, n_hashes int"
+    ).select(
+        "geometry",
+        F.col("n_bands").cast("bigint").alias("n_bands"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_hashes").cast("bigint").alias("n_hashes"),
+    )
+    scored = (
+        pairs.crossJoin(F.broadcast(geoms))
+        .join(
+            cand,
+            (F.col("g") == F.col("geometry"))
+            & (cand["da"] == pairs["da"])
+            & (cand["db"] == pairs["db"]),
+            "left",
+        )
+        .select(
+            "geometry",
+            "n_bands",
+            "n_rows",
+            "n_hashes",
+            pairs["da"].alias("da"),
+            pairs["db"].alias("db"),
+            (F.col("inter") * 5 >= F.col("un")).alias("is_dup"),
+            F.col("c").isNotNull().alias("is_cand"),
+        )
+    )
+    tp = F.count(F.when(F.col("is_dup") & F.col("is_cand"), 1))
+    n_true = F.count(F.when(F.col("is_dup"), 1))
+    n_cand = F.count(F.when(F.col("is_cand"), 1))
+    return scored.groupBy("geometry", "n_bands", "n_rows", "n_hashes").agg(
+        n_true.alias("n_true_dups"),
+        n_cand.alias("n_candidates"),
+        tp.alias("n_true_positives"),
+        F.count(F.when(F.col("is_dup") & ~F.col("is_cand"), 1)).alias(
+            "n_false_negatives"
+        ),
+        F.count(F.when(F.col("is_cand") & ~F.col("is_dup"), 1)).alias(
+            "n_false_positives"
+        ),
+        F.round(tp / n_true, 6).alias("recall"),
+        F.when(n_cand > 0, F.round(tp / n_cand, 6))
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
         F.coalesce(
             F.sum(
                 F.when(

@@ -262,6 +262,7 @@ CHECKPOINTING_QUERIES = {
     "dd14_incremental_dedup",
     "dd15_semdedup_prune",
     "dd16_lsh_recall_audit",  # round 9: derived-corpus + signature checkpoints
+    "dd17_lsh_geometry_sweep",  # round 9: same checkpoints, 8-hash variant
     "decon02_source_overlap",
     "dq06_psi_drift",
     "dq07_window_psi_drift",  # round 8: psi_surface grid checkpoint

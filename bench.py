@@ -207,6 +207,7 @@ OPTIONAL = [
     "llm04_curation_funnel",  # composed url->html->pii->dedup->DSIR funnel
     "cur08_gopher_rules",  # Gopher quality battery: per-row lambdas, 1 agg
     "dd16_lsh_recall_audit",  # bounded-stratum LSH recall/precision audit
+    "dd17_lsh_geometry_sweep",  # 3-geometry recall/precision trade measurement
 ]
 
 

@@ -337,3 +337,31 @@ def test_dd16_audit_invariants(spark):
     # estimator error is a proper fraction of its denominator
     assert 0 <= row.est_err_num <= row.est_err_den
     assert (row.n_false_negatives == 0) == (row.missed_pair_checksum == 0)
+
+
+def test_dd17_b2r2_row_equals_dd16(spark):
+    """dd17's b2r2 row must reproduce dd16's audit EXACTLY — same derived
+    corpus, same ground truth, byte-identical buckets — so the sweep is
+    verifiably anchored to the production geometry, and the 8-hash rows
+    must show the textbook trade: more bands never lose recall vs b2r2,
+    longer bands never lose precision."""
+    from api_etl_pipeline_spark.registry import all_queries
+
+    qs = all_queries()
+    d16 = qs["dd16_lsh_recall_audit"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    rows = {
+        r.geometry: r
+        for r in qs["dd17_lsh_geometry_sweep"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {"b2r2", "b4r2", "b2r4"}
+    b22 = rows["b2r2"]
+    for col in ("n_true_dups", "n_candidates", "n_true_positives",
+                "n_false_negatives", "n_false_positives", "recall",
+                "precision", "missed_pair_checksum"):
+        assert getattr(b22, col) == getattr(d16, col), col
+    # banding theory, measured: b4r2's candidate set is a superset of
+    # b2r2's (same first two bands plus two more), so recall can only rise
+    assert rows["b4r2"].n_true_positives >= b22.n_true_positives
+    assert rows["b4r2"].n_candidates >= b22.n_candidates
+    # b2r4 requires 4-hash agreement per band — candidates can only shrink
+    assert rows["b2r4"].n_candidates <= b22.n_candidates

@@ -98,6 +98,7 @@ QUERIES = [
     "llm04_curation_funnel",  # round-9: composed funnel — narrow flag shuffles + DSIR's (doc,bucket) shuffle
     "cur08_gopher_rules",  # round-9: per-row lambda battery + 1 agg, text never shuffles
     "dd16_lsh_recall_audit",  # round-9: fixed-stratum audit — must stay corpus-size-independent
+    "dd17_lsh_geometry_sweep",  # round-9: fixed-stratum sweep — same independence claim
 ]
 
 
