@@ -1432,3 +1432,109 @@ def ev18_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("credit_micro") / 100_000_000.0, 6).alias("credited_value"),
         )
     )
+
+
+# ev19 — journey pattern matching, the MATCH_RECOGNIZE analog. SQL:2016
+# row-pattern recognition (Oracle/Flink MATCH_RECOGNIZE; Spark has no
+# native operator) reduced to its portable core: each user's event
+# stream becomes a deterministic one-char-per-event journey string, and
+# row patterns become REGEXES over that string — leftmost
+# non-overlapping regex matching IS the standard's SKIP PAST LAST ROW
+# greedy-ish semantics for the pattern class used here (no alternation
+# ambiguity, so Java regex, RE2 and Python re agree; pinned by a
+# triple-engine test). Patterns: conversion `vc*p` (view, any clicks,
+# purchase), rage `ee+` (2+ consecutive errors), longest click run.
+EV19_TYPE_CHARS = (
+    ("signup", "s"), ("view", "v"), ("click", "c"),
+    ("purchase", "p"), ("error", "e"),
+)
+
+
+@query(
+    "ev19_journey_patterns",
+    oracle=f"""
+    WITH chars AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type
+                    {" ".join(f"WHEN '{t}' THEN '{c}'" for t, c in EV19_TYPE_CHARS)}
+                    ELSE 'x' END AS ch
+        FROM events
+    ),
+    j AS (
+        SELECT user_id,
+               array_to_string(list(ch ORDER BY ts, event_id), '') AS journey
+        FROM chars GROUP BY user_id
+    )
+    SELECT user_id,
+           length(journey)::BIGINT AS journey_len,
+           len(regexp_extract_all(journey, 'vc*p'))::BIGINT AS n_conversions,
+           len(regexp_extract_all(journey, 'ee+'))::BIGINT AS n_rage_episodes,
+           COALESCE(list_max(list_transform(
+               regexp_extract_all(journey, 'c+'), x -> length(x))), 0)::BIGINT
+               AS max_click_run,
+           ('0x' || substr(md5(journey), 1, 8))::BIGINT AS journey_checksum
+    FROM j
+    """,
+)
+def ev19_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern recognition over per-user event journeys — the
+    MATCH_RECOGNIZE surface as a composition: deterministic sequence
+    fold (sorted collect by (ts, event_id) — the ev11 ordering
+    convention) into a one-char-per-event string, then JVM regex per
+    pattern. Emits per user: journey length, `vc*p` conversion count,
+    `ee+` rage-episode count, the longest click run, and an md5-8
+    checksum of the journey itself — the checksum pins the ORDERING
+    semantics (a single swapped pair of same-timestamp events flips
+    it), not just the pattern counts.
+
+    Pattern-semantics note: leftmost non-overlapping matching is
+    identical in Java regex, RE2/DuckDB and Python re for this pattern
+    class (no ambiguous alternation); tests/test_round9_ops.py pins
+    all three on adversarial journeys (overlap candidates, greedy
+    backtrack cases).
+
+    Plan shape: ONE exchange (the user_id groupBy whose collect builds
+    the journey), then per-row regex projections — the exact shape
+    MATCH_RECOGNIZE engines use (partition by key, order within key).
+    Per-user state is the journey string; at 100 TB you bound it the
+    way the standard does: sessionize first (st03) and match within
+    sessions, same plan with a (user, session) key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ch = F.col("event_type")
+    for t, c in EV19_TYPE_CHARS:
+        ch = F.when(F.col("event_type") == t, F.lit(c)).otherwise(ch)
+    ch = F.when(
+        F.col("event_type").isin(*[t for t, _ in EV19_TYPE_CHARS]), ch
+    ).otherwise(F.lit("x"))
+    j = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("event_id"),
+                ch.alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["ch"]),
+                "",
+            ).alias("journey")
+        )
+    )
+    runs = F.regexp_extract_all(F.col("journey"), F.lit("c+"), F.lit(0))
+    return j.select(
+        "user_id",
+        F.length("journey").cast("bigint").alias("journey_len"),
+        F.regexp_count(F.col("journey"), F.lit("vc*p")).cast("bigint").alias("n_conversions"),
+        F.regexp_count(F.col("journey"), F.lit("ee+")).cast("bigint").alias("n_rage_episodes"),
+        F.coalesce(
+            F.array_max(F.transform(runs, lambda x: F.length(x))), F.lit(0)
+        ).cast("bigint").alias("max_click_run"),
+        F.conv(F.substring(F.md5(F.col("journey").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("journey_checksum"),
+    )

@@ -208,6 +208,7 @@ OPTIONAL = [
     "cur08_gopher_rules",  # Gopher quality battery: per-row lambdas, 1 agg
     "dd16_lsh_recall_audit",  # bounded-stratum LSH recall/precision audit
     "dd17_lsh_geometry_sweep",  # 3-geometry recall/precision trade measurement
+    "ev19_journey_patterns",  # MATCH_RECOGNIZE analog: 1 exchange + per-row regex
 ]
 
 

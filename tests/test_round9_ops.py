@@ -365,3 +365,61 @@ def test_dd17_b2r2_row_equals_dd16(spark):
     assert rows["b4r2"].n_candidates >= b22.n_candidates
     # b2r4 requires 4-hash agreement per band — candidates can only shrink
     assert rows["b2r4"].n_candidates <= b22.n_candidates
+
+
+def test_ev19_pattern_semantics_three_engines():
+    """ev19's claim that leftmost non-overlapping matching agrees across
+    Java regex (Spark), RE2 (DuckDB) and Python re for its pattern
+    class — pinned on adversarial journeys: overlap candidates, greedy
+    backtracking, runs at string boundaries."""
+    import re
+
+    journeys = [
+        "vcvp",      # backtrack: only the trailing vp converts
+        "vcpvp",     # two conversions, non-overlapping
+        "vvcccp",    # inner v cannot re-match inside the consumed span
+        "eeee",      # one greedy rage episode, not three
+        "eeveee",    # two episodes split by v
+        "ccc",       # run at both boundaries
+        "vcp" * 5,   # repetition
+        "pvc",       # no conversion (wrong order)
+        "",          # empty journey
+    ]
+    pats = {"conv": "vc*p", "rage": "ee+", "run": "c+"}
+    py = [
+        {k: len(re.findall(p, j)) for k, p in pats.items()} for j in journeys
+    ]
+    import duckdb
+
+    duck = duckdb.connect().execute(
+        f"""
+        SELECT len(regexp_extract_all(j, '{pats["conv"]}')),
+               len(regexp_extract_all(j, '{pats["rage"]}')),
+               len(regexp_extract_all(j, '{pats["run"]}'))
+        FROM (SELECT unnest(?) AS j)
+        """,
+        [journeys],
+    ).fetchall()
+    assert [tuple(r) for r in duck] == [
+        (d["conv"], d["rage"], d["run"]) for d in py
+    ]
+
+
+def test_ev19_java_regex_matches_python(spark):
+    """The Spark (Java regex) side of the same pin."""
+    import re
+
+    journeys = ["vcvp", "vcpvp", "vvcccp", "eeee", "eeveee", "ccc",
+                "vcp" * 5, "pvc", ""]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(j,) for j in journeys], "j string").select(
+        "j",
+        F.regexp_count("j", F.lit("vc*p")).alias("conv"),
+        F.regexp_count("j", F.lit("ee+")).alias("rage"),
+        F.regexp_count("j", F.lit("c+")).alias("run"),
+    )
+    got = {r.j: (r.conv, r.rage, r.run) for r in df.collect()}
+    for j in journeys:
+        exp = tuple(len(re.findall(p, j)) for p in ("vc*p", "ee+", "c+"))
+        assert got[j] == exp, j

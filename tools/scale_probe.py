@@ -99,6 +99,7 @@ QUERIES = [
     "cur08_gopher_rules",  # round-9: per-row lambda battery + 1 agg, text never shuffles
     "dd16_lsh_recall_audit",  # round-9: fixed-stratum audit — must stay corpus-size-independent
     "dd17_lsh_geometry_sweep",  # round-9: fixed-stratum sweep — same independence claim
+    "ev19_journey_patterns",  # round-9: one user_id exchange, journey fold + per-row regex
 ]
 
 
