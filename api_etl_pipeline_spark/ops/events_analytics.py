@@ -1450,9 +1450,7 @@ EV19_TYPE_CHARS = (
 )
 
 
-@query(
-    "ev19_journey_patterns",
-    oracle=f"""
+EV19_ORACLE = f"""
     WITH chars AS (
         SELECT user_id, ts, event_id,
                CASE event_type
@@ -1474,8 +1472,10 @@ EV19_TYPE_CHARS = (
                AS max_click_run,
            ('0x' || substr(md5(journey), 1, 8))::BIGINT AS journey_checksum
     FROM j
-    """,
-)
+    """
+
+
+@query("ev19_journey_patterns", oracle=EV19_ORACLE)
 def ev19_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-pattern recognition over per-user event journeys — the
     MATCH_RECOGNIZE surface as a composition: deterministic sequence

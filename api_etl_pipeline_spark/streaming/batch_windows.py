@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from api_etl_pipeline_spark.registry import query
+from api_etl_pipeline_spark.ops.events_analytics import EV19_ORACLE as _EV19_ORACLE
 from api_etl_pipeline_spark.tables import load_table
 
 # per-(process, sf_dir) staging cache for the live-stream twins: the
@@ -770,4 +771,100 @@ def st14_streaming_sync_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, table_dir, ignore_errors=True)
     return run_streaming_sync(spark, sf_dir, table_dir, runs=1).select(
         "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+
+@query("st15_journey_patterns_live", oracle=_EV19_ORACLE)
+def st15_journey_patterns_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE — ev19's row-pattern recognition as an
+    ACTUAL Structured Streaming run through applyInPandasWithState,
+    with ev19's FULL oracle (same SQL, driver-hash-checked): per-user
+    GroupState carries the journey string; each micro-batch sorts its
+    rows by (ts, event_id), appends their chars, and emits the updated
+    pattern-metric snapshot. Under the single-file staging invariant
+    (_stage_events_dir: one micro-batch, so no cross-batch event-time
+    reordering can occur) the final snapshot per user equals the batch
+    journey exactly; in production the same operator runs behind a
+    watermarked sort-within-session stage (st03), the standard
+    streaming-MATCH_RECOGNIZE deployment (Flink's CEP does the same
+    event-time buffering). Pattern counting runs in Python re — pinned
+    byte-equal to Java regex and RE2 on adversarial journeys by
+    tests/test_round9_ops.py, so all THREE engines in play here agree.
+
+    State is one bounded string per user (journey; bound it via
+    sessionization keys at scale); output schema is all-BIGINT so no
+    timestamp canonicalization risk. Bench-exempt like every live
+    st-query (micro-batch machinery dominates wall; ev19 is the perf
+    twin)."""
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from api_etl_pipeline_spark.ops.events_analytics import EV19_TYPE_CHARS
+    from api_etl_pipeline_spark.tables import load_events_stream
+
+    stage_dir = _stage_events_dir(sf_dir)
+    stream = load_events_stream(spark, stage_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out_schema = (
+        "user_id bigint, journey_len bigint, n_conversions bigint, "
+        "n_rage_episodes bigint, max_click_run bigint, journey_checksum bigint"
+    )
+    state_schema = "journey string"
+    char_of = dict(EV19_TYPE_CHARS)
+
+    def update(key, pdfs, state: GroupState):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        journey = state.get[0] if state.exists else ""
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            journey += "".join(
+                char_of.get(t, "x") for t in pdf["event_type"]
+            )
+        state.update((journey,))
+        runs = re.findall("c+", journey)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "journey_len": [len(journey)],
+                "n_conversions": [len(re.findall("vc*p", journey))],
+                "n_rage_episodes": [len(re.findall("ee+", journey))],
+                "max_click_run": [max((len(r) for r in runs), default=0)],
+                "journey_checksum": [
+                    int(hashlib.md5(journey.encode()).hexdigest()[:8], 16)
+                ],
+            }
+        )
+
+    snapshots = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "st15_" + uuid.uuid4().hex[:10]
+    q = (
+        snapshots.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # memory sink appends every snapshot; the final snapshot per user has
+    # the longest journey (journeys only grow)
+    out = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("journey_len").desc(), F.col("journey_checksum").asc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

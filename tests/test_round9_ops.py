@@ -423,3 +423,26 @@ def test_ev19_java_regex_matches_python(spark):
     for j in journeys:
         exp = tuple(len(re.findall(p, j)) for p in ("vc*p", "ee+", "c+"))
         assert got[j] == exp, j
+
+
+def test_st15_live_equals_ev19_batch(spark):
+    """The streaming MATCH_RECOGNIZE must equal its batch twin row for
+    row — the live==batch pin (st08/st09 pattern): three engines agree
+    on pattern semantics only if the journey CONSTRUCTION (ordering,
+    char mapping, checksum) is identical too."""
+    from api_etl_pipeline_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    live = {
+        r.user_id: r for r in qs["st15_journey_patterns_live"].fn(spark, sf).collect()
+    }
+    batch = {
+        r.user_id: r for r in qs["ev19_journey_patterns"].fn(spark, sf).collect()
+    }
+    assert set(live) == set(batch) and live
+    for uid, b in batch.items():
+        l = live[uid]
+        for col in ("journey_len", "n_conversions", "n_rage_episodes",
+                    "max_click_run", "journey_checksum"):
+            assert getattr(l, col) == getattr(b, col), (uid, col)
