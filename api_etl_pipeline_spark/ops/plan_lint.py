@@ -229,6 +229,25 @@ ALLOWED: dict[tuple[str, str], str] = {
         "the semantic leg's 3-row seed-vector broadcast, captured "
         "pre-checkpoint — same shape allowlisted on the final plan"
     ),
+    # --- round 9 ---
+    ("llm04_curation_funnel", "BroadcastNestedLoopJoin"): (
+        "the funnel's two 1-row aggregates (flag counts x DSIR "
+        "selection totals) cross-joined into the single output row — "
+        "the samp07 1-row-totals shape"
+    ),
+    ("dd16_lsh_recall_audit", "SortMergeJoin"): (
+        "audit-internal joins over the FIXED 120-row derived stratum "
+        "(pair lattice onto shingle sets / signatures); bounded "
+        "O(stratum^2) work at any corpus size — AQE broadcasts when "
+        "small, and the stratum never grows with the corpus"
+    ),
+    ("dd17_lsh_geometry_sweep", "SortMergeJoin"): (
+        "same fixed-stratum audit joins as dd16 (shared derived corpus)"
+    ),
+    ("dd17_lsh_geometry_sweep", "BroadcastNestedLoopJoin"): (
+        "the 3-row geometry literal cross-joined onto the bounded pair "
+        "lattice — a constant-size broadcast"
+    ),
 }
 
 # batch queries may not contain LocalTableScan of collected rows; the
