@@ -450,3 +450,84 @@ def maint01_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("group_files"),
         F.sum("size_bytes").over(w).cast("bigint").alias("group_bytes"),
     )
+
+
+# maint02 — retention/TTL delete planner. The governance half of table
+# maintenance: given per-type retention policies, plan which event-time
+# partitions to drop — entirely from (type, day) METADATA, the way a
+# partition-pruned lakehouse retention job works (expired days drop
+# whole partitions; no row-level scan of the doomed data). The
+# reference's provenance tables (attempts/responses) name exactly this
+# need (SCALE.md storage table: "expire with retention jobs"); this is
+# that job's planning stage as a verifiable query. The reference point
+# is MAX(ts) over the table — deterministic from data, never wall
+# clock — and ages are exact integer day-diffs, so the whole plan is
+# driver-hash-pinned.
+MAINT02_POLICY = (
+    ("error", 5), ("click", 10), ("view", 15), ("signup", 25),
+    ("purchase", 45),
+)
+
+
+@query(
+    "maint02_retention_plan",
+    oracle=f"""
+    WITH pol AS (
+        SELECT * FROM (VALUES {", ".join(f"('{t}', {d})" for t, d in MAINT02_POLICY)})
+            v(event_type, retention_days)
+    ),
+    mx AS (SELECT date_trunc('day', MAX(ts)) AS tmax_day FROM events),
+    d AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               COUNT(*)::BIGINT AS n_rows
+        FROM events GROUP BY 1, 2
+    )
+    SELECT d.event_type,
+           d.day::TIMESTAMP AS day,
+           d.n_rows,
+           p.retention_days::BIGINT AS retention_days,
+           date_diff('day', d.day, mx.tmax_day)::BIGINT AS age_days,
+           (date_diff('day', d.day, mx.tmax_day) > p.retention_days)
+               AS expired
+    FROM d JOIN pol p USING (event_type), mx
+    """,
+)
+def maint02_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/TTL delete plan at (event_type, day) partition grain:
+    every partition's row count, its age relative to the table's
+    newest day, the policy it falls under, and the expired verdict —
+    the work order a partition-drop job executes (and the audit row a
+    compliance review reads). Ages are exact integer day differences
+    against MAX(ts)'s day, so cross-engine comparison is integer-only;
+    `day` ships as timestamp_ntz per the no-DATE-finals convention.
+
+    Plan shape: ONE map-side-combined (type, day) count aggregate —
+    |types| x |days| rows out — plus a 1-row MAX(ts) broadcast and the
+    |policy|-row literal broadcast. At 100 TB the count agg is replaced
+    by the catalog's partition manifest (this query's output grain IS
+    the partition grain), making the planner metadata-bound like
+    maint01; expired partitions then drop via metadata delete, never a
+    row scan."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    pol = spark.createDataFrame(
+        list(MAINT02_POLICY), "event_type string, retention_days int"
+    ).select("event_type", F.col("retention_days").cast("bigint").alias("retention_days"))
+    mx = ev.agg(F.date_trunc("day", F.max("ts")).alias("tmax_day"))
+    d = (
+        ev.select("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    age = F.datediff(F.col("tmax_day"), F.col("day")).cast("bigint")
+    return (
+        d.join(F.broadcast(pol), "event_type")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "retention_days",
+            age.alias("age_days"),
+            (age > F.col("retention_days")).alias("expired"),
+        )
+    )

@@ -209,6 +209,7 @@ OPTIONAL = [
     "dd16_lsh_recall_audit",  # bounded-stratum LSH recall/precision audit
     "dd17_lsh_geometry_sweep",  # 3-geometry recall/precision trade measurement
     "ev19_journey_patterns",  # MATCH_RECOGNIZE analog: 1 exchange + per-row regex
+    "maint02_retention_plan",  # partition-grain TTL planner, metadata-bound
 ]
 
 

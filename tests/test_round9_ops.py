@@ -446,3 +446,26 @@ def test_st15_live_equals_ev19_batch(spark):
         for col in ("journey_len", "n_conversions", "n_rage_episodes",
                     "max_click_run", "journey_checksum"):
             assert getattr(l, col) == getattr(b, col), (uid, col)
+
+
+def test_maint02_policy_invariants(spark):
+    """maint02's verdicts must follow the policy exactly on the 30-day
+    fixture: purchase (45 d) never expires, error (5 d) expires every
+    day older than 5 relative to the newest day, and expiry is
+    monotone in age within every type."""
+    from api_etl_pipeline_spark.ops.maintenance import MAINT02_POLICY
+    from api_etl_pipeline_spark.registry import all_queries
+
+    rows = (
+        all_queries()["maint02_retention_plan"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    pol = dict(MAINT02_POLICY)
+    assert {r.event_type for r in rows} == set(pol)
+    for r in rows:
+        assert r.retention_days == pol[r.event_type]
+        assert r.expired == (r.age_days > r.retention_days)
+    assert not any(r.expired for r in rows if r.event_type == "purchase")
+    err = [r for r in rows if r.event_type == "error"]
+    assert any(r.expired for r in err) and any(not r.expired for r in err)

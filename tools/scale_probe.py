@@ -100,6 +100,7 @@ QUERIES = [
     "dd16_lsh_recall_audit",  # round-9: fixed-stratum audit — must stay corpus-size-independent
     "dd17_lsh_geometry_sweep",  # round-9: fixed-stratum sweep — same independence claim
     "ev19_journey_patterns",  # round-9: one user_id exchange, journey fold + per-row regex
+    "maint02_retention_plan",  # round-9: (type,day) agg + 1-row/policy broadcasts — metadata-bound
 ]
 
 

@@ -97,6 +97,13 @@ QUERIES = [
     # Partial below the exchange must keep the exchange at k·|Q| rows
     # per input partition — the plan-shape claim this probe tests.
     "sim12_pq_topk",
+    # round 9: the composed curation funnel at its second decade — the
+    # per-row wrap/extract/scrub chain is scan-bound, the flag windows
+    # move only narrow keys, and DSIR's (doc,bucket) shuffle is the one
+    # corpus-scale exchange. Replica id-shifts preserve every injection
+    # modulus (SHIFT % 10 = % 2 = % 5 = 0) and div-100 URL groups never
+    # cross replicas, so the funnel rates stay scale-stable.
+    "llm04_curation_funnel",
 ]
 
 
