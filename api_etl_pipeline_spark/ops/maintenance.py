@@ -476,20 +476,25 @@ MAINT02_POLICY = (
         SELECT * FROM (VALUES {", ".join(f"('{t}', {d})" for t, d in MAINT02_POLICY)})
             v(event_type, retention_days)
     ),
-    mx AS (SELECT date_trunc('day', MAX(ts)) AS tmax_day FROM events),
     d AS (
         SELECT event_type, date_trunc('day', ts) AS day,
                COUNT(*)::BIGINT AS n_rows
         FROM events GROUP BY 1, 2
+    ),
+    dm AS (
+        -- max(day(ts)) == day(max(ts)) (truncation is monotone), so the
+        -- reference point rides a global window over the tiny aggregate
+        -- instead of a SECOND corpus scan
+        SELECT *, MAX(day) OVER () AS tmax_day FROM d
     )
-    SELECT d.event_type,
-           d.day::TIMESTAMP AS day,
-           d.n_rows,
+    SELECT dm.event_type,
+           dm.day::TIMESTAMP AS day,
+           dm.n_rows,
            p.retention_days::BIGINT AS retention_days,
-           date_diff('day', d.day, mx.tmax_day)::BIGINT AS age_days,
-           (date_diff('day', d.day, mx.tmax_day) > p.retention_days)
+           date_diff('day', dm.day, dm.tmax_day)::BIGINT AS age_days,
+           (date_diff('day', dm.day, dm.tmax_day) > p.retention_days)
                AS expired
-    FROM d JOIN pol p USING (event_type), mx
+    FROM dm JOIN pol p USING (event_type)
     """,
 )
 def maint02_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,27 +506,29 @@ def maint02_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     against MAX(ts)'s day, so cross-engine comparison is integer-only;
     `day` ships as timestamp_ntz per the no-DATE-finals convention.
 
-    Plan shape: ONE map-side-combined (type, day) count aggregate —
-    |types| x |days| rows out — plus a 1-row MAX(ts) broadcast and the
-    |policy|-row literal broadcast. At 100 TB the count agg is replaced
-    by the catalog's partition manifest (this query's output grain IS
-    the partition grain), making the planner metadata-bound like
-    maint01; expired partitions then drop via metadata delete, never a
-    row scan."""
+    Plan shape: ONE corpus scan feeding ONE map-side-combined (type,
+    day) count aggregate — |types| x |days| rows out; the MAX(ts)
+    reference point is a global window over that tiny aggregate
+    (max(day(ts)) == day(max(ts)) since truncation is monotone — the
+    scan audit caught the original two-scan formulation), and the
+    |policy|-row literal broadcasts. At 100 TB the count agg is
+    replaced by the catalog's partition manifest (this query's output
+    grain IS the partition grain), making the planner metadata-bound
+    like maint01; expired partitions then drop via metadata delete,
+    never a row scan."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
     pol = spark.createDataFrame(
         list(MAINT02_POLICY), "event_type string, retention_days int"
     ).select("event_type", F.col("retention_days").cast("bigint").alias("retention_days"))
-    mx = ev.agg(F.date_trunc("day", F.max("ts")).alias("tmax_day"))
     d = (
         ev.select("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count("*").alias("n_rows"))
+        .withColumn("tmax_day", F.max("day").over(Window.partitionBy()))
     )
     age = F.datediff(F.col("tmax_day"), F.col("day")).cast("bigint")
     return (
         d.join(F.broadcast(pol), "event_type")
-        .crossJoin(F.broadcast(mx))
         .select(
             "event_type",
             F.col("day").cast("timestamp_ntz").alias("day"),

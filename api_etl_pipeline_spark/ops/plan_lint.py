@@ -248,10 +248,6 @@ ALLOWED: dict[tuple[str, str], str] = {
         "the 3-row geometry literal cross-joined onto the bounded pair "
         "lattice — a constant-size broadcast"
     ),
-    ("maint02_retention_plan", "BroadcastNestedLoopJoin"): (
-        "the 1-row MAX(ts) reference point cross-joined into the "
-        "partition-grain plan — the samp07 1-row-totals shape"
-    ),
 }
 
 # batch queries may not contain LocalTableScan of collected rows; the
