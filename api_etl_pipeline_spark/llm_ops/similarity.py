@@ -1436,3 +1436,201 @@ def sim12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("exact_l2sq", 6).alias("exact_l2sq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim13: MMR (maximal marginal relevance) diversified re-ranking
+# ---------------------------------------------------------------------------
+
+_SIM13_K = 5  # picks per query
+_SIM13_M = 12  # candidate pool per query (top-m by relevance)
+# λ weights relevance vs diversity. Both constants appear as the SAME
+# decimal literals on both engine sides — never compute 1-λ in Python
+# (1 - 0.7 = 0.30000000000000004 would silently desynchronize scores).
+_SIM13_LAM = "0.7"
+_SIM13_MU = "0.3"
+
+
+def _sim13_oracle(k: int = _SIM13_K, m: int = _SIM13_M) -> str:
+    """Unrolled greedy MMR in ANSI SQL: one CTE pair (m{n}, sel{n}) per
+    selection step. Recursion-free on purpose — the unrolled form keeps
+    every step a plain window argmax, which DuckDB and any other ANSI
+    engine execute identically."""
+    lam, mu = _SIM13_LAM, _SIM13_MU
+    parts = [
+        f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    scored AS (
+        SELECT query_id, cand_id, ce, {_duck_cosine('qe', 'ce')} AS rel
+        FROM q JOIN c ON cand_id <> query_id
+    ),
+    cand AS (
+        SELECT query_id, cand_id, ce, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) AS rn
+            FROM scored)
+        WHERE rn <= {m}
+    ),
+    pairs AS (
+        SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+               {_duck_cosine('a.ce', 'b.ce')} AS sim
+        FROM cand a JOIN cand b ON a.query_id = b.query_id
+    ),
+    sel1 AS (
+        SELECT query_id, cand_id, rel, {lam} * rel - {mu} * 0.0 AS score,
+               1 AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) AS rn
+              FROM cand)
+        WHERE rn = 1
+    ),
+    all1 AS (SELECT query_id, cand_id, rel, score, rnk FROM sel1)"""
+    ]
+    for n in range(2, k + 1):
+        parts.append(
+            f""",
+    m{n} AS (
+        SELECT c.query_id, c.cand_id, ANY_VALUE(c.rel) AS rel,
+               {lam} * ANY_VALUE(c.rel) - {mu} * MAX(p.sim) AS score
+        FROM cand c
+        JOIN all{n - 1} a ON a.query_id = c.query_id
+        JOIN pairs p ON p.query_id = c.query_id
+             AND p.ca = c.cand_id AND p.cb = a.cand_id
+        LEFT JOIN all{n - 1} x
+             ON x.query_id = c.query_id AND x.cand_id = c.cand_id
+        WHERE x.cand_id IS NULL
+        GROUP BY c.query_id, c.cand_id
+    ),
+    sel{n} AS (
+        SELECT query_id, cand_id, rel, score, {n} AS rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rn
+            FROM m{n})
+        WHERE rn = 1
+    ),
+    all{n} AS (SELECT * FROM all{n - 1} UNION ALL
+               SELECT query_id, cand_id, rel, score, rnk FROM sel{n})"""
+        )
+    parts.append(
+        f"""
+    SELECT query_id, cand_id AS vec_id, rnk::BIGINT AS rnk,
+           rel AS relevance, score AS mmr_score
+    FROM all{k}"""
+    )
+    return "".join(parts)
+
+
+@query("sim13_mmr_rerank", oracle=_sim13_oracle())
+def sim13_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal marginal relevance) diversified top-k: greedily pick
+    the candidate maximizing λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s) —
+    relevance traded against redundancy with what is already selected.
+    This is the standard diversification pass over an ANN candidate list
+    (retrieval-augmented data selection wants coverage, not five near-
+    identical neighbors); sim01's plain top-k is the λ=1 degenerate case.
+
+    Cross-engine determinism: every float the greedy loop compares is
+    either a fold-computed cosine (bit-identical by the module-header
+    convention) or λ·rel − μ·maxsim with λ/μ as the SAME decimal
+    literals both sides (never 1-λ computed in Python); ties break on
+    cand_id. The oracle unrolls the greedy loop into k window-argmax
+    CTEs — recursion-free ANSI SQL.
+
+    Plan shape: ONE corpus scan — the 5-row query set broadcasts into a
+    non-equi BNLJ (the sim01 shape) and the top-m candidate cut is the
+    row_number-then-filter pattern Catalyst compiles to WindowGroupLimit
+    Partial BELOW the exchange (the sim12 device), so the only
+    corpus-scale exchange carries ≤ m·|Q| rows per input partition.
+    Everything after is corpus-size-independent: the m²·|Q| pair lattice
+    (self-join of the m-row candidate set, AQE-broadcast), and ONE
+    Arrow stage whose greedy loop touches |Q| groups of m² narrow rows
+    — the sequential-algorithm-over-bounded-groups pattern (pack01).
+    At 100 TB only the candidate generation stage sees the corpus; the
+    re-rank cost is fixed by (|Q|, m, k) regardless of corpus size."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), _dvec("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", "ce",
+            _cosine(F.col("qe"), F.col("ce")).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id").asc()
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SIM13_M)
+        .drop("rn")
+    )
+    # the m·|Q|-row candidate set feeds BOTH lattice sides; without the
+    # lineage cut each side re-runs candidate generation — a second full
+    # corpus pass at 100 TB (ReusedExchange does not fire across the
+    # pruning-divergent branches; same device as sim05's assignment)
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
+    cand = lazy_checkpoint(cand)
+    a = cand.select(
+        "query_id",
+        F.col("cand_id").alias("ca"),
+        F.col("rel").alias("rel_a"),
+        F.col("ce").alias("ea"),
+    )
+    b = cand.select(
+        "query_id", F.col("cand_id").alias("cb"), F.col("ce").alias("eb")
+    )
+    # full lattice INCLUDING self-pairs: guarantees every candidate row
+    # reaches the Arrow stage even at |cand| = 1 (a group with zero
+    # cross-pairs would otherwise vanish from the grouped input); the
+    # greedy loop never consults sim(c, c) because c ∉ chosen while c
+    # is still selectable. Arrays are consumed JVM-side — only narrow
+    # (id, id, double, double) rows cross into Arrow.
+    pairs = a.join(F.broadcast(b), "query_id").select(
+        "query_id", "ca", "rel_a", "cb",
+        _cosine(F.col("ea"), F.col("eb")).alias("sim"),
+    )
+
+    lam, mu = float(_SIM13_LAM), float(_SIM13_MU)
+    k = _SIM13_K
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel: dict[int, float] = {}
+        sim: dict[tuple[int, int], float] = {}
+        for r in pdf.itertuples(index=False):
+            rel[int(r.ca)] = float(r.rel_a)
+            sim[(int(r.ca), int(r.cb))] = float(r.sim)
+        chosen: list[int] = []
+        rows = []
+        for rnk in range(1, k + 1):
+            best = None  # (score, cand_id); strict > keeps lowest id on ties
+            for cid in sorted(rel):
+                if cid in chosen:
+                    continue
+                mx = max((sim[(cid, s)] for s in chosen), default=0.0)
+                score = lam * rel[cid] - mu * mx
+                if best is None or score > best[0]:
+                    best = (score, cid)
+            if best is None:
+                break
+            chosen.append(best[1])
+            rows.append((qid, best[1], rnk, rel[best[1]], best[0]))
+        return pd.DataFrame(
+            rows, columns=["query_id", "vec_id", "rnk", "relevance", "mmr_score"]
+        )
+
+    out_schema = (
+        "query_id long, vec_id long, rnk long, relevance double, mmr_score double"
+    )
+    return pairs.groupBy("query_id").applyInPandas(greedy, out_schema)

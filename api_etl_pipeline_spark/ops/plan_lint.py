@@ -248,6 +248,11 @@ ALLOWED: dict[tuple[str, str], str] = {
         "the 3-row geometry literal cross-joined onto the bounded pair "
         "lattice — a constant-size broadcast"
     ),
+    ("sim13_mmr_rerank+ckpt", "BroadcastNestedLoopJoin"): (
+        "5-row query-vector broadcast, non-equi self-exclusion — the "
+        "sim01 candidate-generation shape (lives in the checkpointed "
+        "candidate subplan; the final plan is BHJ + Arrow greedy only)"
+    ),
 }
 
 # batch queries may not contain LocalTableScan of collected rows; the
@@ -283,6 +288,7 @@ CHECKPOINTING_QUERIES = {
     "dd15_semdedup_prune",
     "dd16_lsh_recall_audit",  # round 9: derived-corpus + signature checkpoints
     "dd17_lsh_geometry_sweep",  # round 9: same checkpoints, 8-hash variant
+    "sim13_mmr_rerank",  # round 9: candidate set feeds both lattice sides
     "decon02_source_overlap",
     "dq06_psi_drift",
     "dq07_window_psi_drift",  # round 8: psi_surface grid checkpoint

@@ -210,6 +210,7 @@ OPTIONAL = [
     "dd17_lsh_geometry_sweep",  # 3-geometry recall/precision trade measurement
     "ev19_journey_patterns",  # MATCH_RECOGNIZE analog: 1 exchange + per-row regex
     "maint02_retention_plan",  # partition-grain TTL planner, metadata-bound
+    "sim13_mmr_rerank",  # MMR diversified top-k over checkpointed candidates
 ]
 
 

@@ -469,3 +469,87 @@ def test_maint02_policy_invariants(spark):
     assert not any(r.expired for r in rows if r.event_type == "purchase")
     err = [r for r in rows if r.event_type == "error"]
     assert any(r.expired for r in err) and any(not r.expired for r in err)
+
+
+def test_sim13_mmr_invariants(spark):
+    """MMR semantics the oracle hash can't articulate: the first pick is
+    the pure-relevance argmax (== sim01's top-1), every pick comes from
+    the top-m relevance pool, picks are distinct, and each step's score
+    equals lam*rel - mu*max_sim recomputed from scratch in plain Python
+    over the exact fold cosines (a third, engine-independent evaluation
+    of the greedy recurrence)."""
+    from api_etl_pipeline_spark.llm_ops.similarity import (
+        _SIM13_K,
+        _SIM13_LAM,
+        _SIM13_M,
+        _SIM13_MU,
+        sim13_mmr_rerank,
+    )
+    from api_etl_pipeline_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    rows = sim13_mmr_rerank(spark, sf).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rnk)):
+        by_q.setdefault(r.query_id, []).append(r)
+
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in all_queries()["sim01_cosine_topk"].fn(spark, sf).collect()
+        if r.rn == 1
+    }
+
+    # exact cosines recomputed with the same sequential fold in Python
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    vecs = {
+        int(v): [float(x) for x in e]
+        for v, e in con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    }
+
+    def fold_cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        import math
+
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    lam, mu = float(_SIM13_LAM), float(_SIM13_MU)
+    for qid, picks in by_q.items():
+        assert len(picks) == _SIM13_K
+        assert [p.rnk for p in picks] == list(range(1, _SIM13_K + 1))
+        ids = [p.vec_id for p in picks]
+        assert len(set(ids)) == _SIM13_K
+        assert picks[0].vec_id == top1[qid]
+        # candidate pool: top-m by (rel desc, id asc), query excluded
+        rels = {
+            c: fold_cos(vecs[qid], vecs[c]) for c in vecs if c != qid
+        }
+        pool = sorted(rels, key=lambda c: (-rels[c], c))[:_SIM13_M]
+        assert set(ids) <= set(pool)
+        # replay the greedy recurrence independently
+        chosen = []
+        for p in picks:
+            best = None
+            for c in sorted(pool):
+                if c in chosen:
+                    continue
+                mx = max((fold_cos(vecs[c], vecs[s]) for s in chosen), default=0.0)
+                score = lam * rels[c] - mu * mx
+                if best is None or score > best[0]:
+                    best = (score, c)
+            assert best[1] == p.vec_id and best[0] == p.mmr_score
+            assert rels[p.vec_id] == p.relevance
+            chosen.append(best[1])

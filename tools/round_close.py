@@ -158,6 +158,10 @@ def _scan_audit_allowlist() -> set[str]:
         #   do not fire here: their first traversal is lineage-
         #   truncated, and the audit counts final-plan scans.)
         "dq05_referential_integrity",
+        # round 9: sim13 — the 5-row query-vector slice + the corpus
+        #   pass (the sim01 probe-vs-corpus class); the candidate set
+        #   is checkpointed so the lattice sides do NOT re-scan
+        "sim13_mmr_rerank",
     }
 
 

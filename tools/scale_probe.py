@@ -101,6 +101,7 @@ QUERIES = [
     "dd17_lsh_geometry_sweep",  # round-9: fixed-stratum sweep — same independence claim
     "ev19_journey_patterns",  # round-9: one user_id exchange, journey fold + per-row regex
     "maint02_retention_plan",  # round-9: (type,day) agg + 1-row/policy broadcasts — metadata-bound
+    "sim13_mmr_rerank",  # round-9: only candidate generation sees the corpus; greedy is (|Q|,m,k)-fixed
 ]
 
 
