@@ -665,6 +665,141 @@ def hh01_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+HH02_W = 64  # Count-Min width (buckets per hash row)
+HH02_D = 4  # Count-Min depth (hash rows — md5's four disjoint 32-bit slices)
+HH02_PROBE = 20  # audit probe set: exact top-N tokens
+
+
+@query(
+    "hh02_countmin_audit",
+    oracle=f"""
+    WITH bg AS (
+        SELECT tokens[i] || ' ' || tokens[i + 1] AS bigram
+        FROM (SELECT string_split(text, ' ') AS tokens FROM documents),
+             UNNEST(generate_series(1, len(tokens) - 1)) AS u(i)
+        WHERE len(tokens) >= 2
+    ),
+    tc AS (SELECT bigram, COUNT(*)::BIGINT AS cnt FROM bg GROUP BY bigram),
+    th AS (SELECT bigram, cnt, md5(bigram) AS h FROM tc),
+    lattice AS (
+        SELECT bigram, cnt, r,
+               (('0x' || substr(h, 1 + 8 * r, 8))::BIGINT % {HH02_W}) AS bucket
+        FROM th, (SELECT unnest([0, 1, 2, 3]) AS r) rows_
+    ),
+    sketch AS (
+        SELECT r, bucket, SUM(cnt)::BIGINT AS bucket_total
+        FROM lattice GROUP BY r, bucket
+    ),
+    probe AS (
+        SELECT bigram, cnt FROM tc ORDER BY cnt DESC, bigram ASC LIMIT {HH02_PROBE}
+    )
+    SELECT p.bigram, ANY_VALUE(p.cnt) AS exact_cnt,
+           MIN(s.bucket_total) AS cm_estimate,
+           (MIN(s.bucket_total) - ANY_VALUE(p.cnt))::BIGINT AS overestimate
+    FROM probe p
+    JOIN lattice l ON l.bigram = p.bigram
+    JOIN sketch s ON s.r = l.r AND s.bucket = l.bucket
+    GROUP BY p.bigram
+    """,
+)
+def hh02_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch accuracy audit (Cormode & Muthukrishnan 2005):
+    build the shipped d=4 x w=64 CM sketch over the corpus BIGRAM stream
+    (n-gram counting is the canonical CM workload — the item domain that
+    outgrows exact counting first; the corpus's 31-token unigram vocab
+    would leave every probe collision-free and the audit vacuous, while
+    its ~900-bigram domain packs ~14 items per bucket) and measure, for
+    the exact top-20 bigrams, the collision-driven overestimate
+    `min_r sketch[r][h_r(t)] - exact(t)` — the number a deployment
+    consults before trusting CM counters for admission control or
+    heavy-hitter pre-filtering. Companion to hh01 (Space-Saving
+    candidates) and q51 (HLL distinct): the third classic mergeable
+    sketch, made fully oracle-checkable because every value is an exact
+    integer.
+
+    The d hash rows are md5's four disjoint 32-bit hex slices (the
+    minhash device, `dedup.py:_signatures_of`) — one md5 per DISTINCT
+    bigram, identical on both engines via the '0x'||substr ≡ conv(...,
+    16, 10) equivalence, so sketch cells and estimates match exactly;
+    bigrams are tx05's positional-transform construction.
+
+    Plan shape: ONE corpus-scale stage — the vocab-bounded (bigram,
+    count) aggregate (map-side combined explode like tx05), then
+    checkpointed; the sketch is SUM over that aggregate grouped by
+    (row, bucket) — numerically identical to the per-partition
+    build-and-merge a streaming deployment does (+ commutes), which is
+    the mergeability property the audit certifies. Everything past the
+    bigram counts is vocab- then constant-bounded: d·w = 256 sketch
+    cells broadcast into the probe join, probe set top-N'd via the
+    WindowGroupLimit partial device. At 100 TB the sketch replaces the
+    exact aggregate precisely where the n-gram domain outgrows the
+    shuffle (hh01's economics); this audit quantifies what that trade
+    costs on the corpus's real skew."""
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tc = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.md5(F.col("bigram").cast("binary")))
+    )
+    # three consumers (lattice->sketch, lattice->probe join, probe):
+    # without the lineage cut each would re-run the corpus explode
+    tc = lazy_checkpoint(tc)
+    lat = tc.select(
+        "bigram",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.conv(F.substring("h", 1 + 8 * r, 8), 16, 10).cast(
+                                "bigint"
+                            )
+                            % HH02_W
+                        ).alias("bucket"),
+                    )
+                    for r in range(HH02_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("bigram", "cnt", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    sketch = lat.groupBy("r", "bucket").agg(F.sum("cnt").alias("bucket_total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+    probe = (
+        tc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HH02_PROBE)
+        .select("bigram", "cnt")
+    )
+    return (
+        lat.join(F.broadcast(probe.select("bigram")), "bigram", "left_semi")
+        .join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("bigram", "cnt")
+        .agg(F.min("bucket_total").alias("cm_estimate"))
+        .select(
+            "bigram",
+            F.col("cnt").alias("exact_cnt"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("cnt")).cast("bigint").alias("overestimate"),
+        )
+    )
+
+
 def asof_join_nearest(
     left: DataFrame,
     right: DataFrame,

@@ -289,6 +289,7 @@ CHECKPOINTING_QUERIES = {
     "dd16_lsh_recall_audit",  # round 9: derived-corpus + signature checkpoints
     "dd17_lsh_geometry_sweep",  # round 9: same checkpoints, 8-hash variant
     "sim13_mmr_rerank",  # round 9: candidate set feeds both lattice sides
+    "hh02_countmin_audit",  # round 9: bigram counts feed sketch + probe + lattice
     "decon02_source_overlap",
     "dq06_psi_drift",
     "dq07_window_psi_drift",  # round 8: psi_surface grid checkpoint

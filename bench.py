@@ -211,6 +211,7 @@ OPTIONAL = [
     "ev19_journey_patterns",  # MATCH_RECOGNIZE analog: 1 exchange + per-row regex
     "maint02_retention_plan",  # partition-grain TTL planner, metadata-bound
     "sim13_mmr_rerank",  # MMR diversified top-k over checkpointed candidates
+    "hh02_countmin_audit",  # Count-Min bigram sketch vs exact top-20
 ]
 
 

@@ -553,3 +553,64 @@ def test_sim13_mmr_invariants(spark):
             assert best[1] == p.vec_id and best[0] == p.mmr_score
             assert rels[p.vec_id] == p.relevance
             chosen.append(best[1])
+
+
+def test_hh02_countmin_invariants(spark):
+    """CM properties the oracle hash can't articulate: (1) estimates
+    never underestimate; (2) the audit is non-vacuous (collisions exist
+    at d=4 x w=64 over the bigram domain); (3) a plain-Python replay of
+    the sketch agrees cell-for-cell; (4) MERGEABILITY — the sketch built
+    from two disjoint halves of the corpus and summed cell-wise equals
+    the single-pass sketch (the property that lets 1000 executors build
+    partials and merge)."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from api_etl_pipeline_spark.ops.advanced import (
+        HH02_D,
+        HH02_W,
+        hh02_countmin_audit,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = hh02_countmin_audit(spark, sf).collect()
+    assert len(rows) == 20
+    assert all(r.overestimate >= 0 for r in rows)
+    assert any(r.overestimate > 0 for r in rows), "audit is vacuous"
+    assert all(r.cm_estimate == r.exact_cnt + r.overestimate for r in rows)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    docs = [t for (t,) in con.execute(
+        "SELECT text FROM documents ORDER BY doc_id").fetchall()]
+
+    def doc_bigrams(text):
+        toks = text.split(" ")
+        return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(item, r):
+        h = hashlib.md5(item.encode()).hexdigest()
+        return int(h[8 * r: 8 * r + 8], 16) % HH02_W
+
+    def build_sketch(texts):
+        cells = Counter()
+        for t in texts:
+            for bg in doc_bigrams(t):
+                for r in range(HH02_D):
+                    cells[(r, bucket(bg, r))] += 1
+        return cells
+
+    full = build_sketch(docs)
+    half = build_sketch(docs[::2]) + build_sketch(docs[1::2])
+    assert full == half  # mergeable: partials sum to the single pass
+
+    exact = Counter(bg for t in docs for bg in doc_bigrams(t))
+    for r_ in rows:
+        est = min(full[(r, bucket(r_.bigram, r))] for r in range(HH02_D))
+        assert est == r_.cm_estimate
+        assert exact[r_.bigram] == r_.exact_cnt
