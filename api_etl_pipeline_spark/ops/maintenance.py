@@ -538,3 +538,163 @@ def maint02_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (age > F.col("retention_days")).alias("expired"),
         )
     )
+
+
+# maint03 — zone-map / partition-pruning effectiveness estimator. The
+# third leg of the maintenance trio: maint01 plans WHERE bytes live
+# (compaction), maint02 plans WHAT to delete (retention), maint03
+# quantifies WHAT A QUERY GETS TO SKIP — the number that justifies both
+# (bench.py's range layout and maint01's order-preserving packing exist
+# exactly to maximize it).
+MAINT03_ROWS_PER_FILE = 1000  # arrival-layout file grain (event_id div)
+
+
+@query(
+    "maint03_zone_map_skip",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id // {MAINT03_ROWS_PER_FILE} AS afile,
+               date_diff('day', DATE '1970-01-01',
+                         date_trunc('day', ts))::BIGINT AS day_idx
+        FROM events
+    ),
+    comp AS (
+        SELECT afile, day_idx, COUNT(*)::BIGINT AS n
+        FROM base GROUP BY afile, day_idx
+    ),
+    g AS (SELECT MIN(day_idx) AS gmin, MAX(day_idx) AS gmax FROM comp),
+    files AS (
+        SELECT 'arrival' AS layout, afile AS file_id,
+               MIN(day_idx) AS min_day, MAX(day_idx) AS max_day,
+               SUM(n)::BIGINT AS n_rows
+        FROM comp GROUP BY afile
+        UNION ALL
+        SELECT 'day_part' AS layout, day_idx AS file_id,
+               day_idx, day_idx, SUM(n)::BIGINT
+        FROM comp GROUP BY day_idx
+    ),
+    preds AS (
+        SELECT 'recent_3d' AS predicate, gmax - 2 AS lo_day, gmax AS hi_day FROM g
+        UNION ALL SELECT 'mid_week', gmin + 10, gmin + 16 FROM g
+        UNION ALL SELECT 'point_day', gmin + 5, gmin + 5 FROM g
+    )
+    SELECT f.layout, p.predicate,
+           MIN(p.lo_day)::BIGINT AS lo_day, MIN(p.hi_day)::BIGINT AS hi_day,
+           COUNT(*)::BIGINT AS n_files,
+           SUM(CASE WHEN f.max_day < p.lo_day OR f.min_day > p.hi_day
+                    THEN 1 ELSE 0 END)::BIGINT AS n_skipped,
+           SUM(f.n_rows)::BIGINT AS rows_total,
+           SUM(CASE WHEN f.max_day < p.lo_day OR f.min_day > p.hi_day
+                    THEN 0 ELSE f.n_rows END)::BIGINT AS rows_scanned,
+           ROUND(SUM(CASE WHEN f.max_day < p.lo_day OR f.min_day > p.hi_day
+                          THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS skip_rate
+    FROM files f CROSS JOIN preds p
+    GROUP BY f.layout, p.predicate
+    """,
+)
+def maint03_zone_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max) file-skipping estimator: per-file day min/max
+    stats under TWO layouts of the same events table — `arrival` (files
+    cut every MAINT03_ROWS_PER_FILE rows in insertion order, the layout
+    ingestion produces) vs `day_part` (event-day partitioning, the
+    layout bench.py's range clustering / maint01's order-preserving
+    compaction converge to) — evaluated against three deterministic
+    time-range predicates (newest 3 days, a mid-corpus week, a single
+    point day). Reports files skipped and rows actually scanned per
+    (layout, predicate): the measured I/O argument for time-clustering
+    a 100 TB event table. Zone grain is the DAY (a file is skippable
+    iff [min_day, max_day] misses [lo, hi]) — the conservative pruning
+    every lakehouse manifest supports; predicates anchor to the data's
+    own min/max day, never wall clock, so the whole report is
+    driver-hash-pinned exact integers (+ one ROUND(6) rate).
+
+    Plan shape: ONE corpus scan into ONE map-side-combined (arrival-
+    file, day) aggregate — the composite grain both layouts derive
+    from — then checkpointed (~|files|x|days| rows): per-layout file
+    stats are tiny re-aggs of it, the 1-row global min/max anchors the
+    3-row predicate table (broadcast BNLJ, the samp07 1-row-totals
+    shape), and the skip evaluation is a constant-size cross of
+    |files| x 3. At 100 TB the composite aggregate IS the catalog
+    manifest (per-file column stats come free from parquet footers) —
+    the estimator is metadata-bound like maint01/02, and the row-level
+    simulation exists so the oracle can restate both layouts from raw
+    rows."""
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    comp = (
+        ev.select(
+            F.expr(f"event_id div {MAINT03_ROWS_PER_FILE}").alias("afile"),
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("day_idx"),
+        )
+        .groupBy("afile", "day_idx")
+        .agg(F.count("*").alias("n"))
+    )
+    comp = lazy_checkpoint(comp)  # feeds files (x2 layouts) + the anchor agg
+    arrival = comp.groupBy("afile").agg(
+        F.min("day_idx").alias("min_day"),
+        F.max("day_idx").alias("max_day"),
+        F.sum("n").alias("n_rows"),
+    ).select(
+        F.lit("arrival").alias("layout"),
+        F.col("afile").alias("file_id"),
+        "min_day",
+        "max_day",
+        "n_rows",
+    )
+    day_part = comp.groupBy("day_idx").agg(F.sum("n").alias("n_rows")).select(
+        F.lit("day_part").alias("layout"),
+        F.col("day_idx").alias("file_id"),
+        F.col("day_idx").alias("min_day"),
+        F.col("day_idx").alias("max_day"),
+        "n_rows",
+    )
+    files = arrival.unionByName(day_part)
+    g = comp.agg(F.min("day_idx").alias("gmin"), F.max("day_idx").alias("gmax"))
+    preds = g.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("recent_3d").alias("predicate"),
+                    (F.col("gmax") - 2).alias("lo_day"),
+                    F.col("gmax").alias("hi_day"),
+                ),
+                F.struct(
+                    F.lit("mid_week").alias("predicate"),
+                    (F.col("gmin") + 10).alias("lo_day"),
+                    (F.col("gmin") + 16).alias("hi_day"),
+                ),
+                F.struct(
+                    F.lit("point_day").alias("predicate"),
+                    (F.col("gmin") + 5).alias("lo_day"),
+                    (F.col("gmin") + 5).alias("hi_day"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.predicate", "p.lo_day", "p.hi_day")
+    skipped = (F.col("max_day") < F.col("lo_day")) | (
+        F.col("min_day") > F.col("hi_day")
+    )
+    return (
+        files.crossJoin(F.broadcast(preds))
+        .groupBy("layout", "predicate")
+        .agg(
+            F.min("lo_day").cast("bigint").alias("lo_day"),
+            F.min("hi_day").cast("bigint").alias("hi_day"),
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum(F.when(skipped, 1).otherwise(0)).cast("bigint").alias("n_skipped"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            F.sum(F.when(skipped, 0).otherwise(F.col("n_rows")))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.round(
+                F.sum(F.when(skipped, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("skip_rate"),
+        )
+    )

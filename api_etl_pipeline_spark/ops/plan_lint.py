@@ -248,6 +248,11 @@ ALLOWED: dict[tuple[str, str], str] = {
         "the 3-row geometry literal cross-joined onto the bounded pair "
         "lattice — a constant-size broadcast"
     ),
+    ("maint03_zone_map_skip", "BroadcastNestedLoopJoin"): (
+        "the 1-row min/max-day anchor exploded into the 3-row predicate "
+        "literal, cross-broadcast onto the |files|-row stats relation — "
+        "the samp07 1-row-totals shape"
+    ),
     ("sim13_mmr_rerank+ckpt", "BroadcastNestedLoopJoin"): (
         "5-row query-vector broadcast, non-equi self-exclusion — the "
         "sim01 candidate-generation shape (lives in the checkpointed "
@@ -290,6 +295,7 @@ CHECKPOINTING_QUERIES = {
     "dd17_lsh_geometry_sweep",  # round 9: same checkpoints, 8-hash variant
     "sim13_mmr_rerank",  # round 9: candidate set feeds both lattice sides
     "hh02_countmin_audit",  # round 9: bigram counts feed sketch + probe + lattice
+    "maint03_zone_map_skip",  # round 9: composite grain feeds both layouts + anchor
     "decon02_source_overlap",
     "dq06_psi_drift",
     "dq07_window_psi_drift",  # round 8: psi_surface grid checkpoint

@@ -212,6 +212,7 @@ OPTIONAL = [
     "maint02_retention_plan",  # partition-grain TTL planner, metadata-bound
     "sim13_mmr_rerank",  # MMR diversified top-k over checkpointed candidates
     "hh02_countmin_audit",  # Count-Min bigram sketch vs exact top-20
+    "maint03_zone_map_skip",  # zone-map pruning estimator, metadata-bound
 ]
 
 

@@ -614,3 +614,30 @@ def test_hh02_countmin_invariants(spark):
         est = min(full[(r, bucket(r_.bigram, r))] for r in range(HH02_D))
         assert est == r_.cm_estimate
         assert exact[r_.bigram] == r_.exact_cnt
+
+
+def test_maint03_skip_semantics(spark):
+    """Zone-map semantics the hash can't articulate: day_part files are
+    single-day by construction (min==max); a file counts as scanned iff
+    its [min,max] day range overlaps the predicate; rows_scanned +
+    rows-of-skipped-files == rows_total; and day_part never scans MORE
+    rows than arrival for the same predicate (finer zones can only
+    prune better at equal grain)."""
+    from api_etl_pipeline_spark.ops.maintenance import maint03_zone_map_skip
+
+    rows = maint03_zone_map_skip(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 6  # 2 layouts x 3 predicates
+    by = {(r.layout, r.predicate): r for r in rows}
+    for r in rows:
+        assert 0 <= r.n_skipped <= r.n_files
+        assert r.rows_scanned <= r.rows_total
+        assert r.lo_day <= r.hi_day
+        # skip_rate ships ROUND(6) — compare at that granularity
+        assert abs(r.skip_rate - r.n_skipped / r.n_files) < 5e-7
+    for pred in ("recent_3d", "mid_week", "point_day"):
+        a, d = by[("arrival", pred)], by[("day_part", pred)]
+        assert a.rows_total == d.rows_total  # same corpus, either layout
+        assert d.rows_scanned <= a.rows_scanned
+    # point-day on day_part must reduce to exactly the one matching day
+    pd_ = by[("day_part", "point_day")]
+    assert pd_.n_files - pd_.n_skipped == 1

@@ -103,6 +103,7 @@ QUERIES = [
     "maint02_retention_plan",  # round-9: (type,day) agg + 1-row/policy broadcasts — metadata-bound
     "sim13_mmr_rerank",  # round-9: only candidate generation sees the corpus; greedy is (|Q|,m,k)-fixed
     "hh02_countmin_audit",  # round-9: one bigram-count shuffle; sketch/probe are vocab- then constant-bounded
+    "maint03_zone_map_skip",  # round-9: one composite agg; everything after is manifest-bounded
 ]
 
 
