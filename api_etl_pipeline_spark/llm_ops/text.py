@@ -1790,3 +1790,84 @@ def tx23_corpus_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
             hbeta.alias("heaps_beta"),
         )
     )
+
+
+@query(
+    "tx24_tokenizer_fertility",
+    oracle=_bpe_ctes()
+    + f"""
+    , tokenized AS (
+        SELECT word,
+               len(string_split(substr(seq, 2, len(seq) - 2),
+                                chr(2) || chr(1)))::BIGINT AS n_sym
+        FROM v{BPE_ROUNDS}
+    ),
+    strat_words AS (
+        SELECT lang, source, w AS word, COUNT(*)::BIGINT AS n_occ
+        FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY lang, source, w
+    )
+    SELECT lang, source,
+           SUM(n_occ)::BIGINT AS n_words,
+           SUM(n_occ * n_sym)::BIGINT AS n_tokens_bpe,
+           ROUND(SUM(n_occ * n_sym) / SUM(n_occ)::DOUBLE, 6) AS fertility,
+           ROUND(SUM(n_occ * len(word)) / SUM(n_occ * n_sym)::DOUBLE, 6)
+               AS chars_per_token,
+           ROUND(SUM(CASE WHEN n_sym = 1 THEN n_occ ELSE 0 END)
+                 / SUM(n_occ)::DOUBLE, 6) AS single_tok_share
+    FROM strat_words JOIN tokenized USING (word)
+    GROUP BY lang, source
+    """,
+)
+def tx24_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per corpus stratum: the trained BPE
+    tokenizer's tokens-per-word (fertility), chars-per-token, and the
+    share of word occurrences the vocab covers as a SINGLE token, per
+    (lang, source). This is the audit a pipeline runs BEFORE committing
+    to a tokenizer: fertility disparities across languages/sources mean
+    unequal effective context length and unequal per-document training
+    cost (a publicly well-documented multilingual-tokenizer concern),
+    and it is exactly what mix01/pack01 token budgets inherit. tx22
+    reports the per-doc budget; tx24 is the per-stratum policy view
+    with the coverage statistic (n_sym = 1 after BPE_ROUNDS merges)
+    that drives vocab-size decisions.
+
+    Inherits tx21/tx22's corpus-size-independent core: merges apply
+    once per DISTINCT word on the checkpointed vocab relation; the
+    audit is then ONE (lang, source, word) partial-agg explode pass
+    over the corpus, one vocab-bounded equi-join, and a final hash agg
+    on the |langs| x |sources| grain — the corpus text is scanned twice
+    total (training + occurrences) and never shuffles. All ratios
+    divide exact BIGINTs once and ROUND(6) — a single deterministic
+    float op per cell on both engines (the tx22 convention)."""
+    vocab, _ = _bpe_train(spark, sf_dir)
+    tokenized = vocab.select(
+        "word", F.size(_bpe_symbols(F.col("seq"))).cast("bigint").alias("n_sym")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    strat_words = (
+        d.select("lang", "source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "source", "word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    occ_sym = F.col("n_occ") * F.col("n_sym")
+    return (
+        strat_words.join(tokenized, "word")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_words"),
+            F.sum(occ_sym).cast("bigint").alias("n_tokens_bpe"),
+            F.round(F.sum(occ_sym) / F.sum("n_occ"), 6).alias("fertility"),
+            F.round(
+                F.sum(F.col("n_occ") * F.length("word")) / F.sum(occ_sym), 6
+            ).alias("chars_per_token"),
+            F.round(
+                F.sum(F.when(F.col("n_sym") == 1, F.col("n_occ")).otherwise(0))
+                / F.sum("n_occ"),
+                6,
+            ).alias("single_tok_share"),
+        )
+    )

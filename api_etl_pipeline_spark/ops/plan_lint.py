@@ -103,6 +103,11 @@ ALLOWED: dict[tuple[str, str], str] = {
         "broadcast per unrolled merge round; the apply side's own joins "
         "are equi (word) and hash/broadcast"
     ),
+    ("tx24_tokenizer_fertility", "BroadcastNestedLoopJoin"): (
+        "inherited training core IS tx21 — same single-row top-pair "
+        "broadcast per unrolled merge round; the audit side's own joins "
+        "are equi (word) and hash/broadcast"
+    ),
     ("cur04_token_drift", "BroadcastNestedLoopJoin"): (
         "two single-row per-version token-total broadcasts folded into "
         "the rate expressions (the tx19 shape)"
@@ -318,6 +323,7 @@ CHECKPOINTING_QUERIES = {
     "tx21_bpe_train_merges",
     "tx22_bpe_tokenize_apply",
     "tx23_corpus_laws",  # round 8: token-explode + curve checkpoints
+    "tx24_tokenizer_fertility",  # round 9: same _bpe_train vocab checkpoint as tx22
     "x25_mad_outliers",
 }
 

@@ -213,6 +213,7 @@ OPTIONAL = [
     "sim13_mmr_rerank",  # MMR diversified top-k over checkpointed candidates
     "hh02_countmin_audit",  # Count-Min bigram sketch vs exact top-20
     "maint03_zone_map_skip",  # zone-map pruning estimator, metadata-bound
+    "tx24_tokenizer_fertility",  # per-stratum trained-BPE fertility/coverage
 ]
 
 

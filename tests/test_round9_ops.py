@@ -641,3 +641,27 @@ def test_maint03_skip_semantics(spark):
     # point-day on day_part must reduce to exactly the one matching day
     pd_ = by[("day_part", "point_day")]
     assert pd_.n_files - pd_.n_skipped == 1
+
+
+def test_tx24_fertility_invariants(spark):
+    """Cross-operator identity + bounds the hash can't articulate:
+    tx24's stratum token totals must sum to exactly tx22's per-doc
+    totals (same trained tokenizer, same corpus — two independent
+    aggregation paths), fertility is >= 1 (a word is at least one
+    symbol) and <= the corpus max word length, and single_tok_share is
+    a valid share consistent with fertility == 1 iff share == 1."""
+    from api_etl_pipeline_spark.llm_ops.text import (
+        tx22_bpe_tokenize_apply,
+        tx24_tokenizer_fertility,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    strat = tx24_tokenizer_fertility(spark, sf).collect()
+    docs = tx22_bpe_tokenize_apply(spark, sf).collect()
+    assert sum(r.n_tokens_bpe for r in strat) == sum(r.n_tokens_bpe for r in docs)
+    assert sum(r.n_words for r in strat) == sum(r.n_tokens_ws for r in docs)
+    for r in strat:
+        assert r.fertility >= 1.0
+        assert 0.0 <= r.single_tok_share <= 1.0
+        assert r.n_tokens_bpe >= r.n_words
+        assert (r.single_tok_share == 1.0) == (r.fertility == 1.0)

@@ -104,6 +104,7 @@ QUERIES = [
     "sim13_mmr_rerank",  # round-9: only candidate generation sees the corpus; greedy is (|Q|,m,k)-fixed
     "hh02_countmin_audit",  # round-9: one bigram-count shuffle; sketch/probe are vocab- then constant-bounded
     "maint03_zone_map_skip",  # round-9: one composite agg; everything after is manifest-bounded
+    "tx24_tokenizer_fertility",  # round-9: tx22's vocab-bounded core + one strat-word pass
 ]
 
 
