@@ -277,6 +277,7 @@ LOCAL_SCAN_OK = {
     "st12_streaming_session_live",
     "st13_streaming_dedup_live",
     "st15_journey_patterns_live",  # round 9: memory-sink snapshots
+    "st16_countmin_live",  # round 9: memory-sink sketch cells
     "qsql08_values_decode_shared_sql",  # 3-row inline VALUES decode table
 }
 

@@ -868,3 +868,147 @@ def st15_journey_patterns_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+ST16_W = 64  # Count-Min width, matches hh02's audited geometry
+ST16_D = 4  # depth: md5's four disjoint 32-bit slices
+ST16_PROBE = 20
+
+
+@query(
+    "st16_countmin_live",
+    oracle=f"""
+    WITH tc AS (
+        SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events GROUP BY user_id
+    ),
+    th AS (SELECT user_id, cnt, md5(user_id::VARCHAR) AS h FROM tc),
+    lattice AS (
+        SELECT user_id, cnt, r,
+               (('0x' || substr(h, 1 + 8 * r, 8))::BIGINT % {ST16_W}) AS bucket
+        FROM th, (SELECT unnest([0, 1, 2, 3]) AS r) rows_
+    ),
+    sketch AS (
+        SELECT r, bucket, SUM(cnt)::BIGINT AS bucket_total
+        FROM lattice GROUP BY r, bucket
+    ),
+    probe AS (
+        SELECT user_id, cnt FROM tc ORDER BY cnt DESC, user_id ASC LIMIT {ST16_PROBE}
+    )
+    SELECT p.user_id, ANY_VALUE(p.cnt) AS exact_cnt,
+           MIN(s.bucket_total) AS cm_estimate,
+           (MIN(s.bucket_total) - ANY_VALUE(p.cnt))::BIGINT AS overestimate
+    FROM probe p
+    JOIN lattice l ON l.user_id = p.user_id
+    JOIN sketch s ON s.r = l.r AND s.bucket = l.bucket
+    GROUP BY p.user_id
+    """,
+)
+def st16_countmin_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance — hh02's sketch kept as LIVE
+    Structured Streaming state over the events stream (heavy-USER
+    detection, the classic CM streaming deployment: admission control /
+    abuse throttling on per-user event counts). The streaming aggregate
+    is the d x w = 256-cell sketch itself — groupBy (hash-row, bucket)
+    count in update mode — so streaming state is CONSTANT-size at any
+    stream length and any user cardinality; per-key exact counting
+    would grow state with |users|, which is exactly the trade the
+    sketch exists to avoid. The memory-sink snapshots drain into the
+    same audit report as hh02: the exact top-{ST16_PROBE} users (batch
+    probe over the same staged data) vs their CM estimates — every
+    value an exact integer, fully oracle-checked against DuckDB running
+    the whole sketch+probe algebra.
+
+    Cell math is hh02's: one md5 per user id string, four disjoint
+    32-bit hex slices as the hash rows ('0x'||substr ≡ conv(...,16,10)
+    cross-engine). Counts only grow across snapshots, so the final cell
+    value is the per-(r, bucket) MAX over the drained memory table —
+    with the single-file staging invariant there is exactly one
+    snapshot per cell. Bench-exempt like every live st-query; hh02 is
+    the sketch family's perf twin."""
+    import uuid
+
+    from api_etl_pipeline_spark.tables import load_events_stream, load_table
+
+    stage_dir = _stage_events_dir(sf_dir)
+    stream = load_events_stream(spark, stage_dir).select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    lat_stream = stream.select(
+        F.md5(F.col("uid").cast("binary")).alias("h")
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.conv(F.substring("h", 1 + 8 * r, 8), 16, 10).cast(
+                                "bigint"
+                            )
+                            % ST16_W
+                        ).alias("bucket"),
+                    )
+                    for r in range(ST16_D)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.r", "rb.bucket")
+    cells = lat_stream.groupBy("r", "bucket").count()
+    name = "st16_" + uuid.uuid4().hex[:10]
+    q = (
+        cells.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    sketch = (
+        spark.table(name)
+        .groupBy("r", "bucket")
+        .agg(F.max("count").alias("bucket_total"))
+    )
+    # batch audit side over the SAME staged file the stream consumed
+    ev = load_table(spark, stage_dir, "events")
+    tc = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    th = tc.withColumn(
+        "h", F.md5(F.col("user_id").cast("string").cast("binary"))
+    )
+    lat = th.select(
+        "user_id",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.conv(F.substring("h", 1 + 8 * r, 8), 16, 10).cast(
+                                "bigint"
+                            )
+                            % ST16_W
+                        ).alias("bucket"),
+                    )
+                    for r in range(ST16_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("user_id", "cnt", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    probe = (
+        tc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ST16_PROBE)
+        .select("user_id", "cnt")
+    )
+    return (
+        lat.join(F.broadcast(probe.select("user_id")), "user_id", "left_semi")
+        .join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("user_id", "cnt")
+        .agg(F.min("bucket_total").alias("cm_estimate"))
+        .select(
+            "user_id",
+            F.col("cnt").alias("exact_cnt"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("cnt")).cast("bigint").alias("overestimate"),
+        )
+    )

@@ -665,3 +665,46 @@ def test_tx24_fertility_invariants(spark):
         assert 0.0 <= r.single_tok_share <= 1.0
         assert r.n_tokens_bpe >= r.n_words
         assert (r.single_tok_share == 1.0) == (r.fertility == 1.0)
+
+
+def test_st16_bounded_state_and_batch_parity(spark):
+    """The live sketch's state bound and its parity with a plain-Python
+    CM replay: the drained audit at sf0.001 must (a) never
+    underestimate, (b) agree exactly with a batch-side replay of the
+    sketch from the same staged events, and (c) the sketch can never
+    hold more than d*w cells regardless of user cardinality."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from api_etl_pipeline_spark.streaming.batch_windows import (
+        ST16_D,
+        ST16_W,
+        st16_countmin_live,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = st16_countmin_live(spark, sf).collect()
+    assert rows and all(r.overestimate >= 0 for r in rows)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    counts = Counter(
+        dict(con.execute("SELECT user_id, COUNT(*) FROM events GROUP BY user_id").fetchall())
+    )
+
+    def bucket(uid, r):
+        h = hashlib.md5(str(uid).encode()).hexdigest()
+        return int(h[8 * r: 8 * r + 8], 16) % ST16_W
+
+    cells = Counter()
+    for uid, c in counts.items():
+        for r in range(ST16_D):
+            cells[(r, bucket(uid, r))] += c
+    assert len(cells) <= ST16_D * ST16_W  # bounded state, by construction
+    for row in rows:
+        est = min(cells[(r, bucket(row.user_id, r))] for r in range(ST16_D))
+        assert est == row.cm_estimate and counts[row.user_id] == row.exact_cnt
