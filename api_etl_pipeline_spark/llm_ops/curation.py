@@ -1640,3 +1640,170 @@ def cur08_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_id_checksum"),
     )
+
+
+# mix03 — quality-annealed epoch schedule. mix01 caps dominant sources,
+# mix02 upsamples by epoch count, samp04 flattens by temperature; mix03
+# is the CURRICULUM composition of those devices: later epochs
+# concentrate the token budget on higher-quality sources (the standard
+# "anneal on high-quality data late in training" recipe).
+MIX03_MIN_CHARS = 306  # quality gate: doc passes iff n_chars >= this
+# per-epoch sharpening exponent on the source quality score. Powers of
+# two ONLY: q^1, q^2 = q*q, q^4 = (q*q)*(q*q) are pure IEEE multiplies
+# (bit-identical across engines), where a general pow() is libm- vs
+# Java-dependent in the last ulp (the dq06 ln lesson).
+MIX03_EPOCHS = ((1, 1), (2, 2), (3, 4))  # (epoch, sharpen_k)
+
+
+@query(
+    "mix03_anneal_schedule",
+    oracle=f"""
+    WITH sizes AS (
+        SELECT source, COUNT(*)::BIGINT AS n_docs,
+               SUM(CASE WHEN n_chars >= {MIX03_MIN_CHARS} THEN 1 ELSE 0
+                   END)::BIGINT AS pass_docs,
+               SUM(n_chars)::BIGINT AS source_chars
+        FROM documents GROUP BY source
+    ),
+    q AS (
+        SELECT *, (pass_docs + 1)::DOUBLE / (n_docs + 1) AS quality
+        FROM sizes
+    ),
+    sched AS (
+        SELECT 1 AS epoch, 1 AS sharpen_k UNION ALL
+        SELECT 2, 2 UNION ALL SELECT 3, 4
+    ),
+    raw AS (
+        SELECT s.epoch, s.sharpen_k, q.source, q.n_docs, q.pass_docs,
+               q.quality, q.source_chars,
+               (CASE s.sharpen_k
+                    WHEN 1 THEN q.quality
+                    WHEN 2 THEN q.quality * q.quality
+                    ELSE (q.quality * q.quality) * (q.quality * q.quality)
+                END) * q.source_chars::DOUBLE AS raw_w
+        FROM sched s CROSS JOIN q
+    ),
+    denom AS (
+        SELECT epoch,
+               list_reduce(
+                   list_prepend(0.0, list(raw_w ORDER BY source)),
+                   (a, b) -> a + b
+               ) AS w_sum
+        FROM raw GROUP BY epoch
+    ),
+    tot AS (SELECT SUM(source_chars)::BIGINT AS budget FROM sizes)
+    SELECT r.epoch::BIGINT AS epoch, r.sharpen_k::BIGINT AS sharpen_k,
+           r.source, r.n_docs, r.pass_docs, r.quality,
+           r.raw_w / d.w_sum AS weight,
+           CAST(FLOOR((r.raw_w / d.w_sum) * t.budget) AS BIGINT)
+               AS exp_tokens,
+           (r.raw_w / d.w_sum) * t.budget / r.source_chars
+               AS repeat_factor
+    FROM raw r JOIN denom d USING (epoch), tot t
+    """,
+)
+def mix03_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-annealed epoch schedule: a 3-epoch sampling curriculum
+    where each source's share of the fixed token budget is
+    quality^k_e · chars, renormalized per epoch, with the sharpening
+    exponent k_e rising 1 → 2 → 4 — epoch 1 is near-natural sampling,
+    epoch 3 concentrates the budget on high-quality sources (the
+    publicly standard late-training anneal on high-quality data).
+    Quality is the Laplace-smoothed pass rate of a length gate
+    ((pass+1)/(n+1), one exact-integer division — smoothing keeps
+    every source's weight positive so the schedule never silently
+    zeroes a stratum), and `repeat_factor` is the per-source repeat
+    count a data loader consumes (samp04's epochs semantics).
+
+    Float discipline: sharpening uses power-of-two exponents ONLY —
+    q², (q²)² are pure IEEE multiplies, bit-identical across engines,
+    where general pow() differs libm-vs-Java in the last ulp (the dq06
+    ln lesson; samp04 dodged the same way with sqrt). The per-epoch
+    weight denominator is the source-ascending explicit fold (the
+    samp04/tx13 device), so no float SUM aggregate exists anywhere.
+
+    Plan shape: ONE corpus-scale stage — the per-source (count, pass,
+    chars) aggregate, map-side combined to |sources| rows — then the
+    3-row schedule explodes against it, the per-epoch fold and the
+    1-row budget broadcast back, all on kilobytes. At 100 TB the
+    schedule is computed from table statistics; the corpus itself
+    never shuffles (mix01's economics), and the emitted table IS the
+    loader's sampling config for every epoch."""
+    d = load_table(spark, sf_dir, "documents")
+    sizes = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_chars") >= MIX03_MIN_CHARS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pass_docs"),
+        F.sum("n_chars").cast("bigint").alias("source_chars"),
+    )
+    # |sources| rows feed raw (x3 epochs), the per-epoch fold AND the
+    # 1-row budget — checkpoint so none of them re-runs the corpus agg
+    sizes = lazy_checkpoint(sizes)
+    q = sizes.withColumn(
+        "quality",
+        (F.col("pass_docs") + 1).cast("double") / (F.col("n_docs") + 1),
+    )
+    sched = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(e).alias("epoch"), F.lit(k).alias("sharpen_k")
+                )
+                for e, k in MIX03_EPOCHS
+            ]
+        )
+    ).alias("s")
+    qk = (
+        F.when(F.col("s.sharpen_k") == 1, F.col("quality"))
+        .when(F.col("s.sharpen_k") == 2, F.col("quality") * F.col("quality"))
+        .otherwise(
+            (F.col("quality") * F.col("quality"))
+            * (F.col("quality") * F.col("quality"))
+        )
+    )
+    raw = q.select(
+        sched,
+        "source",
+        "n_docs",
+        "pass_docs",
+        "quality",
+        "source_chars",
+    ).select(
+        F.col("s.epoch").alias("epoch"),
+        F.col("s.sharpen_k").alias("sharpen_k"),
+        "source",
+        "n_docs",
+        "pass_docs",
+        "quality",
+        "source_chars",
+        (qk * F.col("source_chars").cast("double")).alias("raw_w"),
+    )
+    denom = raw.groupBy("epoch").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("source", F.col("raw_w").alias("w")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("w_sum")
+    )
+    tot = sizes.agg(F.sum("source_chars").cast("bigint").alias("budget"))
+    weight = F.col("raw_w") / F.col("w_sum")
+    return (
+        raw.join(F.broadcast(denom), "epoch")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            F.col("sharpen_k").cast("bigint").alias("sharpen_k"),
+            "source",
+            "n_docs",
+            "pass_docs",
+            "quality",
+            weight.alias("weight"),
+            F.floor(weight * F.col("budget")).cast("bigint").alias("exp_tokens"),
+            (weight * F.col("budget") / F.col("source_chars")).alias(
+                "repeat_factor"
+            ),
+        )
+    )

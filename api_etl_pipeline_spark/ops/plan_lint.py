@@ -253,6 +253,10 @@ ALLOWED: dict[tuple[str, str], str] = {
         "the 3-row geometry literal cross-joined onto the bounded pair "
         "lattice — a constant-size broadcast"
     ),
+    ("mix03_anneal_schedule", "BroadcastNestedLoopJoin"): (
+        "the 1-row token-budget total cross-broadcast onto the "
+        "3x|sources| schedule rows — the samp07 1-row-totals shape"
+    ),
     ("maint03_zone_map_skip", "BroadcastNestedLoopJoin"): (
         "the 1-row min/max-day anchor exploded into the 3-row predicate "
         "literal, cross-broadcast onto the |files|-row stats relation — "
@@ -302,6 +306,7 @@ CHECKPOINTING_QUERIES = {
     "sim13_mmr_rerank",  # round 9: candidate set feeds both lattice sides
     "hh02_countmin_audit",  # round 9: bigram counts feed sketch + probe + lattice
     "maint03_zone_map_skip",  # round 9: composite grain feeds both layouts + anchor
+    "mix03_anneal_schedule",  # round 9: source sizes feed schedule + fold + budget
     "decon02_source_overlap",
     "dq06_psi_drift",
     "dq07_window_psi_drift",  # round 8: psi_surface grid checkpoint

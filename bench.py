@@ -214,6 +214,7 @@ OPTIONAL = [
     "hh02_countmin_audit",  # Count-Min bigram sketch vs exact top-20
     "maint03_zone_map_skip",  # zone-map pruning estimator, metadata-bound
     "tx24_tokenizer_fertility",  # per-stratum trained-BPE fertility/coverage
+    "mix03_anneal_schedule",  # 3-epoch quality-annealed sampling schedule
 ]
 
 

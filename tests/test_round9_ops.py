@@ -708,3 +708,43 @@ def test_st16_bounded_state_and_batch_parity(spark):
     for row in rows:
         est = min(cells[(r, bucket(row.user_id, r))] for r in range(ST16_D))
         assert est == row.cm_estimate and counts[row.user_id] == row.exact_cnt
+
+
+def test_mix03_anneal_invariants(spark):
+    """Curriculum semantics the hash can't articulate: per-epoch weights
+    are a distribution; sharpening is MONOTONE — across epochs the
+    highest-quality source's share never falls and the lowest-quality
+    source's share never rises (renormalized power sharpening provably
+    orders this way); exp_tokens floors never exceed the budget; and
+    repeat_factor is weight*budget/chars recomputed independently."""
+    import duckdb
+
+    from api_etl_pipeline_spark.llm_ops.curation import mix03_anneal_schedule
+
+    sf = "/root/testdata/sf0.01"
+    rows = mix03_anneal_schedule(spark, sf).collect()
+    assert len(rows) == 60  # 3 epochs x 20 sources
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    budget = con.execute("SELECT SUM(n_chars) FROM documents").fetchone()[0]
+    chars = dict(
+        con.execute("SELECT source, SUM(n_chars) FROM documents GROUP BY source").fetchall()
+    )
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    for e, rs in by_epoch.items():
+        assert abs(sum(r.weight for r in rs) - 1.0) < 1e-9
+        assert sum(r.exp_tokens for r in rs) <= budget
+        for r in rs:
+            assert abs(r.repeat_factor - r.weight * budget / chars[r.source]) < 1e-9
+    q_of = {r.source: r.quality for r in by_epoch[1]}
+    best = max(q_of, key=lambda s: (q_of[s], s))
+    worst = min(q_of, key=lambda s: (q_of[s], s))
+    w = {(r.epoch, r.source): r.weight for r in rows}
+    assert w[(1, best)] <= w[(2, best)] <= w[(3, best)]
+    assert w[(1, worst)] >= w[(2, worst)] >= w[(3, worst)]
+    # the anneal must actually BITE: epoch 3 concentrates measurably
+    assert w[(3, best)] > 1.5 * w[(1, best)] or w[(3, worst)] < 0.75 * w[(1, worst)]

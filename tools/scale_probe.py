@@ -105,6 +105,7 @@ QUERIES = [
     "hh02_countmin_audit",  # round-9: one bigram-count shuffle; sketch/probe are vocab- then constant-bounded
     "maint03_zone_map_skip",  # round-9: one composite agg; everything after is manifest-bounded
     "tx24_tokenizer_fertility",  # round-9: tx22's vocab-bounded core + one strat-word pass
+    "mix03_anneal_schedule",  # round-9: one per-source agg; schedule math on kilobytes
 ]
 
 
