@@ -307,6 +307,7 @@ CHECKPOINTING_QUERIES = {
     "hh02_countmin_audit",  # round 9: bigram counts feed sketch + probe + lattice
     "maint03_zone_map_skip",  # round 9: composite grain feeds both layouts + anchor
     "mix03_anneal_schedule",  # round 9: source sizes feed schedule + fold + budget
+    "dq08_fd_profile",  # round 9: projected pair columns feed N hypothesis aggs
     "decon02_source_overlap",
     "dq06_psi_drift",
     "dq07_window_psi_drift",  # round 8: psi_surface grid checkpoint

@@ -866,3 +866,102 @@ def dq07_window_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = e.groupBy("day", "bucket").agg(F.count("*").alias("cd"))
     return dq07_psi_surface(daily, base)
+
+
+# dq08 — functional-dependency / key-candidate profiler. The constraint-
+# DISCOVERY side of data quality: dq05 verifies declared FK edges; dq08
+# measures whether candidate column dependencies actually hold in the
+# data — the profile a schema-inference or constraint-mining pass emits
+# before anyone declares keys, and the evidence for "is this column a
+# key / a constant / genuinely dependent".
+DQ08_PAIRS = (
+    ("o_orderkey", "o_custkey"),  # key → holds trivially (uniqueness)
+    ("o_totalprice", "o_orderstatus"),  # near-key lhs → holds by uniqueness
+    ("o_custkey", "o_orderstatus"),  # genuinely violated
+    ("o_orderpriority", "o_orderstatus"),  # 5 groups, all violated
+)
+
+
+def _dq08_oracle() -> str:
+    blocks = []
+    for lhs, rhs in DQ08_PAIRS:
+        blocks.append(f"""
+    SELECT '{lhs}' AS lhs_col, '{rhs}' AS rhs_col,
+           SUM(rows_)::BIGINT AS n_rows,
+           COUNT(*)::BIGINT AS n_groups,
+           SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+           MAX(n_rhs)::BIGINT AS max_fanout,
+           ROUND(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS violation_share,
+           (SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0) AS is_fd
+    FROM (
+        SELECT l, COUNT(*)::BIGINT AS n_rhs, SUM(c)::BIGINT AS rows_
+        FROM (SELECT {lhs} AS l, {rhs} AS r2, COUNT(*)::BIGINT AS c
+              FROM orders GROUP BY {lhs}, {rhs})
+        GROUP BY l
+    )""")
+    return "\n    UNION ALL".join(blocks)
+
+
+@query("dq08_fd_profile", oracle=_dq08_oracle())
+def dq08_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profile over candidate column pairs of
+    orders: for each lhs → rhs hypothesis, the number of lhs groups,
+    how many determine MORE than one rhs value (violations), the max
+    fan-out, and the verdict — exact integers end-to-end, so the whole
+    constraint-mining profile is driver-hash-pinned. The shipped pair
+    list exercises all three discovery outcomes: an FD that holds by
+    key uniqueness, one that holds by NEAR-uniqueness of a continuous
+    column (the profile, not the schema, reveals it), and two
+    genuinely violated hypotheses with small and large group counts.
+
+    Plan shape: the projected pair columns are checkpointed once (ONE
+    corpus scan); each hypothesis then costs its own two-level
+    map-side-combined aggregate — (lhs, rhs) distinct-pair counts
+    collapsing to per-lhs fan-outs collapsing to ONE summary row. N
+    hypotheses cost N vocab-bounded shuffles over the checkpoint,
+    which IS the honest price of FD mining (production bounds it by
+    sampling or sketched distinct counts; the exact form here is what
+    makes the oracle total). Nothing wide ever shuffles — each
+    exchange carries (value, count) pairs only."""
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
+    cols = sorted({c for pair in DQ08_PAIRS for c in pair})
+    o = lazy_checkpoint(load_table(spark, sf_dir, "orders").select(*cols))
+    outs = []
+    for lhs, rhs in DQ08_PAIRS:
+        per_lhs = (
+            o.groupBy(lhs, rhs)
+            .agg(F.count("*").alias("c"))
+            .groupBy(lhs)
+            .agg(
+                F.count("*").alias("n_rhs"),
+                F.sum("c").alias("rows_"),
+            )
+        )
+        viol = F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        outs.append(
+            per_lhs.agg(
+                F.sum("rows_").cast("bigint").alias("n_rows"),
+                F.count("*").cast("bigint").alias("n_groups"),
+                viol.cast("bigint").alias("n_violating"),
+                F.max("n_rhs").cast("bigint").alias("max_fanout"),
+                F.round(viol.cast("double") / F.count("*"), 6).alias(
+                    "violation_share"
+                ),
+                (viol == 0).alias("is_fd"),
+            ).select(
+                F.lit(lhs).alias("lhs_col"),
+                F.lit(rhs).alias("rhs_col"),
+                "n_rows",
+                "n_groups",
+                "n_violating",
+                "max_fanout",
+                "violation_share",
+                "is_fd",
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out

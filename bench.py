@@ -215,6 +215,7 @@ OPTIONAL = [
     "maint03_zone_map_skip",  # zone-map pruning estimator, metadata-bound
     "tx24_tokenizer_fertility",  # per-stratum trained-BPE fertility/coverage
     "mix03_anneal_schedule",  # 3-epoch quality-annealed sampling schedule
+    "dq08_fd_profile",  # FD/key-candidate mining over column-pair hypotheses
 ]
 
 

@@ -748,3 +748,36 @@ def test_mix03_anneal_invariants(spark):
     assert w[(1, worst)] >= w[(2, worst)] >= w[(3, worst)]
     # the anneal must actually BITE: epoch 3 concentrates measurably
     assert w[(3, best)] > 1.5 * w[(1, best)] or w[(3, worst)] < 0.75 * w[(1, worst)]
+
+
+def test_dq08_fd_semantics(spark):
+    """FD-profile semantics cross-checked against independently computed
+    ground truth: the key pair must hold with max_fanout 1; every pair
+    reports the same n_rows (same table); verdicts recompute from a
+    plain-DuckDB replay of each hypothesis; violation_share is
+    n_violating/n_groups at ROUND(6) granularity."""
+    import duckdb
+
+    from api_etl_pipeline_spark.ops.quality import DQ08_PAIRS, dq08_fd_profile
+
+    sf = "/root/testdata/sf0.01"
+    rows = {(r.lhs_col, r.rhs_col): r for r in dq08_fd_profile(spark, sf).collect()}
+    assert set(rows) == set(DQ08_PAIRS)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    n_rows_vals = {r.n_rows for r in rows.values()}
+    assert len(n_rows_vals) == 1
+    key = rows[("o_orderkey", "o_custkey")]
+    assert key.is_fd and key.max_fanout == 1 and key.n_violating == 0
+    assert any(not r.is_fd for r in rows.values())
+    for (lhs, rhs), r in rows.items():
+        ng, nv, mf = con.execute(
+            f"""SELECT COUNT(*), SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END), MAX(n)
+                FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n
+                      FROM orders GROUP BY {lhs})"""
+        ).fetchone()
+        assert (r.n_groups, r.n_violating, r.max_fanout) == (ng, nv, mf)
+        assert r.is_fd == (nv == 0)
+        assert abs(r.violation_share - nv / ng) < 5e-7

@@ -106,6 +106,7 @@ QUERIES = [
     "maint03_zone_map_skip",  # round-9: one composite agg; everything after is manifest-bounded
     "tx24_tokenizer_fertility",  # round-9: tx22's vocab-bounded core + one strat-word pass
     "mix03_anneal_schedule",  # round-9: one per-source agg; schedule math on kilobytes
+    "dq08_fd_profile",  # round-9: N narrow two-level aggs over one checkpointed projection
 ]
 
 
