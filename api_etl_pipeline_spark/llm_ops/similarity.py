@@ -1634,3 +1634,145 @@ def sim13_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, vec_id long, rnk long, relevance double, mmr_score double"
     )
     return pairs.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# ret02: rank-quality evaluation (MRR / nDCG) of the bucketed ANN leg
+# ---------------------------------------------------------------------------
+
+# positional discount table for DCG@3 and reciprocal ranks, as LITERAL
+# decimal strings shared verbatim by both engines: 1/log2(rank+1) and
+# 1/rank are irrational/non-representable, so each engine must parse the
+# SAME 6-dp literal rather than compute the division (the pow/ln
+# cross-engine lesson applied to logs).
+RET02_DISCOUNTS = ("1.0", "0.630930", "0.5")  # 1/log2(2), 1/log2(3), 1/log2(4)
+RET02_RECIP = ("1.0", "0.5", "0.333333")  # 1/1, 1/2, 1/3
+RET02_IDCG = "2.130930"  # sum of the discount literals
+RET02_K = 3
+
+
+@query(
+    "ret02_ann_rank_quality",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               {_DUCK_BUCKET.format(e='embedding::DOUBLE[]')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id < 5),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_duck_cosine('q.qe', 'c.e')} DESC, c.vec_id ASC
+                   ) AS rn
+            FROM q JOIN v c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {RET02_K}
+    ),
+    ann AS (
+        SELECT query_id, neighbor_id, rn FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_duck_cosine('q.qe', 'c.e')} DESC, c.vec_id ASC
+                   ) AS rn
+            FROM q JOIN v c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+        ) WHERE rn <= {RET02_K}
+    ),
+    flags AS (
+        SELECT q.query_id,
+               MAX(CASE WHEN a.rn = 1 AND e.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS h1,
+               MAX(CASE WHEN a.rn = 2 AND e.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS h2,
+               MAX(CASE WHEN a.rn = 3 AND e.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS h3
+        FROM (SELECT DISTINCT query_id FROM q) q
+        LEFT JOIN ann a USING (query_id)
+        LEFT JOIN exact e
+               ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY q.query_id
+    )
+    -- every literal carries ::DOUBLE: a bare 0.630930 parses as DECIMAL
+    -- in DuckDB, making mrr/dcg DECIMAL finals (the banned r07 class)
+    -- AND computing the sum in decimal arithmetic that need not equal
+    -- Spark's double arithmetic after a final cast
+    SELECT query_id,
+           (h1 + h2 + h3)::BIGINT AS n_hits,
+           (CASE WHEN h1 = 1 THEN {RET02_RECIP[0]}::DOUBLE
+                 WHEN h2 = 1 THEN {RET02_RECIP[1]}::DOUBLE
+                 WHEN h3 = 1 THEN {RET02_RECIP[2]}::DOUBLE
+                 ELSE 0.0::DOUBLE END) AS mrr,
+           (h1 * {RET02_DISCOUNTS[0]}::DOUBLE + h2 * {RET02_DISCOUNTS[1]}::DOUBLE
+            + h3 * {RET02_DISCOUNTS[2]}::DOUBLE) AS dcg,
+           ((h1 * {RET02_DISCOUNTS[0]}::DOUBLE + h2 * {RET02_DISCOUNTS[1]}::DOUBLE
+             + h3 * {RET02_DISCOUNTS[2]}::DOUBLE) / {RET02_IDCG}::DOUBLE) AS ndcg
+    FROM flags
+    """,
+)
+def ret02_ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-quality evaluation of the bucketed ANN (sim02) against the
+    exact top-{RET02_K} ground truth (sim01's ranking): per query, hit
+    count, MRR, DCG@3 and nDCG@3. sim11 measures RECALL — how much of
+    the truth the ANN finds; ret02 measures WHERE it puts it, the
+    position-sensitive half of retrieval evaluation (a system returning
+    the right set in the wrong order scores identically on recall and
+    strictly lower here).
+
+    Float discipline: position discounts 1/log2(r+1) and reciprocal
+    ranks are NON-representable, so both engines parse the SAME 6-dp
+    decimal literals (RET02_DISCOUNTS/RET02_RECIP) instead of computing
+    log/division — the pow/ln cross-engine lesson applied to rank
+    discounts. DCG is an explicit fixed-order 3-term expression over
+    0/1 flags, never a float SUM aggregate; everything upstream is the
+    fold-cosine convention, so the report is bit-exact.
+
+    Plan shape: both legs reuse the sim01/sim02 economics (query
+    broadcast + WindowGroupLimit-Partial top-k; the ANN leg's equi-join
+    on the bucket key is the scale path), the hit join is |Q|·k rows
+    against |Q|·k rows — broadcast — and the flag pivot is one
+    |Q|-group aggregate. At 100 TB the evaluation cost is the two
+    candidate-generation scans; everything after is (|Q|, k)-fixed."""
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
+    # the |Q|·k exact truth feeds BOTH the hit join and the query
+    # universe — checkpoint so the sim01 leg's corpus scan runs once
+    exact = lazy_checkpoint(
+        sim01_cosine_topk(spark, sf_dir)
+        .filter(F.col("rn") <= RET02_K)
+        .select("query_id", "neighbor_id")
+    )
+    ann = sim02_lsh_bucket_ann(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rn"
+    )
+    # query universe derives from the exact leg (always |Q| rows) — no
+    # third corpus scan just to list the query ids
+    base = exact.select("query_id").distinct()
+    hits = ann.join(
+        F.broadcast(exact.withColumn("_hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    flag = lambda i: F.max(  # noqa: E731
+        F.when((F.col("rn") == i) & F.col("_hit").isNotNull(), 1).otherwise(0)
+    )
+    flags = (
+        base.join(F.broadcast(hits), "query_id", "left")
+        .groupBy("query_id")
+        .agg(flag(1).alias("h1"), flag(2).alias("h2"), flag(3).alias("h3"))
+    )
+    d1, d2, d3 = (F.lit(float(x)) for x in RET02_DISCOUNTS)
+    r1, r2, r3 = (F.lit(float(x)) for x in RET02_RECIP)
+    dcg = F.col("h1") * d1 + F.col("h2") * d2 + F.col("h3") * d3
+    return flags.select(
+        "query_id",
+        (F.col("h1") + F.col("h2") + F.col("h3")).cast("bigint").alias("n_hits"),
+        F.when(F.col("h1") == 1, r1)
+        .when(F.col("h2") == 1, r2)
+        .when(F.col("h3") == 1, r3)
+        .otherwise(F.lit(0.0))
+        .alias("mrr"),
+        dcg.alias("dcg"),
+        (dcg / F.lit(float(RET02_IDCG))).alias("ndcg"),
+    )

@@ -83,6 +83,11 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("samp04_temperature_mix", "BroadcastNestedLoopJoin"): "single-row (budget, w_sum) broadcast",
     ("llm03_dataset_card", "BroadcastNestedLoopJoin"): "single-row corpus-total broadcast",
     ("sim01_cosine_topk", "BroadcastNestedLoopJoin"): "5-row query-vector broadcast, non-equi self-exclusion",
+    ("ret02_ann_rank_quality+ckpt", "BroadcastNestedLoopJoin"): (
+        "inherited exact leg IS sim01 — same 5-row query-vector "
+        "broadcast, non-equi self-exclusion (the sim11 eval class; "
+        "lives in the checkpointed truth subplan)"
+    ),
     ("sim11_ann_recall_at_k", "BroadcastNestedLoopJoin"): (
         "inherited exact leg IS sim01 — same 5-row query-vector broadcast"
     ),
@@ -308,6 +313,7 @@ CHECKPOINTING_QUERIES = {
     "maint03_zone_map_skip",  # round 9: composite grain feeds both layouts + anchor
     "mix03_anneal_schedule",  # round 9: source sizes feed schedule + fold + budget
     "dq08_fd_profile",  # round 9: projected pair columns feed N hypothesis aggs
+    "ret02_ann_rank_quality",  # round 9: exact truth feeds hit join + query universe
     "decon02_source_overlap",
     "dq06_psi_drift",
     "dq07_window_psi_drift",  # round 8: psi_surface grid checkpoint

@@ -123,27 +123,26 @@ def _load_all() -> None:
 #      diversified re-rank), hh02 (Count-Min accuracy audit), maint03
 #      (zone-map skip estimator), tx24 (tokenizer fertility audit),
 #      st16 (live streaming Count-Min maintenance), mix03
-#      (quality-annealed epoch schedule) and dq08 (FD/key-candidate
-#      profiler). Names listed here before the op lands are skipped by
-#      _rotated until registered.
-#   3. freshness fill, oldest first: 19 of the 45 queries whose latest
+#      (quality-annealed epoch schedule), dq08 (FD/key-candidate
+#      profiler) and ret02 (ANN rank-quality eval). Names listed here
+#      before the op lands are skipped by _rotated until registered.
+#   3. freshness fill, oldest first: 18 of the 45 queries whose latest
 #      driver row is r4, in registry order (q51, dd01-dd07/dd09/dd10,
-#      w04-w11, ing01). The 26 r4 leftovers
-#      (ing02-ing20, dd08, sim01-sim05, sim07, sim08) lead the round-10
+#      w04-w11). The 27 r4 leftovers
+#      (ing01-ing20, dd08, sim01-sim05, sim07, sim08) lead the round-10
 #      fill from positions 51+.
-# 12 + 19 + 19 = 50 exactly. Nothing is removed — every query stays
+# 12 + 20 + 18 = 50 exactly. Nothing is removed — every query stays
 # registered and the pytest mirror in tests/test_queries_oracle.py still
 # covers all.
 _DRIVER_SAMPLE_PREFIX = [
     *[f"x{i:02d}" for i in range(1, 11)], "x25", "udtf01",
     "samp07", "maint01", "ing21", "sim12", "cur07", "llm04", "cur08", "dd16",
     "dd17", "ev19", "st15", "maint02", "sim13", "hh02", "maint03", "tx24",
-    "st16", "mix03", "dq08",
+    "st16", "mix03", "dq08", "ret02",
     "q51",
     "dd01", "dd02", "dd03", "dd04", "dd05", "dd06", "dd07", "dd09", "dd10",
     *[f"w{i:02d}" for i in range(4, 12)],
-    "ing01",
-    # round-10 fill queue: ing02-ing20, dd08, sim01-sim05, sim07, sim08
+    # round-10 fill queue: ing01-ing20, dd08, sim01-sim05, sim07, sim08
 ]
 
 

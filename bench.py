@@ -216,6 +216,7 @@ OPTIONAL = [
     "tx24_tokenizer_fertility",  # per-stratum trained-BPE fertility/coverage
     "mix03_anneal_schedule",  # 3-epoch quality-annealed sampling schedule
     "dq08_fd_profile",  # FD/key-candidate mining over column-pair hypotheses
+    "ret02_ann_rank_quality",  # MRR/nDCG of the bucketed ANN vs exact truth
 ]
 
 

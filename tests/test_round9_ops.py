@@ -781,3 +781,45 @@ def test_dq08_fd_semantics(spark):
         assert (r.n_groups, r.n_violating, r.max_fanout) == (ng, nv, mf)
         assert r.is_fd == (nv == 0)
         assert abs(r.violation_share - nv / ng) < 5e-7
+
+
+def test_ret02_rank_metric_semantics(spark):
+    """Metric semantics cross-checked against an independent Python
+    replay: recompute hit flags from sim01/sim02's own outputs and
+    verify MRR and nDCG cell-for-cell with the literal discount table;
+    pin the metric bounds and the recall<->rank-quality consistency
+    (n_hits > 0 iff mrr > 0 iff ndcg > 0)."""
+    from api_etl_pipeline_spark.llm_ops.similarity import (
+        RET02_DISCOUNTS,
+        RET02_IDCG,
+        RET02_K,
+        RET02_RECIP,
+        ret02_ann_rank_quality,
+        sim01_cosine_topk,
+        sim02_lsh_bucket_ann,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r.query_id: r for r in ret02_ann_rank_quality(spark, sf).collect()}
+    assert len(rows) == 5
+    exact = {}
+    for r in sim01_cosine_topk(spark, sf).collect():
+        if r.rn <= RET02_K:
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann = {}
+    for r in sim02_lsh_bucket_ann(spark, sf).collect():
+        ann.setdefault(r.query_id, {})[r.rn] = r.neighbor_id
+    d = [float(x) for x in RET02_DISCOUNTS]
+    rec = [float(x) for x in RET02_RECIP]
+    for qid, r in rows.items():
+        flags = [
+            1 if ann.get(qid, {}).get(i) in exact.get(qid, set()) else 0
+            for i in (1, 2, 3)
+        ]
+        assert r.n_hits == sum(flags)
+        dcg = flags[0] * d[0] + flags[1] * d[1] + flags[2] * d[2]
+        assert r.dcg == dcg and r.ndcg == dcg / float(RET02_IDCG)
+        mrr = next((rec[i] for i in range(3) if flags[i]), 0.0)
+        assert r.mrr == mrr
+        assert 0.0 <= r.ndcg <= 1.0 and 0.0 <= r.mrr <= 1.0
+        assert (r.n_hits > 0) == (r.mrr > 0) == (r.ndcg > 0)

@@ -162,6 +162,10 @@ def _scan_audit_allowlist() -> set[str]:
         #   pass (the sim01 probe-vs-corpus class); the candidate set
         #   is checkpointed so the lattice sides do NOT re-scan
         "sim13_mmr_rerank",
+        # round 9: ret02 — the ANN leg scans the corpus (sim02 class;
+        #   the exact leg is checkpointed) — the sim11 two-leg eval
+        #   comparison is the point of the query
+        "ret02_ann_rank_quality",
     }
 
 

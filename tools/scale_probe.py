@@ -107,6 +107,7 @@ QUERIES = [
     "tx24_tokenizer_fertility",  # round-9: tx22's vocab-bounded core + one strat-word pass
     "mix03_anneal_schedule",  # round-9: one per-source agg; schedule math on kilobytes
     "dq08_fd_profile",  # round-9: N narrow two-level aggs over one checkpointed projection
+    "ret02_ann_rank_quality",  # round-9: two candidate-generation legs; eval is (|Q|,k)-fixed
 ]
 
 
