@@ -61,9 +61,9 @@ def make_packer(budget: int):
     return pack_shard
 
 
-@query(
-    "pack01_sequence_packing",
-    oracle=f"""
+# the recursive next-fit CTE chain shared by pack01 (manifest) and
+# pack03 (efficiency audit): sequential greedy semantics stated once
+_PACK01_CTES = f"""
     WITH RECURSIVE docs AS (
         SELECT doc_id % {N_SHARDS} AS shard_id, doc_id,
                len(string_split(text, ' '))::BIGINT AS n_tokens,
@@ -82,7 +82,13 @@ def make_packer(budget: int):
                     THEN d.n_tokens ELSE p.bin_fill + d.n_tokens END
         FROM docs d JOIN packed p
           ON d.shard_id = p.shard_id AND d.rn = p.rn + 1
-    )
+    )"""
+
+
+@query(
+    "pack01_sequence_packing",
+    oracle=_PACK01_CTES
+    + """
     SELECT shard_id, doc_id, n_tokens, bin_id, bin_fill FROM packed
     """,
 )
@@ -155,4 +161,80 @@ def pack02_concat_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("tokens"),
             F.min(start).cast("bigint").alias("start_offset"),
         )
+    )
+
+
+@query(
+    "pack03_packing_efficiency",
+    oracle=_PACK01_CTES
+    + f""",
+    bins AS (
+        SELECT shard_id, bin_id,
+               MAX(bin_fill)::BIGINT AS bin_tokens,
+               COUNT(*)::BIGINT AS docs_in_bin
+        FROM packed GROUP BY shard_id, bin_id
+    )
+    SELECT shard_id,
+           SUM(docs_in_bin)::BIGINT AS n_docs,
+           COUNT(*)::BIGINT AS n_bins,
+           SUM(bin_tokens)::BIGINT AS total_tokens,
+           ((SUM(bin_tokens) + {TOKEN_BUDGET} - 1) // {TOKEN_BUDGET})::BIGINT
+               AS lb_bins,
+           SUM(CASE WHEN bin_tokens > {TOKEN_BUDGET} THEN 1 ELSE 0
+               END)::BIGINT AS n_oversized_bins,
+           SUM(CASE WHEN bin_tokens > {TOKEN_BUDGET} THEN 0
+                    ELSE {TOKEN_BUDGET} - bin_tokens END)::BIGINT
+               AS padding_tokens,
+           ROUND(SUM(bin_tokens)::DOUBLE / (COUNT(*) * {TOKEN_BUDGET}), 6)
+               AS fill_rate,
+           ROUND(((SUM(bin_tokens) + {TOKEN_BUDGET} - 1) // {TOKEN_BUDGET})::DOUBLE
+                 / COUNT(*), 6) AS efficiency
+    FROM bins
+    GROUP BY shard_id
+    """,
+)
+def pack03_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit of the shipped next-fit packer: per
+    shard, the bin count against the LP lower bound ceil(total/budget),
+    the PADDING tokens a trainer actually pays for (unused positions in
+    every non-oversized bin — wasted attention FLOPs, the number that
+    decides whether to switch packers), fill rate, and oversized-bin
+    count. `efficiency` = lb_bins/n_bins: 1.0 means next-fit hit the
+    information-theoretic floor for that shard; next-fit's guarantee is
+    ≥ 0.5 everywhere (each pair of adjacent bins jointly exceeds the
+    budget), which the pytest pins along with an independent replay of
+    the whole audit from pack01's own manifest.
+
+    Exact-integer discipline: bin totals are MAX over the running fill
+    (monotone within a bin), the lower bound is integer ceiling
+    division, and the two rates divide exact BIGINTs once then ROUND(6)
+    — the report is hash-pinned like maint01's work order.
+
+    Plan shape: inherits pack01's single shard shuffle + Arrow packer;
+    the audit adds two map-side-combined aggregates over the manifest
+    ((shard, bin) then shard — |bins| rows, never documents). At
+    100 TB the audit rides the packing job's own output manifest; no
+    second corpus pass exists."""
+    packed = pack01_sequence_packing(spark, sf_dir)
+    bins = packed.groupBy("shard_id", "bin_id").agg(
+        F.max("bin_fill").alias("bin_tokens"),
+        F.count("*").alias("docs_in_bin"),
+    )
+    b = TOKEN_BUDGET
+    lb = F.expr(f"(sum(bin_tokens) + {b - 1}) div {b}")
+    return bins.groupBy("shard_id").agg(
+        F.sum("docs_in_bin").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.sum("bin_tokens").cast("bigint").alias("total_tokens"),
+        lb.cast("bigint").alias("lb_bins"),
+        F.sum(F.when(F.col("bin_tokens") > b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oversized_bins"),
+        F.sum(F.when(F.col("bin_tokens") > b, 0).otherwise(b - F.col("bin_tokens")))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        F.round(
+            F.sum("bin_tokens").cast("double") / (F.count("*") * b), 6
+        ).alias("fill_rate"),
+        F.round(lb.cast("double") / F.count("*"), 6).alias("efficiency"),
     )

@@ -217,6 +217,7 @@ OPTIONAL = [
     "mix03_anneal_schedule",  # 3-epoch quality-annealed sampling schedule
     "dq08_fd_profile",  # FD/key-candidate mining over column-pair hypotheses
     "ret02_ann_rank_quality",  # MRR/nDCG of the bucketed ANN vs exact truth
+    "pack03_packing_efficiency",  # next-fit audit vs LP bound, padding waste
 ]
 
 

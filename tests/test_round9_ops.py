@@ -823,3 +823,40 @@ def test_ret02_rank_metric_semantics(spark):
         assert r.mrr == mrr
         assert 0.0 <= r.ndcg <= 1.0 and 0.0 <= r.mrr <= 1.0
         assert (r.n_hits > 0) == (r.mrr > 0) == (r.ndcg > 0)
+
+
+def test_pack03_efficiency_invariants(spark):
+    """Audit semantics replayed independently from pack01's own manifest:
+    per-shard bin counts, totals, padding and the LP bound recomputed in
+    plain Python must equal the audit cell-for-cell; next-fit's 1/2
+    guarantee (n_bins <= 2*lb) and conservation (padding + total ==
+    n_bins*budget over non-oversized bins) must hold everywhere."""
+    from api_etl_pipeline_spark.llm_ops.packing import (
+        TOKEN_BUDGET,
+        pack01_sequence_packing,
+        pack03_packing_efficiency,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    manifest = pack01_sequence_packing(spark, sf).collect()
+    audit = {r.shard_id: r for r in pack03_packing_efficiency(spark, sf).collect()}
+    assert len(audit) == 32
+    bins: dict[tuple, int] = {}
+    docs: dict[int, int] = {}
+    for r in manifest:
+        key = (r.shard_id, r.bin_id)
+        bins[key] = max(bins.get(key, 0), r.bin_fill)
+        docs[r.shard_id] = docs.get(r.shard_id, 0) + 1
+    for sid, a in audit.items():
+        sbins = {k: v for k, v in bins.items() if k[0] == sid}
+        total = sum(sbins.values())
+        lb = -(-total // TOKEN_BUDGET)
+        pad = sum(TOKEN_BUDGET - v for v in sbins.values() if v <= TOKEN_BUDGET)
+        over = sum(1 for v in sbins.values() if v > TOKEN_BUDGET)
+        assert (a.n_docs, a.n_bins, a.total_tokens) == (docs[sid], len(sbins), total)
+        assert (a.lb_bins, a.padding_tokens, a.n_oversized_bins) == (lb, pad, over)
+        assert a.n_bins <= 2 * a.lb_bins  # next-fit's guarantee
+        assert 0.5 <= a.efficiency <= 1.0
+        # conservation over non-oversized bins
+        reg = [v for v in sbins.values() if v <= TOKEN_BUDGET]
+        assert pad + sum(reg) == len(reg) * TOKEN_BUDGET

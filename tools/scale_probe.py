@@ -108,6 +108,7 @@ QUERIES = [
     "mix03_anneal_schedule",  # round-9: one per-source agg; schedule math on kilobytes
     "dq08_fd_profile",  # round-9: N narrow two-level aggs over one checkpointed projection
     "ret02_ann_rank_quality",  # round-9: two candidate-generation legs; eval is (|Q|,k)-fixed
+    "pack03_packing_efficiency",  # round-9: pack01's shard shuffle + two manifest aggs
 ]
 
 
