@@ -314,6 +314,7 @@ CHECKPOINTING_QUERIES = {
     "mix03_anneal_schedule",  # round 9: source sizes feed schedule + fold + budget
     "dq08_fd_profile",  # round 9: projected pair columns feed N hypothesis aggs
     "ret02_ann_rank_quality",  # round 9: exact truth feeds hit join + query universe
+    "st16_countmin_live",  # round 9: batch-audit user counts feed probe + lattice
     "decon02_source_overlap",
     "dq06_psi_drift",
     "dq07_window_psi_drift",  # round 8: psi_surface grid checkpoint

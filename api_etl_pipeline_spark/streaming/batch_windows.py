@@ -968,9 +968,16 @@ def st16_countmin_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r", "bucket")
         .agg(F.max("count").alias("bucket_total"))
     )
-    # batch audit side over the SAME staged file the stream consumed
+    # batch audit side over the SAME staged file the stream consumed;
+    # the user-count aggregate feeds BOTH the probe top-k and the
+    # estimate lattice — checkpoint so the staged file scans once
+    # (the hh02 device; the scan audit caught the two-scan form)
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
     ev = load_table(spark, stage_dir, "events")
-    tc = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tc = lazy_checkpoint(
+        ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    )
     th = tc.withColumn(
         "h", F.md5(F.col("user_id").cast("string").cast("binary"))
     )
