@@ -532,3 +532,134 @@ def dsir_log_weights(docs: DataFrame) -> DataFrame:
             (F.round("lw", 6) > 0).alias("selected"),
         )
     )
+
+
+# samp08 — temporal train/embargo/test split. samp06 prevents NEAR-DUP
+# leakage (cluster-safe assignment); samp08 prevents TEMPORAL leakage:
+# evaluation data must postdate training data, with an embargo gap so
+# horizon-h features/labels computed near the boundary cannot straddle
+# it (the standard purged/embargoed time-split from the forecasting and
+# financial-ML literature).
+SAMP08_TRAIN_NUM, SAMP08_TRAIN_DEN = 4, 5  # train target: >= 4/5 of rows
+SAMP08_EMBARGO_DAYS = 1
+
+
+@query(
+    "samp08_temporal_split",
+    oracle=f"""
+    WITH comp AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         date_trunc('day', ts))::BIGINT AS day_idx,
+               user_id, COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (SELECT day_idx, SUM(n)::BIGINT AS n FROM comp GROUP BY day_idx),
+    cum AS (
+        SELECT day_idx, n,
+               SUM(n) OVER (ORDER BY day_idx ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS c,
+               SUM(n) OVER ()::BIGINT AS total
+        FROM daily
+    ),
+    cutoff AS (
+        SELECT MIN(day_idx) AS cut
+        FROM cum WHERE c * {SAMP08_TRAIN_DEN} >= total * {SAMP08_TRAIN_NUM}
+    ),
+    labeled AS (
+        SELECT comp.*,
+               CASE WHEN day_idx <= cut THEN 'train'
+                    WHEN day_idx <= cut + {SAMP08_EMBARGO_DAYS} THEN 'embargo'
+                    ELSE 'test' END AS split
+        FROM comp, cutoff
+    ),
+    user_flags AS (
+        SELECT user_id,
+               MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train
+        FROM labeled GROUP BY user_id
+    )
+    SELECT l.split,
+           SUM(l.n)::BIGINT AS n_rows,
+           COUNT(DISTINCT l.user_id)::BIGINT AS n_users,
+           MIN(l.day_idx)::BIGINT AS min_day,
+           MAX(l.day_idx)::BIGINT AS max_day,
+           COUNT(DISTINCT CASE WHEN u.in_train = 1 THEN l.user_id
+                 END)::BIGINT AS n_users_seen_in_train
+    FROM labeled l JOIN user_flags u ON u.user_id = l.user_id
+    GROUP BY l.split
+    """,
+)
+def samp08_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/embargo/test split with leakage accounting: the
+    cutoff is the earliest day at which cumulative rows reach >=
+    {SAMP08_TRAIN_NUM}/{SAMP08_TRAIN_DEN} of the table (an exact integer
+    comparison c*den >= total*num — never a float quantile), the next
+    {SAMP08_EMBARGO_DAYS} day(s) are EMBARGOED (excluded from both
+    sides, so boundary-straddling windows can't leak labels), and
+    everything later is test. samp06 guards near-dup leakage between
+    splits; samp08 guards time. Per split: rows, users, day bounds, and
+    `n_users_seen_in_train` — the ENTITY-leakage disclosure (a temporal
+    split intentionally re-uses users across time; a modeler deciding
+    between time-based and user-based holdout reads exactly this
+    number).
+
+    Plan shape: ONE corpus scan into ONE map-side-combined (day, user)
+    composite aggregate — the maint03 device — then checkpointed:
+    daily counts, the cumulative cutoff (a window over |days| rows),
+    the split labeling, and the user train-flags are all re-aggs of
+    that composite. Everything after the composite is
+    |days| + |users|-bounded; at 100 TB the cutoff computes from the
+    partition manifest and the split is enforced by partition pruning,
+    never a row scan."""
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    comp = (
+        ev.select(
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("day_idx"),
+            "user_id",
+        )
+        .groupBy("day_idx", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    comp = lazy_checkpoint(comp)  # feeds daily/cutoff, labeling, user flags
+    daily = comp.groupBy("day_idx").agg(F.sum("n").alias("n"))
+    wc = Window.orderBy(F.col("day_idx").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day_idx",
+        F.sum("n").over(wc).alias("c"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    cutoff = cum.filter(
+        F.col("c") * SAMP08_TRAIN_DEN >= F.col("total") * SAMP08_TRAIN_NUM
+    ).agg(F.min("day_idx").alias("cut"))
+    labeled = comp.crossJoin(F.broadcast(cutoff)).withColumn(
+        "split",
+        F.when(F.col("day_idx") <= F.col("cut"), "train")
+        .when(F.col("day_idx") <= F.col("cut") + SAMP08_EMBARGO_DAYS, "embargo")
+        .otherwise("test"),
+    )
+    user_flags = labeled.groupBy("user_id").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train")
+    )
+    return (
+        labeled.join(F.broadcast(user_flags), "user_id")
+        .groupBy("split")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("day_idx").cast("bigint").alias("min_day"),
+            F.max("day_idx").cast("bigint").alias("max_day"),
+            F.countDistinct(
+                F.when(F.col("in_train") == 1, F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("n_users_seen_in_train"),
+        )
+    )

@@ -258,6 +258,10 @@ ALLOWED: dict[tuple[str, str], str] = {
         "the 3-row geometry literal cross-joined onto the bounded pair "
         "lattice — a constant-size broadcast"
     ),
+    ("samp08_temporal_split", "BroadcastNestedLoopJoin"): (
+        "the 1-row cutoff-day anchor cross-broadcast onto the composite "
+        "(day, user) relation — the samp07 1-row-totals shape"
+    ),
     ("mix03_anneal_schedule", "BroadcastNestedLoopJoin"): (
         "the 1-row token-budget total cross-broadcast onto the "
         "3x|sources| schedule rows — the samp07 1-row-totals shape"
@@ -315,6 +319,7 @@ CHECKPOINTING_QUERIES = {
     "dq08_fd_profile",  # round 9: projected pair columns feed N hypothesis aggs
     "ret02_ann_rank_quality",  # round 9: exact truth feeds hit join + query universe
     "st16_countmin_live",  # round 9: batch-audit user counts feed probe + lattice
+    "samp08_temporal_split",  # round 9: (day, user) composite feeds cutoff + labels + flags
     "decon02_source_overlap",
     "dq06_psi_drift",
     "dq07_window_psi_drift",  # round 8: psi_surface grid checkpoint

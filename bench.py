@@ -218,6 +218,7 @@ OPTIONAL = [
     "dq08_fd_profile",  # FD/key-candidate mining over column-pair hypotheses
     "ret02_ann_rank_quality",  # MRR/nDCG of the bucketed ANN vs exact truth
     "pack03_packing_efficiency",  # next-fit audit vs LP bound, padding waste
+    "samp08_temporal_split",  # embargoed time split + entity-leakage disclosure
 ]
 
 

@@ -860,3 +860,48 @@ def test_pack03_efficiency_invariants(spark):
         # conservation over non-oversized bins
         reg = [v for v in sbins.values() if v <= TOKEN_BUDGET]
         assert pad + sum(reg) == len(reg) * TOKEN_BUDGET
+
+
+def test_samp08_split_invariants(spark):
+    """Split semantics cross-checked independently: the three splits
+    partition the table exactly (row conservation), train reaches the
+    4/5 target at the EARLIEST qualifying day (removing its last day
+    must drop it below target), the embargo day-range is exactly
+    SAMP08_EMBARGO_DAYS wide and disjoint from both sides, and
+    n_users_seen_in_train for the train row equals its own user count."""
+    import duckdb
+
+    from api_etl_pipeline_spark.llm_ops.sampling import (
+        SAMP08_EMBARGO_DAYS,
+        SAMP08_TRAIN_DEN,
+        SAMP08_TRAIN_NUM,
+        samp08_temporal_split,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r.split: r for r in samp08_temporal_split(spark, sf).collect()}
+    assert set(rows) == {"train", "embargo", "test"}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    total = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    tr, em, te = rows["train"], rows["embargo"], rows["test"]
+    assert tr.n_rows + em.n_rows + te.n_rows == total
+    # cutoff minimality: train hits the target, train-minus-last-day doesn't
+    assert tr.n_rows * SAMP08_TRAIN_DEN >= total * SAMP08_TRAIN_NUM
+    last_day = con.execute(
+        f"""SELECT COUNT(*) FROM events
+            WHERE date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+                  = {tr.max_day}"""
+    ).fetchone()[0]
+    assert (tr.n_rows - last_day) * SAMP08_TRAIN_DEN < total * SAMP08_TRAIN_NUM
+    # temporal ordering and embargo width
+    assert tr.max_day < em.min_day <= em.max_day < te.min_day
+    assert em.min_day == tr.max_day + 1
+    assert em.max_day == tr.max_day + SAMP08_EMBARGO_DAYS
+    assert te.min_day == tr.max_day + SAMP08_EMBARGO_DAYS + 1
+    # leakage accounting: train trivially fully seen-in-train; test's
+    # disclosure is bounded by its own user count
+    assert tr.n_users_seen_in_train == tr.n_users
+    assert 0 <= te.n_users_seen_in_train <= te.n_users

@@ -109,6 +109,7 @@ QUERIES = [
     "dq08_fd_profile",  # round-9: N narrow two-level aggs over one checkpointed projection
     "ret02_ann_rank_quality",  # round-9: two candidate-generation legs; eval is (|Q|,k)-fixed
     "pack03_packing_efficiency",  # round-9: pack01's shard shuffle + two manifest aggs
+    "samp08_temporal_split",  # round-9: one (day, user) composite agg; rest is days+users-bounded
 ]
 
 
