@@ -104,6 +104,14 @@ QUERIES = [
     # modulus (SHIFT % 10 = % 2 = % 5 = 0) and div-100 URL groups never
     # cross replicas, so the funnel rates stay scale-stable.
     "llm04_curation_funnel",
+    # round 9: FD mining at its second decade — the one continuation-op
+    # whose 10x row scales with volume (key-like lhs hypotheses emit
+    # ~|rows| partial-agg pairs). The probe documents that exact-FD
+    # mining cost honestly; the replica key-shifts keep o_orderkey a
+    # true key at 100x, while shared o_totalprice values across
+    # replicas legitimately FLIP the near-uniqueness verdict —
+    # profiles are data-dependent, which is their point.
+    "dq08_fd_profile",
 ]
 
 
