@@ -360,3 +360,64 @@ def w11_rolling_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.75).over(w).alias("roll_p75"),
         (F.col("value") > 2 * p50).alias("spike"),
     )
+
+
+W12_TRAIL_US = 3 * 86_400 * 1_000_000  # trailing 3 days, in microseconds
+
+
+@query(
+    "w12_time_range_window",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ts::TIMESTAMP AS ts,
+           COUNT(*) OVER w::BIGINT AS n_3d,
+           CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,2))) OVER w
+                AS DOUBLE) AS val_3d
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN {W12_TRAIL_US} PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def w12_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-range window frame: per user, the trailing-3-DAY event count
+    and value sum at every event — the event-TIME sibling of w07's
+    value-range frame and w04/w11's row frames, and the most common
+    real-world range frame (trailing-window features for models,
+    rate-limit lookbacks, velocity rules). A ROWS frame cannot express
+    it: the lookback must follow the clock, not the row count, so
+    sparse users aggregate fewer rows and bursts aggregate more.
+
+    Cross-engine discipline: the range key is INTEGER epoch
+    microseconds on BOTH sides (unix_micros ≡ epoch_us — the inc01
+    convention), so frame boundaries are exact integer comparisons and
+    no interval/timezone semantics are in play; peer rows (equal ts)
+    are IN-frame together on both engines by RANGE semantics, making
+    the result order-insensitive within ties by construction. The value
+    sum rides the exact-DECIMAL convention and casts to DOUBLE at the
+    output (the q22/ev15 convention).
+
+    Plan shape: ONE user_id exchange serves the single window — the
+    frame is evaluated per partition with a sliding two-pointer over
+    the time-sorted rows (Spark's RangeFrame), linear per user. At
+    100 TB this is the same one-shuffle cost as any per-entity window;
+    skewed users are the st03 salting story, unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        # NTZ -> TIMESTAMP is a no-op shift in the pinned UTC session,
+        # so unix_micros == DuckDB epoch_us on the naive value (ev10)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-W12_TRAIL_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.count("*").over(w).cast("bigint").alias("n_3d"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("val_3d"),
+    )

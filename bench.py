@@ -219,6 +219,7 @@ OPTIONAL = [
     "ret02_ann_rank_quality",  # MRR/nDCG of the bucketed ANN vs exact truth
     "pack03_packing_efficiency",  # next-fit audit vs LP bound, padding waste
     "samp08_temporal_split",  # embargoed time split + entity-leakage disclosure
+    "w12_time_range_window",  # trailing-3-day time-range frame per user
 ]
 
 

@@ -905,3 +905,44 @@ def test_samp08_split_invariants(spark):
     # disclosure is bounded by its own user count
     assert tr.n_users_seen_in_train == tr.n_users
     assert 0 <= te.n_users_seen_in_train <= te.n_users
+
+
+def test_w12_time_range_semantics(spark):
+    """Range-frame semantics replayed in plain Python for every event of
+    the busiest user: the trailing-3-day frame must include exactly the
+    rows with ts in (t - 3d, t] INCLUDING equal-ts peers (RANGE
+    semantics), and every event's frame contains at least itself."""
+    from collections import Counter
+    from decimal import Decimal
+
+    import duckdb
+
+    from api_etl_pipeline_spark.ops.windows import (
+        W12_TRAIL_US,
+        w12_time_range_window,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = w12_time_range_window(spark, sf).collect()
+    assert all(r.n_3d >= 1 for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    busiest = con.execute(
+        "SELECT user_id FROM events GROUP BY user_id ORDER BY COUNT(*) DESC, user_id LIMIT 1"
+    ).fetchone()[0]
+    evs = con.execute(
+        f"""SELECT event_id, epoch_us(ts), COALESCE(value, 0)
+            FROM events WHERE user_id = {busiest}"""
+    ).fetchall()
+    got = {r.event_id: r for r in rows if r.user_id == busiest}
+    assert len(got) == len(evs)
+    for eid, t, _v in evs:
+        in_frame = [(e2, v2) for (e2, t2, v2) in evs if t - W12_TRAIL_US <= t2 <= t]
+        r = got[eid]
+        assert r.n_3d == len(in_frame)
+        expect = sum(
+            Decimal(str(v)).quantize(Decimal("0.01")) for _, v in in_frame
+        )
+        assert abs(r.val_3d - float(expect)) < 1e-9

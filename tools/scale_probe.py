@@ -110,6 +110,7 @@ QUERIES = [
     "ret02_ann_rank_quality",  # round-9: two candidate-generation legs; eval is (|Q|,k)-fixed
     "pack03_packing_efficiency",  # round-9: pack01's shard shuffle + two manifest aggs
     "samp08_temporal_split",  # round-9: one (day, user) composite agg; rest is days+users-bounded
+    "w12_time_range_window",  # round-9: one user_id exchange, linear two-pointer range frame
 ]
 
 
