@@ -1776,3 +1776,169 @@ def ret02_ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         dcg.alias("dcg"),
         (dcg / F.lit(float(RET02_IDCG))).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim14: int8 scalar-quantized (SQ8) ANN with accuracy columns
+# ---------------------------------------------------------------------------
+
+SQ8_TOPK = 5
+SQ8_MAX_CODE = 255  # top code (clamp target for x == mx)
+SQ8_CELLS = 256  # cells: floor((x-mn)/(mx-mn)*256), clamped to 255 —
+# midpoint reconstruction then has exact worst-case error range/512
+
+
+def _sim14_oracle() -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dims AS (
+        SELECT i, MIN(e[i]) AS mn, MAX(e[i]) AS mx
+        FROM v, UNNEST(generate_series(1, len(e))) t(i)
+        GROUP BY i
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    codes AS (
+        SELECT v.vec_id, d.i, d.mn, d.mx,
+               CASE WHEN d.mx = d.mn THEN 0
+                    ELSE LEAST({SQ8_MAX_CODE},
+                               FLOOR(((v.e[d.i] - d.mn) / (d.mx - d.mn))
+                                     * {SQ8_CELLS}))::BIGINT
+               END AS c
+        FROM v, dims d
+    ),
+    terms AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, c.i,
+               (q.qe[c.i]
+                - (c.mn + (c.c + 0.5) * (c.mx - c.mn) / 256.0)) AS diff
+        FROM q JOIN codes c ON c.vec_id <> q.query_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(0.0, list(diff * diff ORDER BY i)),
+                           (a, b) -> a + b) AS approx_l2sq
+        FROM terms GROUP BY query_id, neighbor_id
+    ),
+    paired AS (
+        SELECT s.query_id, s.neighbor_id, s.approx_l2sq,
+               {_DUCK_L2SQ.format(a='q.qe', b='v.e')} AS exact_l2sq
+        FROM scored s
+        JOIN q ON q.query_id = s.query_id
+        JOIN v ON v.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rnk,
+           ROUND(approx_l2sq, 6) AS approx_l2sq,
+           ROUND(exact_l2sq, 6) AS exact_l2sq
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY approx_l2sq ASC, neighbor_id ASC)::BIGINT AS rnk
+        FROM paired
+    )
+    WHERE rnk <= {SQ8_TOPK}
+    """
+
+
+@query("sim14_sq8_topk", oracle=_sim14_oracle())
+def sim14_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) asymmetric top-k: each dimension is
+    independently affine-quantized to an int8 code against the corpus
+    per-dimension min/max (1 byte/dim — 4x smaller than float32, 8x
+    smaller than the doubles it stands in for), queries stay exact, and
+    distances are computed query-vs-DEQUANTIZED-candidate (midpoint
+    reconstruction mn + (c+0.5)·range/256). The OTHER classic vector
+    compression next to PQ (sim08/sim12): SQ keeps per-dimension
+    resolution and needs no codebook training, PQ trades dimensions for
+    subspace codewords — engines like FAISS/Lucene ship both, and
+    `exact_l2sq` alongside `approx_l2sq` makes the accuracy cost of
+    this one directly readable per neighbor.
+
+    Cross-engine discipline: quantization uses FLOOR, never ROUND —
+    round-half modes differ across engines while floor is unambiguous
+    on identical doubles; constant dimensions (mx = mn) pin to code 0
+    on both sides instead of dividing by zero; the 64-entry min/max
+    stats are bounded metadata collected once and folded in as column
+    literals (the sim08/sim12 codebook device — at 100 TB these come
+    from the stats catalog, not a collect); dequantized diffs fold in
+    dimension order with a 0.0 seed on both engines (never a float SUM
+    aggregate).
+
+    Plan shape: stats pass (one posexplode + 64-row agg, collected as
+    bounded metadata) + ONE zero-shuffle encode/score pass — the 5-row
+    query broadcast is the sim01 non-equi shape, and the top-k is the
+    row_number-then-filter pattern Catalyst compiles to WindowGroupLimit
+    Partial below the exchange (the sim12 device), so the only exchange
+    carries ≤ k·|Q| rows per input partition at any corpus size."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("e")
+    )
+    stats = (
+        e.select(F.posexplode("e").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )  # |dims| rows of bounded metadata (the codebook-literal device)
+    mn_lit = F.array(*[F.lit(float(r.mn)) for r in stats])
+    mx_lit = F.array(*[F.lit(float(r.mx)) for r in stats])
+
+    def code_expr(col):
+        # (x, i) with 0-based i; literal lookups are 1-based
+        return F.transform(
+            col,
+            lambda x, i: F.when(
+                F.element_at(mx_lit, i + 1) == F.element_at(mn_lit, i + 1),
+                F.lit(0).cast("bigint"),
+            ).otherwise(
+                F.least(
+                    F.lit(SQ8_MAX_CODE).cast("bigint"),
+                    F.floor(
+                        (x - F.element_at(mn_lit, i + 1))
+                        / (
+                            F.element_at(mx_lit, i + 1)
+                            - F.element_at(mn_lit, i + 1)
+                        )
+                        * SQ8_CELLS
+                    ),
+                )
+            ),
+        )
+
+    enc = e.select("vec_id", "e", code_expr(F.col("e")).alias("codes"))
+    dq = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(mn_lit, i + 1)
+        + (c + F.lit(0.5))
+        * (F.element_at(mx_lit, i + 1) - F.element_at(mn_lit, i + 1))
+        / F.lit(256.0),
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(enc, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(F.col("qe"), dq, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("approx_l2sq"),
+            _l2sq(F.col("qe"), F.col("e")).alias("exact_l2sq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_l2sq").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= SQ8_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            F.round("approx_l2sq", 6).alias("approx_l2sq"),
+            F.round("exact_l2sq", 6).alias("exact_l2sq"),
+        )
+    )

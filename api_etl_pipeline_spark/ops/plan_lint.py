@@ -271,6 +271,10 @@ ALLOWED: dict[tuple[str, str], str] = {
         "literal, cross-broadcast onto the |files|-row stats relation — "
         "the samp07 1-row-totals shape"
     ),
+    ("sim14_sq8_topk", "BroadcastNestedLoopJoin"): (
+        "5-row query-vector broadcast, non-equi self-exclusion — the "
+        "sim01 candidate-generation shape"
+    ),
     ("sim13_mmr_rerank+ckpt", "BroadcastNestedLoopJoin"): (
         "5-row query-vector broadcast, non-equi self-exclusion — the "
         "sim01 candidate-generation shape (lives in the checkpointed "

@@ -220,6 +220,7 @@ OPTIONAL = [
     "pack03_packing_efficiency",  # next-fit audit vs LP bound, padding waste
     "samp08_temporal_split",  # embargoed time split + entity-leakage disclosure
     "w12_time_range_window",  # trailing-3-day time-range frame per user
+    "sim14_sq8_topk",  # int8 scalar-quantized asymmetric top-k
 ]
 
 

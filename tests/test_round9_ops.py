@@ -946,3 +946,57 @@ def test_w12_time_range_semantics(spark):
             Decimal(str(v)).quantize(Decimal("0.01")) for _, v in in_frame
         )
         assert abs(r.val_3d - float(expect)) < 1e-9
+
+
+def test_sim14_sq8_invariants(spark):
+    """SQ8 semantics replayed in plain Python: codes recompute exactly
+    (floor grid, clamp, constant-dim rule), midpoint reconstruction
+    error stays within the analytic range/512 bound per dimension, and
+    each reported approx_l2sq equals the replay's fold to the 1e-6
+    rounding the query ships."""
+    import duckdb
+    import math
+
+    from api_etl_pipeline_spark.llm_ops.similarity import (
+        SQ8_CELLS,
+        SQ8_MAX_CODE,
+        sim14_sq8_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = sim14_sq8_topk(spark, sf).collect()
+    assert len(rows) == 25
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    vecs = {
+        int(v): [float(x) for x in e]
+        for v, e in con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    }
+    dims = len(next(iter(vecs.values())))
+    mn = [min(v[i] for v in vecs.values()) for i in range(dims)]
+    mx = [max(v[i] for v in vecs.values()) for i in range(dims)]
+
+    def dequant(v):
+        out = []
+        for i in range(dims):
+            rng = mx[i] - mn[i]
+            c = 0 if rng == 0 else min(
+                SQ8_MAX_CODE, math.floor((v[i] - mn[i]) / rng * SQ8_CELLS)
+            )
+            d = mn[i] + (c + 0.5) * rng / 256.0
+            assert abs(d - v[i]) <= rng / 512 * (1 + 1e-12) + 1e-15
+            out.append(d)
+        return out
+
+    for r in rows:
+        q, x = vecs[r.query_id], vecs[r.neighbor_id]
+        dq = dequant(x)
+        approx = 0.0
+        exact = 0.0
+        for i in range(dims):
+            approx = approx + (q[i] - dq[i]) * (q[i] - dq[i])
+            exact = exact + (q[i] - x[i]) * (q[i] - x[i])
+        assert abs(r.approx_l2sq - approx) < 1e-6
+        assert abs(r.exact_l2sq - exact) < 1e-6

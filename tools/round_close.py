@@ -166,6 +166,10 @@ def _scan_audit_allowlist() -> set[str]:
         #   the exact leg is checkpointed) — the sim11 two-leg eval
         #   comparison is the point of the query
         "ret02_ann_rank_quality",
+        # round 9: sim14 — query slice + encode/score pass (the sim01
+        #   probe-vs-corpus class; per-dim stats collected once as
+        #   bounded metadata, the codebook-literal device)
+        "sim14_sq8_topk",
     }
 
 

@@ -111,6 +111,7 @@ QUERIES = [
     "pack03_packing_efficiency",  # round-9: pack01's shard shuffle + two manifest aggs
     "samp08_temporal_split",  # round-9: one (day, user) composite agg; rest is days+users-bounded
     "w12_time_range_window",  # round-9: one user_id exchange, linear two-pointer range frame
+    "sim14_sq8_topk",  # round-9: zero-shuffle encode/score; WindowGroupLimit bounds the exchange
 ]
 
 
