@@ -1476,3 +1476,187 @@ def dd17_lsh_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("missed_pair_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd18: exact-threshold Jaccard similarity join via prefix filtering
+# ---------------------------------------------------------------------------
+# The AllPairs/PPJoin family: LSH's EXACT complement. dd04's banding is
+# probabilistic (dd16 measured the shipped geometry at 0.18 recall);
+# prefix filtering guarantees NO false negatives at the threshold — if
+# J(x, y) >= t, x and y MUST share a token among each one's first
+# |x| - ceil(t|x|) + 1 tokens under any single global token order
+# (pigeonhole on the rarest-first order), so candidates sharing a
+# prefix token are a guaranteed superset and exact verification prunes.
+DD18_T_NUM, DD18_T_DEN = 1, 2  # threshold t = 1/2, kept RATIONAL so the
+# verify step is the exact integer comparison den*inter >= num*union
+
+
+@query(
+    "dd18_prefix_filter_join",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]
+                   || ' ' || tokens[i + 3] || ' ' || tokens[i + 4] AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens
+              FROM documents),
+             UNNEST(generate_series(1, len(tokens) - 4)) AS u(i)
+        WHERE len(tokens) >= 5
+    ),
+    df AS (SELECT shingle, COUNT(*)::BIGINT AS df FROM sh GROUP BY shingle),
+    shr AS (
+        SELECT sh.doc_id, sh.shingle, f.df
+        FROM sh JOIN df f USING (shingle)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+    pref AS (
+        -- df = 1 shingles can never match another doc's prefix: drop
+        -- them AFTER the positional cut (most 5-grams are unique, so
+        -- this empties most of the candidate join's input)
+        SELECT doc_id, shingle FROM (
+            SELECT s.doc_id, s.shingle, s.df,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.doc_id
+                       ORDER BY s.df ASC, s.shingle ASC) AS pos,
+                   z.n
+            FROM shr s JOIN sizes z USING (doc_id)
+        )
+        WHERE pos <= n - (({DD18_T_NUM} * n + {DD18_T_DEN} - 1)
+                          // {DD18_T_DEN}) + 1
+          AND df >= 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN pref b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*)::BIGINT AS inter_n
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           za.n AS n_a, zb.n AS n_b, i.inter_n,
+           (za.n + zb.n - i.inter_n)::BIGINT AS union_n,
+           ROUND(i.inter_n::DOUBLE / (za.n + zb.n - i.inter_n), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE {DD18_T_DEN} * i.inter_n
+          >= {DD18_T_NUM} * (za.n + zb.n - i.inter_n)
+    """,
+)
+def dd18_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-threshold Jaccard similarity join over 5-GRAM shingle sets
+    via prefix filtering (AllPairs/PPJoin): every pair with
+    J >= {DD18_T_NUM}/{DD18_T_DEN}, guaranteed complete — the exact
+    complement to dd04's probabilistic LSH banding (which dd16 measured
+    at 0.18 recall on the shipped geometry). The theorem: under the
+    global rarest-first token order, J(x,y) >= t forces a shared token
+    within each side's first |x| - ceil(t·|x|) + 1 tokens (pigeonhole:
+    missing all of them caps the intersection below t·union), so the
+    prefix-token equi-join yields a guaranteed candidate SUPERSET and
+    exact counting prunes it. Completeness is pytest-pinned against a
+    brute-force all-pairs Python replay.
+
+    Exact-arithmetic discipline: the threshold is a RATIONAL
+    ({DD18_T_NUM}/{DD18_T_DEN}), so prefix length uses integer ceiling
+    division and the verify predicate is den·inter >= num·union — no
+    float ever decides membership; `jaccard` ships as one ROUND(6)
+    display division.
+
+    Plan shape: ONE corpus scan into the distinct (doc, shingle)
+    relation, checkpointed (it feeds frequency counting, prefix cut,
+    and both verification sides). The global order is the LEXICOGRAPHIC
+    (df, shingle) key itself — any total order satisfies the theorem,
+    so NO global rank window exists anywhere: the per-doc prefix cut
+    orders by the joined df value inside each doc's partition (an
+    earlier row_number formulation put a single-reducer window over
+    the full shingle vocabulary — ~700k rows at sf0.1 — and dominated
+    the wall). The candidate join hits only PREFIX
+    tokens — rarest-first ordering puts high-df tokens outside
+    prefixes, which is exactly what bounds candidates on skewed
+    corpora; verification joins are candidate-bounded (the dd13
+    class). At 100 TB: shingle-hash partitioning carries the prefix
+    join; pairs, never documents, shuffle afterward."""
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    shingles = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+                F.element_at(toks, i + 4),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = lazy_checkpoint(
+        d.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    )
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    shr = sh.join(df, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    p_cut = F.col("n") - F.expr(
+        f"({DD18_T_NUM} * n + {DD18_T_DEN - 1}) div {DD18_T_DEN}"
+    ) + 1
+    pref = (
+        shr.join(sizes, "doc_id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+        .filter((F.col("pos") <= p_cut) & (F.col("df") >= 2))
+        .select("doc_id", "shingle")
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_n"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    union_n = F.col("n_a") + F.col("n_b") - F.col("inter_n")
+    return (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .filter(DD18_T_DEN * F.col("inter_n") >= DD18_T_NUM * union_n)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "inter_n",
+            union_n.cast("bigint").alias("union_n"),
+            F.round(F.col("inter_n").cast("double") / union_n, 6).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -324,6 +324,7 @@ CHECKPOINTING_QUERIES = {
     "ret02_ann_rank_quality",  # round 9: exact truth feeds hit join + query universe
     "st16_countmin_live",  # round 9: batch-audit user counts feed probe + lattice
     "samp08_temporal_split",  # round 9: (day, user) composite feeds cutoff + labels + flags
+    "dd18_prefix_filter_join",  # round 9: shingle sets feed rank + prefix + both verify sides
     "decon02_source_overlap",
     "dq06_psi_drift",
     "dq07_window_psi_drift",  # round 8: psi_surface grid checkpoint

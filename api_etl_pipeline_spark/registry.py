@@ -126,15 +126,15 @@ def _load_all() -> None:
 #      (quality-annealed epoch schedule), dq08 (FD/key-candidate
 #      profiler), ret02 (ANN rank-quality eval), pack03 (packing
 #      efficiency audit), samp08 (temporal split with embargo), w12
-#      (time-range window frame) and sim14 (SQ8 quantized top-k). Names
-#      listed here before the op lands are skipped by _rotated until
-#      registered.
-#   3. freshness fill, oldest first: 14 of the 45 queries whose latest
+#      (time-range window frame), sim14 (SQ8 quantized top-k) and dd18
+#      (exact-threshold prefix-filter join). Names listed here before
+#      the op lands are skipped by _rotated until registered.
+#   3. freshness fill, oldest first: 13 of the 45 queries whose latest
 #      driver row is r4, in registry order (q51, dd01-dd07/dd09/dd10,
-#      w04-w07). The 31 r4 leftovers (w08-w11, ing01-ing20, dd08,
+#      w04-w06). The 32 r4 leftovers (w07-w11, ing01-ing20, dd08,
 #      sim01-sim05, sim07, sim08) lead the round-10 fill from
 #      positions 51+.
-# 12 + 24 + 14 = 50 exactly. Nothing is removed — every query stays
+# 12 + 25 + 13 = 50 exactly. Nothing is removed — every query stays
 # registered and the pytest mirror in tests/test_queries_oracle.py still
 # covers all.
 _DRIVER_SAMPLE_PREFIX = [
@@ -142,10 +142,11 @@ _DRIVER_SAMPLE_PREFIX = [
     "samp07", "maint01", "ing21", "sim12", "cur07", "llm04", "cur08", "dd16",
     "dd17", "ev19", "st15", "maint02", "sim13", "hh02", "maint03", "tx24",
     "st16", "mix03", "dq08", "ret02", "pack03", "samp08", "w12", "sim14",
+    "dd18",
     "q51",
     "dd01", "dd02", "dd03", "dd04", "dd05", "dd06", "dd07", "dd09", "dd10",
-    *[f"w{i:02d}" for i in range(4, 8)],
-    # round-10 fill queue: w08-w11, ing01-ing20, dd08,
+    *[f"w{i:02d}" for i in range(4, 7)],
+    # round-10 fill queue: w07-w11, ing01-ing20, dd08,
     # sim01-sim05, sim07, sim08
 ]
 

@@ -221,6 +221,7 @@ OPTIONAL = [
     "samp08_temporal_split",  # embargoed time split + entity-leakage disclosure
     "w12_time_range_window",  # trailing-3-day time-range frame per user
     "sim14_sq8_topk",  # int8 scalar-quantized asymmetric top-k
+    "dd18_prefix_filter_join",  # exact-threshold Jaccard join, prefix-filtered
 ]
 
 

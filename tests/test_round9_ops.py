@@ -1000,3 +1000,47 @@ def test_sim14_sq8_invariants(spark):
             exact = exact + (q[i] - x[i]) * (q[i] - x[i])
         assert abs(r.approx_l2sq - approx) < 1e-6
         assert abs(r.exact_l2sq - exact) < 1e-6
+
+
+def test_dd18_prefix_filter_completeness(spark):
+    """The prefix-filter THEOREM in action: dd18's output must equal the
+    brute-force all-pairs exact-Jaccard join at the threshold — no false
+    negatives (the guarantee LSH cannot give; dd16 measured dd04's
+    banding at 0.18 recall on this corpus) and no false positives (the
+    verify step is exact integer arithmetic)."""
+    import itertools
+
+    import duckdb
+
+    from api_etl_pipeline_spark.llm_ops.dedup import (
+        DD18_T_DEN,
+        DD18_T_NUM,
+        dd18_prefix_filter_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_a, r.doc_b): r for r in dd18_prefix_filter_join(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    sets = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        s = {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+        if s:
+            sets[did] = s
+    expect = {}
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sets.items()), 2):
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if DD18_T_DEN * inter >= DD18_T_NUM * union:
+            expect[(a, b)] = (len(sa), len(sb), inter, union)
+    assert set(got) == set(expect)  # complete AND sound
+    for k, (na, nb, inter, union) in expect.items():
+        r = got[k]
+        assert (r.n_a, r.n_b, r.inter_n, r.union_n) == (na, nb, inter, union)
+        assert abs(r.jaccard - inter / union) < 5e-7

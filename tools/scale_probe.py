@@ -112,6 +112,7 @@ QUERIES = [
     "samp08_temporal_split",  # round-9: one (day, user) composite agg; rest is days+users-bounded
     "w12_time_range_window",  # round-9: one user_id exchange, linear two-pointer range frame
     "sim14_sq8_topk",  # round-9: zero-shuffle encode/score; WindowGroupLimit bounds the exchange
+    "dd18_prefix_filter_join",  # round-9: prefix join must stay candidate-bounded under rarest-first order
 ]
 
 
