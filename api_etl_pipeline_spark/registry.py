@@ -103,51 +103,44 @@ def _load_all() -> None:
 
 
 # Driver-coverage rotation. The driver's per-round correctness gate samples
-# the FIRST 50 entries of queries() in dict order. This round-9 prefix (per
-# the round-8 verdict task 1) front-loads, in order:
-#   1. ALL 12 queries whose latest driver row predates round 4 — the last
-#      such tail in the registry: x01-x10 (latest row r1), x25 and
-#      udtf01_bigram_expand (latest row r3). After this round no
-#      registered query's newest driver row predates r4.
-#   2. the queries whose code or oracle changed in round 9 and therefore
-#      need a fresh driver row: samp07 (`selected` now derives from the
-#      ROUNDED log-weight on both sides), maint01 (group_id via exact
-#      integer `div`, not floor-of-double), ing21 (oracle page size now
-#      interpolated from _PAGE_SIZE), sim12 (top-k rewritten to the
-#      per-partition partial top-k shape), plus the round-9 additions
-#      cur07 (HTML main-text extraction), llm04 (composed curation
-#      funnel), cur08 (Gopher quality-rule battery), dd16 (LSH recall
-#      audit), dd17 (band-geometry sweep), ev19 (journey pattern
-#      matching), st15 (its applyInPandasWithState live twin, full
-#      oracle), maint02 (retention/TTL delete planner), sim13 (MMR
-#      diversified re-rank), hh02 (Count-Min accuracy audit), maint03
-#      (zone-map skip estimator), tx24 (tokenizer fertility audit),
-#      st16 (live streaming Count-Min maintenance), mix03
-#      (quality-annealed epoch schedule), dq08 (FD/key-candidate
-#      profiler), ret02 (ANN rank-quality eval), pack03 (packing
-#      efficiency audit), samp08 (temporal split with embargo), w12
-#      (time-range window frame), sim14 (SQ8 quantized top-k) and dd18
-#      (exact-threshold prefix-filter join). Names listed here before
-#      the op lands are skipped by _rotated until registered.
-#   3. freshness fill, oldest first: 13 of the 45 queries whose latest
-#      driver row is r4, in registry order (q51, dd01-dd07/dd09/dd10,
-#      w04-w06). The 32 r4 leftovers (w07-w11, ing01-ing20, dd08,
-#      sim01-sim05, sim07, sim08) lead the round-10 fill from
-#      positions 51+.
-# 12 + 25 + 13 = 50 exactly. Nothing is removed — every query stays
+# the FIRST 50 entries of queries() in dict order. This round-10 prefix (per
+# the round-9 verdict task 1) front-loads, in order:
+#   1. ALL 32 queries whose latest driver row is still round 4 — the last
+#      pre-r5 tail in the registry: w07-w11, ing01-ing04, ing06-ing20
+#      (ing05 does not exist; the ing numbering skips it), dd08, and
+#      sim01-sim05/sim07/sim08. After this round no registered query's
+#      newest driver row predates r5, and the freshness-floor gate leg
+#      (tools/round_close.py) enforces that invariant mechanically from
+#      now on.
+#   2. the round-10 additions / code-changed queries that need a first or
+#      fresh driver row: dd19 (span-level exact dedup, C4's
+#      three-sentence rule), dq09 (sampled/sketched FD profile — the
+#      production-scale companion to dq08), and ev19 (journey patterns,
+#      reworked with the bounded-history guard the round-9 verdict
+#      ordered). Names listed here before the op lands are skipped by
+#      _rotated until registered.
+#   3. freshness fill from the r5 tail (50 queries), oldest evidence
+#      first: st01-st05 (the streaming-semantics driver evidence the
+#      verdict explicitly queued) and qsql01-qsql09 (the shared-SQL
+#      surface). ing05 (fresh, r8) rides along because the ingest block
+#      is contiguous. The 36 r5 leftovers (x13, tx01-tx16, cur01,
+#      chunk01, dd11, dd12, decon01, decon02, ev13, llm01-llm03, mix01,
+#      pack01, pack02, samp01-samp04, shuf01, st08) lead the round-11
+#      fill from positions 51+.
+# 33 + 3 + 14 = 50 exactly. Nothing is removed — every query stays
 # registered and the pytest mirror in tests/test_queries_oracle.py still
 # covers all.
 _DRIVER_SAMPLE_PREFIX = [
-    *[f"x{i:02d}" for i in range(1, 11)], "x25", "udtf01",
-    "samp07", "maint01", "ing21", "sim12", "cur07", "llm04", "cur08", "dd16",
-    "dd17", "ev19", "st15", "maint02", "sim13", "hh02", "maint03", "tx24",
-    "st16", "mix03", "dq08", "ret02", "pack03", "samp08", "w12", "sim14",
-    "dd18",
-    "q51",
-    "dd01", "dd02", "dd03", "dd04", "dd05", "dd06", "dd07", "dd09", "dd10",
-    *[f"w{i:02d}" for i in range(4, 7)],
-    # round-10 fill queue: w07-w11, ing01-ing20, dd08,
-    # sim01-sim05, sim07, sim08
+    *[f"w{i:02d}" for i in range(7, 12)],
+    *[f"ing{i:02d}" for i in range(1, 21)],
+    "dd08",
+    "sim01", "sim02", "sim03", "sim04", "sim05", "sim07", "sim08",
+    "dd19", "dq09", "ev19",
+    "st01", "st02", "st03", "st04", "st05",
+    *[f"qsql{i:02d}" for i in range(1, 10)],
+    # round-11 fill queue (r5 tail leftovers): x13, tx01-tx16, cur01,
+    # chunk01, dd11, dd12, decon01, decon02, ev13, llm01-llm03, mix01,
+    # pack01, pack02, samp01-samp04, shuf01, st08
 ]
 
 
