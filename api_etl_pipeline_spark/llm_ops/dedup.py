@@ -932,6 +932,12 @@ def dd14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer-rearranged inter*5 >= union (J >= 0.2).
 DD16_STRATUM = 60  # stratum docs; derived corpus = 2x, pairs = C(120,2)
 DD16_DROP_EVERY = 5  # mutant drops every 5th token
+# dd16/dd17's missed_pair_checksum encodes a pair as da*10000 + db, and
+# derived ids run to 2*DD16_STRATUM - 1; the multiplier must dominate the
+# id range or the encoding collides and the checksum goes silently
+# ambiguous (round-9 advice). Guard the constant coupling here, next to
+# the knob someone would actually turn.
+assert 2 * DD16_STRATUM <= 10_000, "dd16 checksum multiplier would collide"
 
 # the derived-stratum CTE fragment (stratum → derived → sh) shared by
 # dd16 and dd17's oracles so the audit population cannot drift

@@ -435,8 +435,13 @@ def main() -> None:
         # avoid; what remains is plan work, normalized by box speed.
         # Round-over-round drift adjudication uses calibrated2 from r9 on
         # (calibrated_value stays for history continuity).
+        # The headline is the SUM OF THE PER-QUERY CLAMPED values so the
+        # breakdown and the headline agree by construction (round-9
+        # advice: the earlier max(0, total - n*floor) form diverged from
+        # the breakdown whenever any single benched wall sat below the
+        # stage floor).
         "calibrated2_value": round(
-            max(0.0, total - len(timings) * stage_floor) / calib_par, 2
+            sum(max(0.0, t - stage_floor) for t in timings.values()) / calib_par, 2
         ),
         "queries_calibrated2": {
             n: round(max(0.0, t - stage_floor) / calib_par, 2)

@@ -68,6 +68,19 @@ KEY_SHIFT = {
     "embeddings": ["vec_id"],
 }
 
+# Frozen copy of the ROUND-8 replication spec — the spec any pre-marker
+# (legacy `_READY`) data on disk was actually built under. The legacy
+# migration below seeds per-table markers from THIS dict, never from the
+# live KEY_SHIFT (round-9 advice): stamping the live spec onto pre-marker
+# data would silently accept stale data if a table's spec changes in a
+# later round while legacy data still exists.
+_LEGACY_R8_KEY_SHIFT = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+}
+
 QUERIES = [
     "q18_multiway_join",
     "dd04_minhash_lsh_pairs",
@@ -133,10 +146,14 @@ def build_100x(spark) -> float:
             "events",
             "embeddings",
         ):
-            # data on disk predates per-table markers but was built with
-            # an identical spec — seed the marker instead of rebuilding
-            marker.write_text(spec)
-            continue
+            # data on disk predates per-table markers; it was built under
+            # the FROZEN round-8 spec, so seed the marker with that spec
+            # (not the live one). If the live spec has since diverged the
+            # `marker.read_text() == spec` check above falls through on
+            # the next run and the table is rebuilt.
+            marker.write_text(repr(_LEGACY_R8_KEY_SHIFT.get(name)))
+            if marker.read_text() == spec:
+                continue
         df = load_table(spark, SF_DIR, name)
         if name in KEY_SHIFT:
             r = df.crossJoin(reps)
