@@ -24,6 +24,10 @@ Exit code 0 iff every executed leg passed. Legs:
    committed (run again after reviewing/committing the diff)
 4. scan audit — fails if a query newly scans a big table >= 2x beyond
    the standing allowlist recorded below
+4b. driver freshness floor (round-9 verdict task 3) — fails if any
+   registered query's latest passing driver CORRECTNESS row lags the
+   last completed round by more than _FRESHNESS_MAX_AGE rounds while
+   sitting OUTSIDE the current 50-slot sample prefix
 5. leak grep — repo source must not reference non-public
    hosts/buckets/keys (mirrors the driver's LEAKCHECK categories)
 6. bucketed catalog leg (round-6 verdict task 6) — q18 + dd04 driven
@@ -173,6 +177,67 @@ def _scan_audit_allowlist() -> set[str]:
     }
 
 
+# Maximum rounds a registered query's latest PASSING driver row may lag
+# the last completed round before the gate fails, unless the query sits in
+# the current 50-slot sample prefix (prefix membership = it will be
+# refreshed by the incoming round's driver run). 4 matches the tail the
+# round-9 verdict flagged: at round 9 the r4 rows (lag 5) were the debt,
+# the r5 rows (lag 4) the allowed horizon. One ~50-query cohort expires
+# per round and the prefix holds exactly 50, so the floor is sustainable
+# by construction — but only if every round's prefix is curated, which is
+# precisely what this leg stops depending on verdict orders for.
+_FRESHNESS_MAX_AGE = 4
+
+
+def leg_driver_freshness() -> dict:
+    """Round-9 verdict task 3: driver-row freshness floor.
+
+    Scans every CORRECTNESS_r*.json the driver has written, takes each
+    registered query's newest PASSING row, and fails if any query outside
+    the current sample prefix has no row newer than (last completed round
+    - _FRESHNESS_MAX_AGE). Queries with NO driver row at all (new ops)
+    must sit in the prefix. Stale-but-prefixed queries are reported as
+    the round's refresh set, not failures.
+    """
+    t0 = time.perf_counter()
+    sys.path.insert(0, str(REPO))
+    from api_etl_pipeline_spark.registry import all_queries
+
+    latest: dict[str, int] = {}
+    ref = 0
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r0*(\d+)$", path.stem)
+        if not m:
+            continue
+        n = int(m.group(1))
+        ref = max(ref, n)
+        for q, row in json.loads(path.read_text()).items():
+            passed = (
+                bool(row.get("rows_match"))
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if passed:
+                latest[q] = max(latest.get(q, 0), n)
+    names = list(all_queries())
+    prefix = set(names[:50])
+    floor = ref - _FRESHNESS_MAX_AGE
+    stale = sorted(q for q in names if q not in prefix and latest.get(q, 0) < floor)
+    refreshing = sorted(q for q in prefix if latest.get(q, 0) < floor)
+    dt = round(time.perf_counter() - t0, 1)
+    ok = not stale
+    print(
+        f"[{'PASS' if ok else 'FAIL'}] driver freshness floor ({dt}s)"
+        f" — ref r{ref}, floor r{floor}, {len(refreshing)} stale-in-prefix"
+        + (f", STALE OUTSIDE PREFIX: {stale}" if stale else "")
+    )
+    return {
+        "leg": "driver_freshness", "ok": ok, "sec": dt,
+        "reference_round": ref, "floor_round": floor,
+        "refreshing_in_prefix": refreshing, "stale_outside_prefix": stale,
+    }
+
+
 def leg_leak_grep() -> dict:
     t0 = time.perf_counter()
     pats = {
@@ -226,6 +291,7 @@ def main() -> int:
         ))
     results.append(leg_plans_fingerprints())
     results.append(leg_scan_audit())
+    results.append(leg_driver_freshness())
     results.append(leg_leak_grep())
     results.append(run_leg(
         "bucketed catalog (q18+dd04 exchange drop)",
