@@ -1449,18 +1449,34 @@ EV19_TYPE_CHARS = (
     ("purchase", "p"), ("error", "e"),
 )
 
+# Per-user journey cap (round-9 verdict task 6): MATCH_RECOGNIZE state is
+# per-partition history, and an unbounded collect_list over a hot user
+# would blow the group at 100 TB. The journey folds the FIRST EV19_CAP
+# events per user (global (ts, event_id) order); events beyond the cap
+# are COUNTED (n_overflow column), never silently dropped — a non-zero
+# n_overflow is the operator telling you to sessionize (st03) and match
+# on the (user, session) key, which is the same plan with a finer key.
+# 512 is ~5x the max per-user depth the testdata generator produces at
+# any shipped SF, so the cap is enforced by construction, not data luck.
+EV19_CAP = 512
+
 
 EV19_ORACLE = f"""
     WITH chars AS (
         SELECT user_id, ts, event_id,
                CASE event_type
                     {" ".join(f"WHEN '{t}' THEN '{c}'" for t, c in EV19_TYPE_CHARS)}
-                    ELSE 'x' END AS ch
+                    ELSE 'x' END AS ch,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
         FROM events
     ),
     j AS (
         SELECT user_id,
-               array_to_string(list(ch ORDER BY ts, event_id), '') AS journey
+               array_to_string(list(ch ORDER BY rn)
+                   FILTER (WHERE rn <= {EV19_CAP}), '') AS journey,
+               SUM(CASE WHEN rn > {EV19_CAP} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_overflow
         FROM chars GROUP BY user_id
     )
     SELECT user_id,
@@ -1470,7 +1486,8 @@ EV19_ORACLE = f"""
            COALESCE(list_max(list_transform(
                regexp_extract_all(journey, 'c+'), x -> length(x))), 0)::BIGINT
                AS max_click_run,
-           ('0x' || substr(md5(journey), 1, 8))::BIGINT AS journey_checksum
+           ('0x' || substr(md5(journey), 1, 8))::BIGINT AS journey_checksum,
+           n_overflow
     FROM j
     """
 
@@ -1493,12 +1510,19 @@ def ev19_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three on adversarial journeys (overlap candidates, greedy
     backtrack cases).
 
-    Plan shape: ONE exchange (the user_id groupBy whose collect builds
-    the journey), then per-row regex projections — the exact shape
+    Plan shape: ONE exchange (the user_id row_number window, whose hash
+    partitioning the journey groupBy REUSES — AQE plans no second
+    exchange), then per-row regex projections — the exact shape
     MATCH_RECOGNIZE engines use (partition by key, order within key).
-    Per-user state is the journey string; at 100 TB you bound it the
-    way the standard does: sessionize first (st03) and match within
-    sessions, same plan with a (user, session) key."""
+
+    Bounded-history guard (round-9 verdict task 6): per-user state is
+    capped at EV19_CAP events by construction — the journey folds only
+    rows with row_number ≤ cap, and rows beyond it surface as the
+    n_overflow count instead of growing the group. At 100 TB a
+    non-zero overflow is the signal to sessionize first (st03) and
+    match on the (user, session) key — the same plan, finer key. The
+    cap behavior itself is pytest-pinned on an over-cap synthetic user
+    (tests/test_round10_ops.py)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -1508,21 +1532,31 @@ def ev19_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = F.when(
         F.col("event_type").isin(*[t for t, _ in EV19_TYPE_CHARS]), ch
     ).otherwise(F.lit("x"))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
     j = (
-        ev.select(
-            "user_id",
-            F.struct(
-                F.col("ts").alias("ts"),
-                F.col("event_id").alias("event_id"),
-                ch.alias("ch"),
-            ).alias("s"),
-        )
+        ev.select("user_id", ch.alias("ch"), rn.alias("rn"))
         .groupBy("user_id")
         .agg(
             F.array_join(
-                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["ch"]),
+                F.transform(
+                    # collect_list drops the when()'s null branch, so only
+                    # the first EV19_CAP (rn, ch) structs survive; the
+                    # array_sort on the leading rn restores event order
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") <= EV19_CAP,
+                                F.struct(F.col("rn").alias("rn"), F.col("ch").alias("ch")),
+                            )
+                        )
+                    ),
+                    lambda s: s["ch"],
+                ),
                 "",
-            ).alias("journey")
+            ).alias("journey"),
+            F.sum((F.col("rn") > EV19_CAP).cast("bigint")).alias("n_overflow"),
         )
     )
     runs = F.regexp_extract_all(F.col("journey"), F.lit("c+"), F.lit(0))
@@ -1537,4 +1571,5 @@ def ev19_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("journey").cast("binary")), 1, 8), 16, 10)
         .cast("bigint")
         .alias("journey_checksum"),
+        "n_overflow",
     )

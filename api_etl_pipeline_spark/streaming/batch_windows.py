@@ -791,16 +791,18 @@ def st15_journey_patterns_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-equal to Java regex and RE2 on adversarial journeys by
     tests/test_round9_ops.py, so all THREE engines in play here agree.
 
-    State is one bounded string per user (journey; bound it via
-    sessionization keys at scale); output schema is all-BIGINT so no
-    timestamp canonicalization risk. Bench-exempt like every live
-    st-query (micro-batch machinery dominates wall; ev19 is the perf
-    twin)."""
+    State is one BOUNDED-BY-CONSTRUCTION string per user: the journey
+    stops growing at EV19_CAP chars and every later event increments
+    the n_overflow state counter instead (ev19's round-10 guard, shared
+    constant + shared oracle, so live==batch includes the cap
+    semantics); output schema is all-BIGINT so no timestamp
+    canonicalization risk. Bench-exempt like every live st-query
+    (micro-batch machinery dominates wall; ev19 is the perf twin)."""
     import uuid
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from api_etl_pipeline_spark.ops.events_analytics import EV19_TYPE_CHARS
+    from api_etl_pipeline_spark.ops.events_analytics import EV19_CAP, EV19_TYPE_CHARS
     from api_etl_pipeline_spark.tables import load_events_stream
 
     stage_dir = _stage_events_dir(sf_dir)
@@ -809,9 +811,10 @@ def st15_journey_patterns_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_schema = (
         "user_id bigint, journey_len bigint, n_conversions bigint, "
-        "n_rage_episodes bigint, max_click_run bigint, journey_checksum bigint"
+        "n_rage_episodes bigint, max_click_run bigint, journey_checksum bigint, "
+        "n_overflow bigint"
     )
-    state_schema = "journey string"
+    state_schema = "journey string, n_overflow bigint"
     char_of = dict(EV19_TYPE_CHARS)
 
     def update(key, pdfs, state: GroupState):
@@ -820,13 +823,14 @@ def st15_journey_patterns_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
-        journey = state.get[0] if state.exists else ""
+        journey, n_overflow = state.get if state.exists else ("", 0)
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            journey += "".join(
-                char_of.get(t, "x") for t in pdf["event_type"]
-            )
-        state.update((journey,))
+            chars = "".join(char_of.get(t, "x") for t in pdf["event_type"])
+            room = EV19_CAP - len(journey)
+            journey += chars[:room] if room > 0 else ""
+            n_overflow += max(0, len(chars) - max(0, room))
+        state.update((journey, n_overflow))
         runs = re.findall("c+", journey)
         yield pd.DataFrame(
             {
@@ -838,6 +842,7 @@ def st15_journey_patterns_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "journey_checksum": [
                     int(hashlib.md5(journey.encode()).hexdigest()[:8], 16)
                 ],
+                "n_overflow": [n_overflow],
             }
         )
 
@@ -858,10 +863,13 @@ def st15_journey_patterns_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     # memory sink appends every snapshot; the final snapshot per user has
-    # the longest journey (journeys only grow)
+    # the longest journey (journeys only grow), and past the cap the
+    # overflow counter keeps growing — so tiebreak on it
     out = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(
-        F.col("journey_len").desc(), F.col("journey_checksum").asc()
+        F.col("journey_len").desc(),
+        F.col("n_overflow").desc(),
+        F.col("journey_checksum").asc(),
     )
     return (
         out.withColumn("_rn", F.row_number().over(w))

@@ -444,7 +444,7 @@ def test_st15_live_equals_ev19_batch(spark):
     for uid, b in batch.items():
         l = live[uid]
         for col in ("journey_len", "n_conversions", "n_rage_episodes",
-                    "max_click_run", "journey_checksum"):
+                    "max_click_run", "journey_checksum", "n_overflow"):
             assert getattr(l, col) == getattr(b, col), (uid, col)
 
 
