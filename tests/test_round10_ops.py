@@ -67,6 +67,54 @@ def test_ev19_cap_and_overflow(spark, tmp_path):
     assert got[2].max_click_run == 10
 
 
+def test_dq09_sample_consistent_with_exact(spark):
+    """dq09's sampled verdicts must be CONSISTENT with dq08's exact
+    mining: a violation found in the sample is a real violation
+    (witnesses are exhibited, never inferred), so sample max_fanout ≤
+    exact max_fanout, sample n_violating > 0 implies exact n_violating
+    > 0, and exact is_fd implies sampled is_fd. The sample is also
+    corpus-size-bounded (≤ DQ09_GROUPS groups) and deterministic
+    (two runs, identical rows)."""
+    from api_etl_pipeline_spark.ops.quality import DQ09_GROUPS
+
+    qs = all_queries()
+    exact = {
+        (r.lhs_col, r.rhs_col): r
+        for r in qs["dq08_fd_profile"].fn(spark, SF_DIR).collect()
+    }
+    run1 = sorted(
+        qs["dq09_fd_profile_sampled"].fn(spark, SF_DIR).collect(),
+        key=lambda r: (r.lhs_col, r.rhs_col),
+    )
+    run2 = sorted(
+        qs["dq09_fd_profile_sampled"].fn(spark, SF_DIR).collect(),
+        key=lambda r: (r.lhs_col, r.rhs_col),
+    )
+    assert run1 == run2 and run1
+    for s in run1:
+        assert 0 < s.n_sample_groups <= DQ09_GROUPS
+        e = exact[(s.lhs_col, s.rhs_col)]
+        assert s.n_sample_groups <= e.n_groups
+        assert s.max_fanout <= e.max_fanout
+        if s.n_violating > 0:
+            assert e.n_violating > 0
+        if e.is_fd:
+            assert s.is_fd_sample
+
+
+def test_dq09_plan_is_bounded(spark):
+    """The bottom-K set must come back as a BROADCAST to the group
+    filter (never a shuffle join), and the plan must contain no
+    cartesian product — the shape claims in the docstring."""
+    from api_etl_pipeline_spark.ops.plan_lint import plan_text
+
+    df = all_queries()["dq09_fd_profile_sampled"].fn(spark, SF_DIR)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+    assert "SortMergeJoin" not in txt
+
+
 def test_ev19_under_cap_matches_uncapped_semantics(spark, duck):
     """On the shipped testdata no user approaches EV19_CAP, so the capped
     operator must emit n_overflow == 0 everywhere and otherwise behave as
