@@ -222,6 +222,9 @@ OPTIONAL = [
     "w12_time_range_window",  # trailing-3-day time-range frame per user
     "sim14_sq8_topk",  # int8 scalar-quantized asymmetric top-k
     "dd18_prefix_filter_join",  # exact-threshold Jaccard join, prefix-filtered
+    # round 10
+    "dq09_fd_profile_sampled",  # bottom-K group-sampled FD profile (dq08's 100 TB form)
+    "dd19_span_dedup",  # C4 three-sentence-span exact dedup, kept-text checksums
 ]
 
 

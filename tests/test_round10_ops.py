@@ -115,6 +115,118 @@ def test_dq09_plan_is_bounded(spark):
     assert "SortMergeJoin" not in txt
 
 
+def _dd19_python_replay(docs: list[tuple[int, str]]) -> dict[int, tuple]:
+    """Plain-Python replay of dd19's full pipeline (injection, block
+    sentences, span hashing, global keep-first, C4 removal footprint) —
+    the third engine, independent of both Spark and DuckDB."""
+    from api_etl_pipeline_spark.llm_ops.dedup import (
+        _DD19_A_OFF,
+        _DD19_B_OFF,
+        DD19_INJECT_A,
+        DD19_INJECT_B,
+        DD19_SENT_WORDS as W,
+    )
+
+    def h48(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    corpus: list[tuple[int, list[str]]] = []
+    for doc_id, text in docs:
+        words = text.strip().split()
+        corpus.append((doc_id, words))
+        if doc_id < DD19_INJECT_A:
+            corpus.append(
+                (doc_id + _DD19_A_OFF, words[: max(1, (len(words) * 3) // 5)])
+            )
+        elif doc_id < DD19_INJECT_B:
+            corpus.append(
+                (
+                    doc_id + _DD19_B_OFF,
+                    words + [f"zq{doc_id}x{j}" for j in range(25)],
+                )
+            )
+    seen: set[int] = set()
+    out: dict[int, tuple] = {}
+    per_doc = []
+    for doc_id, words in sorted(corpus):
+        n_sent = (len(words) + W - 1) // W
+        sents = [" ".join(words[i * W : (i + 1) * W]) for i in range(n_sent)]
+        spans = [
+            " ".join(words[i * W : i * W + 3 * W]) for i in range(max(0, n_sent - 2))
+        ]
+        dropped = []
+        for i, sp in enumerate(spans):
+            h = h48(sp)
+            if h in seen:
+                dropped.append(i)
+            else:
+                seen.add(h)
+        per_doc.append((doc_id, sents, spans, dropped))
+    for doc_id, sents, spans, dropped in per_doc:
+        kept = [
+            i
+            for i in range(len(sents))
+            if not any(i - 2 <= d <= i for d in dropped)
+        ]
+        out[doc_id] = (
+            len(sents),
+            len(spans),
+            len(dropped),
+            len(kept),
+            sum(len(sents[i]) for i in kept),
+            sum(h48(sents[i]) for i in kept),
+        )
+    return out
+
+
+def test_dd19_matches_python_replay(spark):
+    """Spark's dd19 must equal the plain-Python replay doc-for-doc at
+    sf0.001 — keep-first order, removal footprint, kept-text checksum,
+    everything."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    expected = _dd19_python_replay(docs)
+    rows = all_queries()["dd19_span_dedup"].fn(spark, sf).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert expected[r.doc_id] == (
+            r.n_sentences,
+            r.n_spans,
+            r.n_dropped_spans,
+            r.n_kept_sentences,
+            r.kept_len,
+            r.kept_checksum,
+        ), r.doc_id
+
+
+def test_dd19_c4_footprint_invariants(spark):
+    """Structural invariants at sf0.01: both injected replica families
+    actually produce drops (the differential check is non-trivial), a
+    span always covers exactly three sentences so k dropped spans
+    remove between 3 and 3k sentences, and a doc with zero dropped
+    spans keeps everything. (Originals can ALSO legitimately drop
+    spans: the testdata generator injects repeated word runs — the
+    same ones dd11 mines — and keep-first applies corpus-wide; the
+    Python replay test pins those cases exactly.)"""
+    rows = all_queries()["dd19_span_dedup"].fn(spark, SF_DIR).collect()
+    from api_etl_pipeline_spark.llm_ops.dedup import _DD19_A_OFF, _DD19_B_OFF
+
+    assert any(
+        r.n_dropped_spans > 0 for r in rows if _DD19_A_OFF <= r.doc_id < _DD19_B_OFF
+    )
+    assert any(r.n_dropped_spans > 0 for r in rows if r.doc_id >= _DD19_B_OFF)
+    for r in rows:
+        if r.n_dropped_spans == 0:
+            assert r.n_kept_sentences == r.n_sentences
+        else:
+            removed = r.n_sentences - r.n_kept_sentences
+            assert 3 <= removed <= 3 * r.n_dropped_spans
+
+
 def test_ev19_under_cap_matches_uncapped_semantics(spark, duck):
     """On the shipped testdata no user approaches EV19_CAP, so the capped
     operator must emit n_overflow == 0 everywhere and otherwise behave as
