@@ -113,6 +113,8 @@ QUERIES = [
     "w12_time_range_window",  # round-9: one user_id exchange, linear two-pointer range frame
     "sim14_sq8_topk",  # round-9: zero-shuffle encode/score; WindowGroupLimit bounds the exchange
     "dd18_prefix_filter_join",  # round-9: prefix join must stay candidate-bounded under rarest-first order
+    "dq09_fd_profile_sampled",  # round-10: bottom-K sample must pin the profile aggs at any volume
+    "dd19_span_dedup",  # round-10: span-hash shuffle is the one corpus-scale exchange; text never shuffles
 ]
 
 
