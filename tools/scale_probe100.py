@@ -125,6 +125,16 @@ QUERIES = [
     # replicas legitimately FLIP the near-uniqueness verdict —
     # profiles are data-dependent, which is their point.
     "dq08_fd_profile",
+    # round 10 (round-9 verdict task 2): the exact-threshold prefix-filter
+    # join at its second decade — the RE-VOCABULARIED replicas are the
+    # point: verbatim 10x replicas made dd18's 10x row output-bound
+    # (every doc a 10-way clone, ~9000x qualifying pairs), while distinct
+    # per-replica vocabularies keep cross-replica shingles disjoint, so
+    # this probe measures candidate-PRUNING power (prefix join fan-out
+    # under a 100x-bigger, 100x-wider-vocab corpus), not output
+    # enumeration. Skew watch: if the prefix equi-join's df-heavy
+    # shingles bite, the recorded fix is df-bucket salting.
+    "dd18_prefix_filter_join",
 ]
 
 
