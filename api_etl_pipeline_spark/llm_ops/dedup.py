@@ -1775,37 +1775,15 @@ def _dd19_oracle() -> str:
     """
 
 
-@query("dd19_span_dedup", oracle=_dd19_oracle())
-def dd19_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4's three-sentence-span exact dedup over the injected derived
-    corpus: per document, sentence/span counts, how many of its spans
-    were non-first duplicates, the surviving sentence count, and the
-    kept-TEXT evidence — total kept characters plus an order-free
-    bigint checksum over the kept sentences' md5-48 hashes (the
-    cur06/cur07 kept-output pattern: the hash pins WHICH text
-    survived, not just how much). Keep-first under the global
-    (doc_id, span_idx) order, so originals always beat their injected
-    replicas; a sentence is removed iff any covering span is a
-    duplicate — C4's removal footprint exactly.
-
-    Plan shape (text never shuffles): ONE documents scan feeds the
-    branch explode and collapses immediately to the NARROW per-doc
-    relation (doc_id + three hash/length arrays, ≤ n_sent bigints per
-    row), checkpointed once for its two consumers. The span keep-first
-    is a window over (span_hash) carrying only (doc_id, idx, hash)
-    triples; the removal footprint returns as a per-doc sorted idx
-    array (bounded by spans-per-doc) left-joined back to the narrow
-    relation, where higher-order functions fold the kept stats
-    JVM-side. At 100 TB the one corpus-scale exchange is the span-hash
-    shuffle of 16-byte triples — the same cost class as dd01's exact
-    hash-groupBy, per C4's own design; raw text never leaves its scan
-    stage.
-
-    Reference lineage: C4 (Raffel et al., JMLR 2020) §2.2; cross-check
-    dd11 (winnowed substrings) and dd12 (segment dedup) for the
-    neighboring granularities."""
+def dd19_narrow(docs: DataFrame) -> DataFrame:
+    """The stateless front of dd19, shared with its live streaming twin
+    (st17): from a (doc_id, text) relation — batch OR streaming — build
+    the injected derived corpus and collapse each doc to the NARROW
+    per-doc relation (doc_id, n_sent, sent_hash[], sent_len[],
+    span_hash[]). Pure projections/explodes, so it binds identically to
+    a file-stream source."""
     W = DD19_SENT_WORDS
-    d = load_table(spark, sf_dir, "documents").select(
+    d = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), " +").alias("words")
     )
     branched = d.select(
@@ -1869,44 +1847,36 @@ def dd19_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(s.cast("binary")), 1, 12), 16, 10
     ).cast("bigint")
     n_spans = F.greatest(F.lit(0), n_sent - 2)
-    narrow = lazy_checkpoint(
-        corpus.select(
-            "doc_id",
-            n_sent.cast("int").alias("n_sent"),
+    return corpus.select(
+        "doc_id",
+        n_sent.cast("int").alias("n_sent"),
+        F.transform(
+            F.sequence(F.lit(0), n_sent.cast("int") - 1),
+            lambda i: h48(sent_str(i)),
+        ).alias("sent_hash"),
+        F.transform(
+            F.sequence(F.lit(0), n_sent.cast("int") - 1),
+            lambda i: F.length(sent_str(i)).cast("bigint"),
+        ).alias("sent_len"),
+        # sequence(0, -1) would produce a DESCENDING ramp, not an
+        # empty array — guard the span list for n_sent < 3 docs
+        F.when(
+            n_spans > 0,
             F.transform(
-                F.sequence(F.lit(0), n_sent.cast("int") - 1),
-                lambda i: h48(sent_str(i)),
-            ).alias("sent_hash"),
-            F.transform(
-                F.sequence(F.lit(0), n_sent.cast("int") - 1),
-                lambda i: F.length(sent_str(i)).cast("bigint"),
-            ).alias("sent_len"),
-            # sequence(0, -1) would produce a DESCENDING ramp, not an
-            # empty array — guard the span list for n_sent < 3 docs
-            F.when(
-                n_spans > 0,
-                F.transform(
-                    F.sequence(F.lit(0), n_spans.cast("int") - 1),
-                    lambda i: h48(span_str(i)),
-                ),
-            )
-            .otherwise(F.array().cast("array<bigint>"))
-            .alias("span_hash"),
+                F.sequence(F.lit(0), n_spans.cast("int") - 1),
+                lambda i: h48(span_str(i)),
+            ),
         )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("span_hash"),
     )
-    spans = narrow.select(
-        "doc_id", F.posexplode("span_hash").alias("span_idx", "h")
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("h").orderBy("doc_id", "span_idx")
-        ),
-    )
-    dropped = (
-        spans.filter(F.col("rn") > 1)
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("span_idx")).alias("didx"))
-    )
+
+
+def dd19_stats(narrow: DataFrame, dropped: DataFrame) -> DataFrame:
+    """The deterministic back of dd19, shared with st17: fold the
+    per-doc removal footprint (dropped: doc_id, didx sorted-idx array)
+    into the kept-sentence stats via higher-order functions — C4's rule
+    that a sentence dies iff any covering span is a duplicate."""
     joined = narrow.join(dropped, "doc_id", "left").withColumn(
         "kept",
         F.filter(
@@ -1938,3 +1908,51 @@ def dd19_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_checksum"
         ),
     )
+
+
+@query("dd19_span_dedup", oracle=_dd19_oracle())
+def dd19_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's three-sentence-span exact dedup over the injected derived
+    corpus: per document, sentence/span counts, how many of its spans
+    were non-first duplicates, the surviving sentence count, and the
+    kept-TEXT evidence — total kept characters plus an order-free
+    bigint checksum over the kept sentences' md5-48 hashes (the
+    cur06/cur07 kept-output pattern: the hash pins WHICH text
+    survived, not just how much). Keep-first under the global
+    (doc_id, span_idx) order, so originals always beat their injected
+    replicas; a sentence is removed iff any covering span is a
+    duplicate — C4's removal footprint exactly.
+
+    Plan shape (text never shuffles): ONE documents scan feeds the
+    branch explode and collapses immediately to the NARROW per-doc
+    relation (doc_id + three hash/length arrays, ≤ n_sent bigints per
+    row — dd19_narrow, shared with the st17 live twin), checkpointed
+    once for its two consumers. The span keep-first is a window over
+    (span_hash) carrying only (doc_id, idx, hash) triples; the removal
+    footprint returns as a per-doc sorted idx array (bounded by
+    spans-per-doc) left-joined back to the narrow relation, where
+    higher-order functions fold the kept stats JVM-side (dd19_stats).
+    At 100 TB the one corpus-scale exchange is the span-hash shuffle of
+    16-byte triples — the same cost class as dd01's exact hash-groupBy,
+    per C4's own design; raw text never leaves its scan stage.
+
+    Reference lineage: C4 (Raffel et al., JMLR 2020) §2.2; cross-check
+    dd11 (winnowed substrings) and dd12 (segment dedup) for the
+    neighboring granularities."""
+    narrow = lazy_checkpoint(
+        dd19_narrow(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+    spans = narrow.select(
+        "doc_id", F.posexplode("span_hash").alias("span_idx", "h")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("h").orderBy("doc_id", "span_idx")
+        ),
+    )
+    dropped = (
+        spans.filter(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("span_idx")).alias("didx"))
+    )
+    return dd19_stats(narrow, dropped)

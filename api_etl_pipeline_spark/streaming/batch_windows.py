@@ -878,6 +878,142 @@ def st15_journey_patterns_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOC_STAGE_CACHE: dict[str, str] = {}
+
+
+def _stage_documents_dir(sf_dir: str) -> str:
+    """documents twin of _stage_events_dir — same load-bearing
+    SINGLE-FILE invariant: one micro-batch, so the live span-dedup
+    state can never miss a first-occurrence that 'arrived earlier'."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if sf_dir not in _DOC_STAGE_CACHE:
+        stage_dir = tempfile.mkdtemp(prefix="st_live_docs_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+        src = f"{sf_dir}/documents.parquet"
+        if os.path.isdir(src):
+            for part in os.listdir(src):
+                if not part.startswith(("_", ".")):
+                    shutil.copy(f"{src}/{part}", f"{stage_dir}/{part}")
+        else:
+            shutil.copy(src, f"{stage_dir}/documents.parquet")
+        staged = os.listdir(stage_dir)
+        assert len(staged) == 1, f"single-micro-batch invariant broken: {staged}"
+        _DOC_STAGE_CACHE[sf_dir] = stage_dir
+    return _DOC_STAGE_CACHE[sf_dir]
+
+
+def _dd19_oracle_for_st17() -> str:
+    from api_etl_pipeline_spark.llm_ops.dedup import _dd19_oracle
+
+    return _dd19_oracle()
+
+
+@query("st17_span_dedup_live", oracle=_dd19_oracle_for_st17())
+def st17_span_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming span-level exact dedup — dd19's C4 three-sentence rule
+    as an ACTUAL Structured Streaming run with dd19's FULL oracle
+    (shared SQL, driver-hash-checked): the production shape where
+    documents arrive incrementally and every span is checked against a
+    STANDING seen-spans state instead of a batch window. The stateless
+    front (injected corpus → narrow per-doc hash arrays → span explode)
+    is dd19_narrow, byte-identical to the batch op; the keep-first
+    decision runs through applyInPandasWithState keyed by SPAN HASH —
+    per-hash GroupState carries the (doc_id, span_idx) of the first
+    occurrence ever seen, each group sorts its arrivals by (doc_id,
+    span_idx) and emits every non-first occurrence as a dropped span.
+    The drained dropped set then folds into per-doc kept stats via
+    dd19_stats (deterministic projection, the st15 final-selection
+    pattern), so live == batch is total.
+
+    Under the single-file staging invariant (_stage_documents_dir: one
+    micro-batch) every occurrence of a hash reaches its group in one
+    trigger, so the sorted-first choice equals dd19's global (doc_id,
+    span_idx) window order exactly. In production the same operator
+    runs continuously: state is one 16-byte keeper per DISTINCT span
+    hash (the standing dedup-store shape dd14 models for MinHash
+    signatures), new arrivals' spans drop immediately against it, and
+    eviction policy is the corpus-retention choice, not a correctness
+    knob. Output all-BIGINT; bench-exempt like every live st-query
+    (micro-batch machinery dominates wall; dd19 is the perf twin)."""
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+    from api_etl_pipeline_spark.llm_ops.dedup import dd19_narrow, dd19_stats
+    from pyspark.sql import types as T
+
+    stage_dir = _stage_documents_dir(sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(stage_dir)
+    spans = dd19_narrow(stream.select("doc_id", "text")).select(
+        "doc_id", F.posexplode("span_hash").alias("span_idx", "h")
+    ).select("doc_id", F.col("span_idx").cast("bigint").alias("span_idx"), "h")
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        occ: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            occ.extend(
+                (int(d), int(i)) for d, i in zip(pdf["doc_id"], pdf["span_idx"])
+            )
+        occ.sort()
+        if state.exists:
+            dropped = occ  # the keeper lives in state from an earlier batch
+        else:
+            state.update(occ[0])
+            dropped = occ[1:]
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series([d for d, _ in dropped], dtype="int64"),
+                "span_idx": pd.Series([i for _, i in dropped], dtype="int64"),
+            }
+        )
+
+    snapshots = spans.groupBy("h").applyInPandasWithState(
+        update,
+        outputStructType="doc_id bigint, span_idx bigint",
+        stateStructType="doc_id bigint, span_idx bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "st17_" + uuid.uuid4().hex[:10]
+    q = (
+        snapshots.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    dropped = (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.col("span_idx").cast("int"))).alias(
+                "didx"
+            )
+        )
+    )
+    narrow = lazy_checkpoint(
+        dd19_narrow(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+    return dd19_stats(narrow, dropped)
+
+
 ST16_W = 64  # Count-Min width, matches hh02's audited geometry
 ST16_D = 4  # depth: md5's four disjoint 32-bit slices
 ST16_PROBE = 20

@@ -227,6 +227,25 @@ def test_dd19_c4_footprint_invariants(spark):
             assert 3 <= removed <= 3 * r.n_dropped_spans
 
 
+def test_st17_live_equals_dd19_batch(spark):
+    """The streaming span dedup must equal its batch twin row for row
+    (the st13/st15 live==batch pin): per-hash GroupState keep-first
+    under the single-micro-batch staging invariant must reproduce
+    dd19's global (doc_id, span_idx) window order exactly — counts,
+    removal footprint, kept-text checksums, everything."""
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    live = {r.doc_id: r for r in qs["st17_span_dedup_live"].fn(spark, sf).collect()}
+    batch = {r.doc_id: r for r in qs["dd19_span_dedup"].fn(spark, sf).collect()}
+    assert set(live) == set(batch) and live
+    assert any(b.n_dropped_spans > 0 for b in batch.values())
+    for doc_id, b in batch.items():
+        l = live[doc_id]
+        for col in ("n_sentences", "n_spans", "n_dropped_spans",
+                    "n_kept_sentences", "kept_len", "kept_checksum"):
+            assert getattr(l, col) == getattr(b, col), (doc_id, col)
+
+
 def test_ev19_under_cap_matches_uncapped_semantics(spark, duck):
     """On the shipped testdata no user approaches EV19_CAP, so the capped
     operator must emit n_overflow == 0 everywhere and otherwise behave as
