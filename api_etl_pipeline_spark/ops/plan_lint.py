@@ -295,6 +295,7 @@ LOCAL_SCAN_OK = {
     "st13_streaming_dedup_live",
     "st15_journey_patterns_live",  # round 9: memory-sink snapshots
     "st16_countmin_live",  # round 9: memory-sink sketch cells
+    "st17_span_dedup_live",  # round 10: memory-sink dropped-span set
     "qsql08_values_decode_shared_sql",  # 3-row inline VALUES decode table
 }
 
@@ -325,6 +326,9 @@ CHECKPOINTING_QUERIES = {
     "st16_countmin_live",  # round 9: batch-audit user counts feed probe + lattice
     "samp08_temporal_split",  # round 9: (day, user) composite feeds cutoff + labels + flags
     "dd18_prefix_filter_join",  # round 9: shingle sets feed rank + prefix + both verify sides
+    "dd19_span_dedup",  # round 10: narrow span/sentence arrays feed keep-first + stats fold
+    "dq09_fd_profile_sampled",  # round 10: projected cols + hashes feed N bottom-K legs + profiles
+    "st17_span_dedup_live",  # round 10: batch narrow relation feeds the stats fold twice
     "decon02_source_overlap",
     "dq06_psi_drift",
     "dq07_window_psi_drift",  # round 8: psi_surface grid checkpoint
