@@ -135,6 +135,14 @@ QUERIES = [
     # enumeration. Skew watch: if the prefix equi-join's df-heavy
     # shingles bite, the recorded fix is df-bucket salting.
     "dd18_prefix_filter_join",
+    # round 10: dq09's whole point is the K-bound — the 100x row is the
+    # measured contrast against dq08's 9.6x exact-mining cost at the
+    # same decade (the profile aggs see <= DQ09_GROUPS groups here).
+    "dq09_fd_profile_sampled",
+    # round 10: the span-hash keep-first shuffle at its second decade;
+    # re-vocabularied replicas keep natural repeats replica-local, so
+    # the window measures hash-shuffle scaling, not clone enumeration.
+    "dd19_span_dedup",
 ]
 
 
