@@ -1003,7 +1003,13 @@ DQ09_PAIRS = (
     (
         "o_totalprice",
         "o_orderstatus",
-        "CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING)",
+        # FLOOR, never a bare double→BIGINT cast: DuckDB ROUNDS that
+        # cast while Spark TRUNCATES (caught by the sf0.001 sweep —
+        # 1.15*100 = 114.999…; duck 115, spark 114), and a sample KEY
+        # only needs the two engines to agree, which the identical
+        # IEEE multiply + FLOOR guarantees. The repo's standing
+        # FLOOR-grid convention, applied to a hash key.
+        "CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS STRING)",
     ),
     ("o_custkey", "o_orderstatus", "CAST(o_custkey AS STRING)"),
 )
