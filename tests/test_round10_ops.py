@@ -246,6 +246,56 @@ def test_st17_live_equals_dd19_batch(spark):
             assert getattr(l, col) == getattr(b, col), (doc_id, col)
 
 
+def test_dd19_boundary_semantics(spark, tmp_path):
+    """Constructed-corpus boundary pins for dd19, all three engines
+    (Spark, DuckDB oracle, Python replay) on the same tmp parquet:
+    a WITHIN-doc repeated span (keep-first applies inside one doc too),
+    an exactly-30-word doc (exactly one span), a sub-span doc (2
+    sentences, zero spans, everything kept), and an 11-word doc whose
+    second sentence is a 1-word partial block."""
+    import duckdb
+    import pandas as pd
+
+    # doc 200: words repeat with period 10 -> every sentence identical,
+    # so span i (words 10i+1..10i+30) is identical for all i: spans
+    # 1..k are within-doc duplicates of span 0.
+    block = "alpha beta gamma delta eps zeta eta theta iota kappa"
+    docs = [
+        (200, " ".join([block] * 6)),          # 60 words, 6 ident. sentences
+        (201, " ".join(f"w{i}" for i in range(30))),   # exactly 1 span
+        (202, " ".join(f"u{i}" for i in range(20))),   # 2 sentences, 0 spans
+        (203, " ".join(f"v{i}" for i in range(11))),   # 1-word partial tail
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "t"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "dd19b"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+    spec = all_queries()["dd19_span_dedup"]
+    df = spec.fn(spark, str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    compare(df, con, spec.oracle)
+    got = {r.doc_id: r for r in df.collect()}
+    replay = _dd19_python_replay(docs)
+    for doc_id in (200, 201, 202, 203):
+        r = got[doc_id]
+        assert replay[doc_id] == (
+            r.n_sentences, r.n_spans, r.n_dropped_spans,
+            r.n_kept_sentences, r.kept_len, r.kept_checksum,
+        ), doc_id
+    # the explicit boundary claims, independent of the replay:
+    assert got[200].n_spans == 4 and got[200].n_dropped_spans == 3
+    # only sentence 0 survives: it is covered solely by span 0 (the kept
+    # first occurrence); every later sentence touches a dropped span
+    assert got[200].n_kept_sentences == 1
+    assert got[201].n_spans == 1 and got[201].n_dropped_spans == 0
+    assert got[202].n_spans == 0 and got[202].n_kept_sentences == 2
+    assert got[203].n_sentences == 2 and got[203].n_spans == 0
+
+
 def test_ev19_under_cap_matches_uncapped_semantics(spark, duck):
     """On the shipped testdata no user approaches EV19_CAP, so the capped
     operator must emit n_overflow == 0 everywhere and otherwise behave as
