@@ -1807,3 +1807,117 @@ def mix03_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# cur09 — key-coherent pseudonymization audit (round 10). The PII family
+# had detection/redaction (tx10, cur06) but not the OTHER standard
+# treatment: replacing identifiers with deterministic pseudonyms so that
+# joins, grouping and referential integrity still work after the
+# transform (the GDPR art.4(5) shape every training-data platform needs
+# for user-keyed telemetry). The pseudonym here is a salted md5-48 —
+# the cross-engine-testable stand-in for production's keyed HMAC-SHA256
+# (swap the salt literal for the secret key; rotation = new salt, and
+# the audit below is exactly what a rotation job re-runs).
+CUR09_SALT = "cur09salt"
+
+
+def _cur09_pseudo_sql(id_sql: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{CUR09_SALT}:' || CAST({id_sql} AS STRING)),"
+        " 1, 12)) AS BIGINT)"
+    )
+
+
+@query(
+    "cur09_pseudonymize_ids",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id AS id, 1 AS he, 0 AS hc FROM events
+        UNION ALL
+        SELECT c_custkey AS id, 0 AS he, 1 AS hc FROM customer
+    ),
+    per_id AS (
+        SELECT id, MAX(he) AS he, MAX(hc) AS hc,
+               {_cur09_pseudo_sql("id")} AS p
+        FROM tagged GROUP BY id
+    )
+    SELECT SUM(he)::BIGINT AS n_event_users,
+           SUM(hc)::BIGINT AS n_customers,
+           SUM(CASE WHEN he = 1 AND hc = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_overlap,
+           COUNT(*)::BIGINT AS n_union_ids,
+           COUNT(DISTINCT p)::BIGINT AS n_union_pseudos,
+           (COUNT(*) = COUNT(DISTINCT p)) AS injective,
+           COALESCE(SUM(CASE WHEN id < 100 THEN p END), 0)::BIGINT
+               AS mapping_checksum
+    FROM per_id
+    """,
+)
+def cur09_pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization audit across the user-keyed tables: every
+    distinct id from events.user_id and customer.c_custkey maps to its
+    salted-hash pseudonym, and ONE row reports what a privacy review
+    needs — per-side distinct-id counts, the raw-key overlap (the
+    referential edge dq05 verifies), whether the pseudonym map is
+    INJECTIVE on the union key domain (count == count distinct of
+    pseudonyms: if yes, every join/group cardinality is provably
+    preserved under the transform, no second join needed), and a
+    checksum over the low-id pseudonyms that pins the MAPPING itself in
+    the driver hash (a salt change or hash-slice drift flips it).
+
+    Plan shape: one scan per table collapsing immediately to distinct
+    ids (map-side combined), one union-key exchange for the per-id
+    fold, one 1-row summary agg. Ids and 8-byte pseudonyms are the only
+    things shuffled. At 100 TB this IS the pseudonymization dry-run:
+    the same per-id relation, written out as the translation table,
+    with injectivity verified BEFORE any fact table is rewritten —
+    collisions caught here cost a salt bump, collisions caught after a
+    rewrite cost the corpus. Production swaps the md5-48 for keyed
+    HMAC-SHA256 (same plan; Spark-side via sha2 over key||id or a
+    secret-holding UDF at the security boundary)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("id"))
+        .withColumn("he", F.lit(1))
+        .withColumn("hc", F.lit(0))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("id"))
+        .withColumn("he", F.lit(0))
+        .withColumn("hc", F.lit(1))
+    )
+    pseudo = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(CUR09_SALT + ":"), F.col("id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    per_id = (
+        e.unionByName(c)
+        .groupBy("id")
+        .agg(F.max("he").alias("he"), F.max("hc").alias("hc"))
+        .withColumn("p", pseudo)
+    )
+    return per_id.agg(
+        F.sum("he").cast("bigint").alias("n_event_users"),
+        F.sum("hc").cast("bigint").alias("n_customers"),
+        F.sum(((F.col("he") == 1) & (F.col("hc") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("n_overlap"),
+        F.count("*").cast("bigint").alias("n_union_ids"),
+        F.count_distinct("p").cast("bigint").alias("n_union_pseudos"),
+        (F.count("*") == F.count_distinct("p")).alias("injective"),
+        F.coalesce(
+            F.sum(F.when(F.col("id") < 100, F.col("p"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("mapping_checksum"),
+    )

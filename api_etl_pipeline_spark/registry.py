@@ -116,19 +116,20 @@ def _load_all() -> None:
 #      fresh driver row: dd19 (span-level exact dedup, C4's
 #      three-sentence rule), dq09 (sampled/sketched FD profile — the
 #      production-scale companion to dq08), st17 (dd19's live streaming
-#      twin: span keep-first against standing per-hash GroupState), and
-#      ev19 (journey patterns, reworked with the bounded-history guard
-#      the round-9 verdict ordered). Names listed here before the op
-#      lands are skipped by _rotated until registered.
+#      twin: span keep-first against standing per-hash GroupState),
+#      cur09 (key-coherent pseudonymization audit) and ev19 (journey
+#      patterns, reworked with the bounded-history guard the round-9
+#      verdict ordered). Names listed here before the op lands are
+#      skipped by _rotated until registered.
 #   3. freshness fill from the r5 tail (50 queries), oldest evidence
 #      first: st01-st05 (the streaming-semantics driver evidence the
-#      verdict explicitly queued) and qsql01-qsql08 (the shared-SQL
+#      verdict explicitly queued) and qsql01-qsql07 (the shared-SQL
 #      surface). ing05 (fresh, r8) rides along because the ingest block
-#      is contiguous. The 37 r5 leftovers (qsql09, x13, tx01-tx16,
-#      cur01, chunk01, dd11, dd12, decon01, decon02, ev13, llm01-llm03,
-#      mix01, pack01, pack02, samp01-samp04, shuf01, st08) lead the
-#      round-11 fill from positions 51+.
-# 33 + 4 + 13 = 50 exactly. Nothing is removed — every query stays
+#      is contiguous. The 38 r5 leftovers (qsql08, qsql09, x13,
+#      tx01-tx16, cur01, chunk01, dd11, dd12, decon01, decon02, ev13,
+#      llm01-llm03, mix01, pack01, pack02, samp01-samp04, shuf01, st08)
+#      lead the round-11 fill from positions 51+.
+# 33 + 5 + 12 = 50 exactly. Nothing is removed — every query stays
 # registered and the pytest mirror in tests/test_queries_oracle.py still
 # covers all.
 _DRIVER_SAMPLE_PREFIX = [
@@ -136,12 +137,12 @@ _DRIVER_SAMPLE_PREFIX = [
     *[f"ing{i:02d}" for i in range(1, 21)],
     "dd08",
     "sim01", "sim02", "sim03", "sim04", "sim05", "sim07", "sim08",
-    "dd19", "dq09", "st17", "ev19",
+    "dd19", "dq09", "st17", "cur09", "ev19",
     "st01", "st02", "st03", "st04", "st05",
-    *[f"qsql{i:02d}" for i in range(1, 9)],
-    # round-11 fill queue (r5 tail leftovers): qsql09, x13, tx01-tx16,
-    # cur01, chunk01, dd11, dd12, decon01, decon02, ev13, llm01-llm03,
-    # mix01, pack01, pack02, samp01-samp04, shuf01, st08
+    *[f"qsql{i:02d}" for i in range(1, 8)],
+    # round-11 fill queue (r5 tail leftovers): qsql08, qsql09, x13,
+    # tx01-tx16, cur01, chunk01, dd11, dd12, decon01, decon02, ev13,
+    # llm01-llm03, mix01, pack01, pack02, samp01-samp04, shuf01, st08
 ]
 
 

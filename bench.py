@@ -225,6 +225,7 @@ OPTIONAL = [
     # round 10
     "dq09_fd_profile_sampled",  # bottom-K group-sampled FD profile (dq08's 100 TB form)
     "dd19_span_dedup",  # C4 three-sentence-span exact dedup, kept-text checksums
+    "cur09_pseudonymize_ids",  # key-coherent pseudonymization audit, injectivity-verified
 ]
 
 

@@ -296,6 +296,39 @@ def test_dd19_boundary_semantics(spark, tmp_path):
     assert got[203].n_sentences == 2 and got[203].n_spans == 0
 
 
+def test_cur09_pseudonym_mapping_and_invariants(spark):
+    """The pseudonym function must be exactly salted-md5-48 (pinned by
+    hand-computing id 1's pseudonym into the mapping checksum's
+    domain), the map must be injective on this corpus (the audit's own
+    verdict), and the overlap can't exceed either side."""
+    from api_etl_pipeline_spark.llm_ops.curation import CUR09_SALT
+
+    row = all_queries()["cur09_pseudonymize_ids"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row.injective
+    assert row.n_union_pseudos == row.n_union_ids
+    assert row.n_overlap <= min(row.n_event_users, row.n_customers)
+    # recompute the mapping checksum in plain Python over the same key
+    # domain: ids < 100 present in either table
+    import duckdb
+
+    ids = [
+        r[0]
+        for r in duckdb.connect().execute(
+            "SELECT DISTINCT id FROM ("
+            "SELECT user_id AS id FROM '/root/testdata/sf0.001/events.parquet' "
+            "UNION ALL SELECT c_custkey FROM "
+            "'/root/testdata/sf0.001/customer.parquet') WHERE id < 100"
+        ).fetchall()
+    ]
+    expect = sum(
+        int(hashlib.md5(f"{CUR09_SALT}:{i}".encode()).hexdigest()[:12], 16)
+        for i in ids
+    )
+    assert row.mapping_checksum == expect
+
+
 def test_ev19_under_cap_matches_uncapped_semantics(spark, duck):
     """On the shipped testdata no user approaches EV19_CAP, so the capped
     operator must emit n_overflow == 0 everywhere and otherwise behave as

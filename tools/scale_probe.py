@@ -115,6 +115,7 @@ QUERIES = [
     "dd18_prefix_filter_join",  # round-9: prefix join must stay candidate-bounded under rarest-first order
     "dq09_fd_profile_sampled",  # round-10: bottom-K sample must pin the profile aggs at any volume
     "dd19_span_dedup",  # round-10: span-hash shuffle is the one corpus-scale exchange; text never shuffles
+    "cur09_pseudonymize_ids",  # round-10: distinct-id fold + 1-row audit; only ids/pseudonyms shuffle
 ]
 
 
