@@ -337,3 +337,47 @@ def test_ev19_under_cap_matches_uncapped_semantics(spark, duck):
     spec = all_queries()["ev19_journey_patterns"]
     rows = spec.fn(spark, SF_DIR).collect()
     assert rows and all(r.n_overflow == 0 for r in rows)
+
+
+def test_dd19_oracle_property_random_corpora(tmp_path):
+    """Property check of the ORACLE itself (the driver's ground truth)
+    against the independent Python replay, no Spark in the loop:
+    random small-vocab corpora — the hostile regime where 30-word span
+    collisions are common — must agree doc-for-doc. Deterministic seeds
+    so the test is reproducible; small vocab sizes force within-doc and
+    cross-doc duplicate spans, partial tail blocks, and sub-span docs."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from api_etl_pipeline_spark.registry import all_queries
+
+    oracle = all_queries()["dd19_span_dedup"].oracle
+    for seed in range(6):
+        rng = random.Random(seed)
+        vocab = [f"t{k}" for k in range(rng.choice([2, 3, 8]))]
+        docs = []
+        # straddle the injection boundaries: some corpora sit in the A
+        # range (< 50), some across A/B (45..), some past B (95..)
+        base_id = rng.choice([0, 45, 95])
+        for doc_id in range(base_id, base_id + rng.randint(3, 12)):
+            n = rng.randint(1, 75)
+            docs.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+        pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+        pdf["lang"] = "en"
+        pdf["source"] = "t"
+        pdf["n_chars"] = pdf["text"].str.len()
+        d = tmp_path / f"p{seed}"
+        d.mkdir()
+        pdf.to_parquet(d / "documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+        )
+        got = {
+            r[0]: tuple(r[1:])
+            for r in con.execute(oracle).fetchall()
+        }
+        expected = _dd19_python_replay(docs)
+        assert got == expected, f"seed {seed}"
