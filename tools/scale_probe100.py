@@ -143,6 +143,14 @@ QUERIES = [
     # re-vocabularied replicas keep natural repeats replica-local, so
     # the window measures hash-shuffle scaling, not clone enumeration.
     "dd19_span_dedup",
+    # round 10: the pseudonymization audit is O(distinct ids) by
+    # design — both events and customer replicate with shifted keys,
+    # so the union-id domain genuinely grows 100x.
+    "cur09_pseudonymize_ids",
+    # round 10: ev19 re-probed at the second decade after the
+    # EV19_CAP guard — 100x users at constant journey length, the
+    # production growth mode; the guard must add no exchange.
+    "ev19_journey_patterns",
 ]
 
 
