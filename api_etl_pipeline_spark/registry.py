@@ -103,46 +103,40 @@ def _load_all() -> None:
 
 
 # Driver-coverage rotation. The driver's per-round correctness gate samples
-# the FIRST 50 entries of queries() in dict order. This round-10 prefix (per
-# the round-9 verdict task 1) front-loads, in order:
-#   1. ALL 32 queries whose latest driver row is still round 4 — the last
-#      pre-r5 tail in the registry: w07-w11, ing01-ing04, ing06-ing20
-#      (ing05 does not exist; the ing numbering skips it), dd08, and
-#      sim01-sim05/sim07/sim08. After this round no registered query's
-#      newest driver row predates r5, and the freshness-floor gate leg
-#      (tools/round_close.py) enforces that invariant mechanically from
-#      now on.
-#   2. the round-10 additions / code-changed queries that need a first or
-#      fresh driver row: dd19 (span-level exact dedup, C4's
-#      three-sentence rule), dq09 (sampled/sketched FD profile — the
-#      production-scale companion to dq08), st17 (dd19's live streaming
-#      twin: span keep-first against standing per-hash GroupState),
-#      cur09 (key-coherent pseudonymization audit) and ev19 (journey
-#      patterns, reworked with the bounded-history guard the round-9
-#      verdict ordered). Names listed here before the op lands are
-#      skipped by _rotated until registered.
-#   3. freshness fill from the r5 tail (50 queries), oldest evidence
-#      first: st01-st05 (the streaming-semantics driver evidence the
-#      verdict explicitly queued) and qsql01-qsql07 (the shared-SQL
-#      surface). ing05 (fresh, r8) rides along because the ingest block
-#      is contiguous. The 38 r5 leftovers (qsql08, qsql09, x13,
+# the FIRST 50 entries of queries() in dict order. This round-11 prefix (per
+# the round-10 verdict tasks 1+2) front-loads, in order:
+#   1. ALL 38 queries whose latest driver row is still round 5 — the
+#      oldest cohort left in the registry: qsql08, qsql09, x13,
 #      tx01-tx16, cur01, chunk01, dd11, dd12, decon01, decon02, ev13,
-#      llm01-llm03, mix01, pack01, pack02, samp01-samp04, shuf01, st08)
-#      lead the round-11 fill from positions 51+.
-# 33 + 5 + 12 = 50 exactly. Nothing is removed — every query stays
-# registered and the pytest mirror in tests/test_queries_oracle.py still
-# covers all.
+#      llm01-llm03, mix01, pack01, pack02, samp01-samp04, shuf01, st08.
+#      The freshness-floor gate leg (tools/round_close.py) fails at the
+#      r11 close unless every one of these sits in the prefix.
+#   2. the round-11 additions needing a FIRST driver row: ing22
+#      (reconcile-by-hash — T5's driver-oracle query, the last §2 row
+#      that was pytest-only), dd20 (production-k SemDeDup: cell-size-
+#      bounded codebook, dd15's verdict machinery), dd21 (cross-doc
+#      arbitrary-offset substring dedup — Lee et al. 2022 semantics on
+#      dd19's machinery). Names listed here before the op lands are
+#      skipped by _rotated until registered.
+#   3. r12-crunch stagger (round-10 verdict task 2): the r6 cohort is 48
+#      names and ALL of them hit the freshness floor at r12; pulling 9
+#      forward now (hh01, q52, x26, ev15, gr01, gr02, gr03, dq01, dq02 —
+#      first-registered order within the cohort) leaves the r12 fill
+#      queue at 39 names, which fits the 50-slot prefix with room for
+#      r12's own new ops.
+# 38 + 3 + 9 = 50 exactly. The r12 fill queue (remaining r6 cohort, 39):
+# x14-x21, x23, q39-q50, samp05, sim06, sim09, sim10, tx17, tx18, tx19,
+# mm01-mm06, ret01, st06, st07, st09, st10. Nothing is removed — every
+# query stays registered and the pytest mirror in
+# tests/test_queries_oracle.py still covers all 280.
 _DRIVER_SAMPLE_PREFIX = [
-    *[f"w{i:02d}" for i in range(7, 12)],
-    *[f"ing{i:02d}" for i in range(1, 21)],
-    "dd08",
-    "sim01", "sim02", "sim03", "sim04", "sim05", "sim07", "sim08",
-    "dd19", "dq09", "st17", "cur09", "ev19",
-    "st01", "st02", "st03", "st04", "st05",
-    *[f"qsql{i:02d}" for i in range(1, 8)],
-    # round-11 fill queue (r5 tail leftovers): qsql08, qsql09, x13,
-    # tx01-tx16, cur01, chunk01, dd11, dd12, decon01, decon02, ev13,
-    # llm01-llm03, mix01, pack01, pack02, samp01-samp04, shuf01, st08
+    "qsql08", "qsql09", "x13",
+    *[f"tx{i:02d}" for i in range(1, 17)],
+    "cur01", "chunk01", "dd11", "dd12", "decon01", "decon02", "ev13",
+    "llm01", "llm02", "llm03", "mix01", "pack01", "pack02",
+    "samp01", "samp02", "samp03", "samp04", "shuf01", "st08",
+    "ing22", "dd20", "dd21",
+    "hh01", "q52", "x26", "ev15", "gr01", "gr02", "gr03", "dq01", "dq02",
 ]
 
 

@@ -824,9 +824,17 @@ def st15_journey_patterns_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         journey, n_overflow = state.get if state.exists else ("", 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            chars = "".join(char_of.get(t, "x") for t in pdf["event_type"])
+        # Accumulate ALL Arrow chunks before sorting (round-10 advice):
+        # a group larger than maxRecordsPerBatch arrives as several
+        # chunks whose concatenation is NOT (ts, event_id)-ordered, so a
+        # per-chunk sort-and-append could cap the wrong prefix. One sort
+        # over the whole micro-batch arrival keeps the cap order-correct
+        # regardless of chunking.
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            chars = "".join(char_of.get(t, "x") for t in batch["event_type"])
             room = EV19_CAP - len(journey)
             journey += chars[:room] if room > 0 else ""
             n_overflow += max(0, len(chars) - max(0, room))

@@ -198,6 +198,15 @@ def leg_driver_freshness() -> dict:
     - _FRESHNESS_MAX_AGE). Queries with NO driver row at all (new ops)
     must sit in the prefix. Stale-but-prefixed queries are reported as
     the round's refresh set, not failures.
+
+    Expected red window at every round boundary (round-10 advice): when
+    CORRECTNESS_r{N}.json lands, `ref` advances to N and the N-4 cohort
+    newly crosses the floor — the leg is EXPECTED to fail until the round-
+    (N+1) prefix rotation is committed, because `ref` is the newest driver
+    round while the on-disk prefix is still the round-N curation. A red
+    gate on the first run after a driver round completes is the rotation
+    reminder working, not a regression; it must be green again on the
+    final tree of the round (after the prefix in registry.py is rotated).
     """
     t0 = time.perf_counter()
     sys.path.insert(0, str(REPO))

@@ -81,6 +81,17 @@ _LEGACY_R8_KEY_SHIFT = {
     "documents": ["doc_id"],
 }
 
+# The EXPLICIT set of tables a legacy (pre-per-table-marker) build can
+# have materialized: the four r8-replicated tables plus the r8-era
+# verbatim dims (round-10 advice). A table added to TABLES in a later
+# round is never in this set, so the legacy branch can't seed a marker
+# for data that was never built — it falls through to a fresh build at
+# build time instead of failing with missing parquet at probe time.
+_LEGACY_R8_TABLES = frozenset(
+    {"lineitem", "orders", "customer", "documents",
+     "region", "nation", "supplier", "part"}
+)
+
 QUERIES = [
     "q18_multiway_join",
     "dd04_minhash_lsh_pairs",
@@ -168,10 +179,7 @@ def build_100x(spark) -> float:
         marker = Path(OUT) / f"_READY_{name}"
         if marker.exists() and marker.read_text() == spec:
             continue
-        if legacy.exists() and not marker.exists() and name not in (
-            "events",
-            "embeddings",
-        ):
+        if legacy.exists() and not marker.exists() and name in _LEGACY_R8_TABLES:
             # data on disk predates per-table markers; it was built under
             # the FROZEN round-8 spec, so seed the marker with that spec
             # (not the live one). If the live spec has since diverged the
