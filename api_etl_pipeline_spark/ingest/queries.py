@@ -907,3 +907,86 @@ def ing21_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("r.id").cast("bigint").alias("min_id"),
         F.max("r.id").cast("bigint").alias("max_id"),
     )
+
+
+@query(
+    "ing22_reconcile_by_hash",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               printf('https://corpus.example/%s/%d', source, doc_id) AS source_url,
+               text
+        FROM documents
+    ), existing AS (
+        SELECT doc_id, source_url, sha256(text) AS sha256, 'v1' AS rev
+        FROM keyed WHERE doc_id % 5 <> 4
+    ), fresh AS (
+        SELECT doc_id, source_url,
+               sha256(CASE WHEN doc_id % 8 = 0 THEN text || ' rev2'
+                           ELSE text END) AS sha256,
+               'v2' AS rev
+        FROM keyed WHERE doc_id % 4 = 0
+    ), changed AS (
+        SELECT f.doc_id, f.source_url, f.sha256, f.rev
+        FROM fresh f LEFT JOIN existing e USING (source_url)
+        WHERE e.sha256 IS NULL OR f.sha256 <> e.sha256
+    )
+    SELECT e.doc_id, e.source_url, e.sha256, e.rev
+    FROM existing e
+    WHERE NOT EXISTS (SELECT 1 FROM changed c WHERE c.source_url = e.source_url)
+    UNION ALL
+    SELECT doc_id, source_url, sha256, rev FROM changed
+    """,
+)
+def ing22_reconcile_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: the weekly-archive-rebuild reconciliation re-ingest (reference
+    spec docs/Golden_Record_API_Dossiers.md:245-252) as a driver-oracle
+    query — the last SURVEY §2 row that was verified only by pytest.
+    Runs the EXACT production helper (ingest/dedup.py:85
+    ``reconcile_by_hash``): re-read a window of the archive, compare
+    content hashes, and upsert ONLY rows whose hash changed or whose key
+    is new; unchanged re-reads are dropped before the merge, which is
+    the whole point of hash-reconciliation (idempotent re-ingest writes
+    nothing when nothing changed).
+
+    Derived differential setting: the standing archive is every doc with
+    doc_id % 5 != 4 (rev 'v1'); the re-read window is doc_id % 4 == 0,
+    where doc_id % 8 == 0 rows carry CHANGED text (' rev2' suffix → new
+    sha256) and doc_id ≡ 4 (mod 20) rows are NEW keys the archive never
+    stored. The merged output therefore exercises all three classes —
+    update (changed hash wins, rev 'v2'), insert (new key, rev 'v2'),
+    keep (everything else stays 'v1') — and the driver hash pins exactly
+    which rows were replaced.
+
+    Scale shape: the hash-compare left join and the merge anti-join both
+    shuffle on source_url carrying (key, 64-hex hash, rev) projections
+    only — text never shuffles (hashes are computed in the scan stage).
+    At 100 TB the re-read window is a partition-pruned slice of the
+    archive, the changed subset is what a production job writes, and the
+    merge is ing19's MERGE class (non-transactional on plain parquet,
+    SURVEY §7.4)."""
+    from api_etl_pipeline_spark.ingest.dedup import reconcile_by_hash
+
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string(
+            "https://corpus.example/%s/%d", F.col("source"), F.col("doc_id")
+        ).alias("source_url"),
+        "text",
+    )
+    existing = keyed.filter(F.col("doc_id") % 5 != 4).select(
+        "doc_id",
+        "source_url",
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256"),
+        F.lit("v1").alias("rev"),
+    )
+    fresh_text = F.when(
+        F.col("doc_id") % 8 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    fresh = keyed.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        "source_url",
+        F.sha2(fresh_text.cast("binary"), 256).alias("sha256"),
+        F.lit("v2").alias("rev"),
+    )
+    return reconcile_by_hash(existing, fresh, keys=("source_url",))

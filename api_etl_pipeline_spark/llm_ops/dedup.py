@@ -1956,3 +1956,238 @@ def dd19_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("span_idx")).alias("didx"))
     )
     return dd19_stats(narrow, dropped)
+
+
+# dd21 — arbitrary-offset cross-doc substring dedup (round-10 verdict
+# task 5): the Lee-et-al-2022 EXACTSUBSTR rule ("Deduplicating Training
+# Data Makes Language Models Better", arXiv 2107.06499 — public method)
+# at the granularity the family lacked. dd01 dedups whole docs, dd12
+# fixed segments, dd19 sentence-ALIGNED spans, dd11 within-doc repeats;
+# the Lee rule is "any >=N-token window seen ANYWHERE before, at ANY
+# offset" — suffix-array semantics, realized here (as in the paper's
+# hash-based variant) as stride-1 sliding token-window hashes with a
+# global keep-first, composing dd19's machinery with window stride 1
+# instead of sentence alignment. N is 50 tokens in the paper; scaled to
+# DD21_WIN=12 for the 10-100-word synthetic docs so the rule has bite.
+#
+# Duplicate substrings are INJECTED at a deliberately UNALIGNED offset
+# (the dd16/dd19 derived-corpus device): for doc_id < DD21_INJECT the
+# corpus gains a replica (doc_id + 3e6) of shape
+#   [4 doc-unique prefix words] ++ words[OFF+1 .. OFF+CHUNK] ++
+#   [4 doc-unique suffix words]
+# with OFF=7 — NOT a multiple of any sentence/segment width, so dd12 and
+# dd19 would both MISS these (the copied region never aligns with their
+# boundaries) while the stride-1 windows catch every fully-interior one.
+# Windows straddling the prefix/chunk or chunk/suffix seams contain
+# doc-unique words and stay novel — partial-removal within the replica.
+# A token dies iff ANY covering dropped window covers it — the paper's
+# removal footprint, byte-pinned by kept-token checksums and a
+# plain-Python third-engine replay (tests/test_round11_ops.py).
+DD21_WIN = 12
+DD21_INJECT = 60
+DD21_OFF = 7
+DD21_CHUNK = 30
+_DD21_OFFSET_ID = 3_000_000
+
+
+def _dd21_oracle() -> str:
+    W, A = DD21_WIN, DD21_INJECT
+    OFF, CH = DD21_OFF, DD21_CHUNK
+    return f"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS words
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, words FROM base
+        UNION ALL
+        SELECT doc_id + {_DD21_OFFSET_ID} AS doc_id,
+               list_concat(
+                   list_concat(
+                       list_transform(range(4),
+                           j -> 'pq' || CAST(doc_id AS STRING)
+                                || 'a' || CAST(j AS STRING)),
+                       words[{OFF} + 1 : {OFF} + {CH}]),
+                   list_transform(range(4),
+                       j -> 'pq' || CAST(doc_id AS STRING)
+                            || 'b' || CAST(j AS STRING))) AS words
+        FROM base WHERE doc_id < {A}
+    ),
+    narrow AS (
+        SELECT doc_id,
+               len(words) AS n_tok,
+               list_transform(words,
+                   w -> CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT))
+                   AS tok_hash,
+               list_transform(words, w -> length(w)) AS tok_len,
+               list_transform(range(GREATEST(0, len(words) - {W} + 1)),
+                   i -> CAST(('0x' || substr(md5(array_to_string(
+                            words[i + 1 : i + {W}], ' ')), 1, 12))
+                        AS BIGINT)) AS win_hash
+        FROM corpus
+    ),
+    wins AS (
+        SELECT n.doc_id, t.u.i::BIGINT AS win_idx, t.u.h AS h,
+               row_number() OVER (PARTITION BY t.u.h
+                                  ORDER BY n.doc_id, t.u.i) AS rn
+        FROM narrow n,
+             UNNEST(list_transform(range(len(n.win_hash)),
+                    i -> struct_pack(i := i, h := n.win_hash[i+1]))) AS t(u)
+    ),
+    dropped AS (
+        SELECT doc_id, list_sort(list(win_idx)) AS didx
+        FROM wins WHERE rn > 1 GROUP BY doc_id
+    )
+    SELECT n.doc_id,
+           n.n_tok::BIGINT AS n_tokens,
+           len(n.win_hash)::BIGINT AS n_windows,
+           COALESCE(len(n.didx), 0)::BIGINT AS n_dropped_windows,
+           len(kept)::BIGINT AS n_kept_tokens,
+           COALESCE(list_sum(list_transform(kept,
+               t -> n.tok_len[t+1])), 0)::BIGINT AS kept_len,
+           COALESCE(list_sum(list_transform(kept,
+               t -> n.tok_hash[t+1])), 0)::BIGINT AS kept_checksum
+    FROM (
+        SELECT n.*, d.didx,
+               list_filter(range(n.n_tok),
+                   t -> len(list_filter(COALESCE(d.didx, []),
+                            x -> x >= t - {W} + 1 AND x <= t)) = 0) AS kept
+        FROM narrow n LEFT JOIN dropped d USING (doc_id)
+    ) n
+    """
+
+
+def dd21_narrow(docs: DataFrame) -> DataFrame:
+    """The stateless front of dd21: build the injected derived corpus and
+    collapse each doc to the NARROW per-doc relation (doc_id, n_tok,
+    tok_hash[], tok_len[], win_hash[]). Raw text dies inside this
+    projection — everything downstream moves bigint arrays."""
+    W = DD21_WIN
+    d = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("words")
+    )
+    fake = lambda tag: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda j: F.concat(
+            F.lit("pq"),
+            F.col("doc_id").cast("string"),
+            F.lit(tag),
+            j.cast("string"),
+        ),
+    )
+    # replica words are built in the SAME projection as the base doc_id
+    # column (the dd19 lambda-binding rule: the doc_id the fake-word
+    # lambdas see must be the ORIGINAL id; the +OFFSET id is applied in
+    # a separate later projection)
+    replicas = d.filter(F.col("doc_id") < DD21_INJECT).select(
+        "doc_id",
+        F.concat(
+            fake("a"),
+            F.slice(F.col("words"), DD21_OFF + 1, DD21_CHUNK),
+            fake("b"),
+        ).alias("words"),
+    ).select((F.col("doc_id") + _DD21_OFFSET_ID).alias("doc_id"), "words")
+    corpus = d.unionByName(replicas)
+    h48 = lambda s: F.conv(  # noqa: E731
+        F.substring(F.md5(s.cast("binary")), 1, 12), 16, 10
+    ).cast("bigint")
+    n_tok = F.size("words")
+    n_win = F.greatest(F.lit(0), n_tok - W + 1)
+    win_str = lambda i: F.array_join(F.slice(F.col("words"), i + 1, W), " ")  # noqa: E731
+    return corpus.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tok"),
+        F.transform(F.col("words"), lambda w: h48(w)).alias("tok_hash"),
+        F.transform(F.col("words"), lambda w: F.length(w).cast("bigint")).alias(
+            "tok_len"
+        ),
+        # sequence(0, -1) produces a DESCENDING ramp, not an empty array —
+        # guard the window list for docs shorter than one window (dd19's rule)
+        F.when(
+            n_win > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_win.cast("int") - 1),
+                lambda i: h48(win_str(i)),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("win_hash"),
+    )
+
+
+@query("dd21_substring_dedup", oracle=_dd21_oracle())
+def dd21_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc arbitrary-offset exact-substring dedup (Lee et al. 2022
+    semantics — see the block comment above): any DD21_WIN-token window
+    occurring anywhere earlier in the global (doc_id, win_idx) order is
+    a duplicate; a token is removed iff any covering window is a
+    non-first duplicate. Per document: token/window counts, dropped
+    windows, surviving tokens, and the kept-TEXT evidence — total kept
+    characters plus an order-free bigint checksum over the kept tokens'
+    md5-48 hashes (dd19's kept-output pattern: the checksum pins WHICH
+    text survived).
+
+    Plan shape (text never shuffles — dd19's cost model at stride 1):
+    ONE documents scan feeds the replica injection and collapses
+    immediately to the narrow per-doc relation (dd21_narrow,
+    checkpointed once for its two consumers). The stride-1 keep-first
+    is a window over (win_hash) carrying only (doc_id, idx, hash)
+    triples; the removal footprint returns as a per-doc sorted idx
+    array left-joined back to the narrow relation, where higher-order
+    functions fold the kept stats JVM-side. At 100 TB the one
+    corpus-scale exchange moves 16-byte triples at W× the dd19 volume
+    (stride 1 vs sentence stride — the paper's own cost model: the
+    suffix-array/window pass is linear in total tokens); raw text
+    never leaves its scan stage.
+
+    Reference lineage: Lee et al. 2022 §4 (EXACTSUBSTR); cross-check
+    dd19 (sentence-aligned spans), dd12 (fixed segments), dd11
+    (within-doc winnowed repeats) for the neighboring granularities."""
+    W = DD21_WIN
+    narrow = lazy_checkpoint(
+        dd21_narrow(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+    wins = narrow.select(
+        "doc_id", F.posexplode("win_hash").alias("win_idx", "h")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("h").orderBy("doc_id", "win_idx")
+        ),
+    )
+    dropped = (
+        wins.filter(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("win_idx")).alias("didx"))
+    )
+    joined = narrow.join(dropped, "doc_id", "left").withColumn(
+        "kept",
+        F.filter(
+            F.sequence(F.lit(0), F.col("n_tok") - 1),
+            lambda t: F.size(
+                F.filter(
+                    F.coalesce(F.col("didx"), F.array().cast("array<int>")),
+                    lambda x: (x >= t - W + 1) & (x <= t),
+                )
+            )
+            == 0,
+        ),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        F.col("kept"),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.element_at(F.col(arr), t + 1),
+    )
+    return joined.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        F.size("win_hash").cast("bigint").alias("n_windows"),
+        F.coalesce(F.size("didx"), F.lit(0)).cast("bigint").alias(
+            "n_dropped_windows"
+        ),
+        F.size("kept").cast("bigint").alias("n_kept_tokens"),
+        F.coalesce(fold("tok_len"), F.lit(0)).cast("bigint").alias("kept_len"),
+        F.coalesce(fold("tok_hash"), F.lit(0)).cast("bigint").alias(
+            "kept_checksum"
+        ),
+    )

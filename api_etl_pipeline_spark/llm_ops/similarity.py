@@ -190,9 +190,9 @@ def sim03_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_IVF_CENTROIDS = "SELECT vec_id AS cent_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8"
 
 
-def _centroid_array_lit(spark: SparkSession, sf_dir: str) -> Column:
-    """The 8 deterministic IVF centroids (first 8 vectors) as ONE literal
-    array<struct<cent_id, ce, cn>> column.
+def _centroid_array_lit(spark: SparkSession, sf_dir: str, k: int = 8) -> Column:
+    """The k deterministic IVF centroids (first k vectors, default 8) as
+    ONE literal array<struct<cent_id, ce, cn>> column.
 
     At any scale the IVF codebook is tiny (k centroids × dims — kilobytes),
     so the right plan is never a join: collect the codebook to the driver
@@ -210,7 +210,7 @@ def _centroid_array_lit(spark: SparkSession, sf_dir: str) -> Column:
     """
     rows = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 8)
+        .filter(F.col("vec_id") < k)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -488,8 +488,19 @@ def dd15_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-splits hot cells. Cosines are the sequential-fold dot shared
     bit-identically with DuckDB (sim01 convention) — no rounding, and
     the >= TAU / rank comparisons are exact IEEE on both engines."""
+    return _semdedup_prune_frame(spark, sf_dir, k=8)
+
+
+def _semdedup_prune_frame(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """The shared SemDeDup verdict machinery (dd15 with k=8, dd20 with
+    k ~ n/target): literal-codebook cell assignment (zero-shuffle narrow
+    pass), checkpointed once for both sides of the within-cell
+    left-semi-join, keep-farthest-from-centroid EXISTS rule, verdict
+    joined back on vec_id. ONLY k differs between the two registered
+    queries — the dq08/dq09 relationship, enforced by
+    tests/test_round11_ops.py's machinery-identity pin."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = _centroid_array_lit(spark, sf_dir)
+    cents = _centroid_array_lit(spark, sf_dir, k=k)
     base = e.select("vec_id", _dvec("embedding").alias("e")).withColumn(
         "qn", F.sqrt(_dot(F.col("e"), F.col("e")))
     )
@@ -531,6 +542,83 @@ def dd15_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("pr", F.lit(False)).alias("pruned"),
         )
     )
+
+
+# dd20 — the production-k SemDeDup variant (round-10 verdict task 3):
+# dd15's SCALE.md row names fixed k=8 the worst case (cell size ~ n/8
+# grows linearly, within-cell pairs quadratically) and states the
+# production bound — k ~ n/target_cell_size — without implementing it.
+# dd20 IS that bound: the codebook grows with the corpus so the EXPECTED
+# cell size is pinned at DD20_TARGET_CELL regardless of volume, bounding
+# within-cell pair work the way dd04's bands do (measured: max cell 42
+# at BOTH sf0.01/k=16 and sf0.1/k=63 on the synthetic corpus). The
+# verdict machinery is byte-for-byte dd15's (shared helper).
+DD20_TARGET_CELL = 32
+
+
+def _dd20_oracle() -> str:
+    return f"""
+    WITH kk AS (
+        SELECT CAST(CEIL(COUNT(*) / {DD20_TARGET_CELL}.0) AS BIGINT) AS k
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < (SELECT k FROM kk)
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    assigned AS (
+        SELECT vec_id, e, cent_id AS cell, c AS cos_to_cent FROM (
+            SELECT v.vec_id, v.e, cents.cent_id,
+                   {_duck_cosine('v.e', 'cents.ce')} AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_duck_cosine('v.e', 'cents.ce')} DESC,
+                                cents.cent_id ASC
+                   ) AS rn
+            FROM v CROSS JOIN cents
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cell, a.cos_to_cent,
+           EXISTS (
+               SELECT 1 FROM assigned b
+               WHERE b.cell = a.cell AND b.vec_id <> a.vec_id
+                 AND {_duck_cosine('a.e', 'b.e')} >= {DD15_TAU}
+                 AND (b.cos_to_cent < a.cos_to_cent
+                      OR (b.cos_to_cent = a.cos_to_cent
+                          AND b.vec_id < a.vec_id))
+           ) AS pruned
+    FROM assigned a
+    """
+
+
+@query("dd20_semdedup_production_k", oracle=_dd20_oracle())
+def dd20_semdedup_production_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning at the production codebook size: k =
+    ceil(n / DD20_TARGET_CELL) centroids instead of dd15's fixed 8, so
+    the expected cell size — and with it the within-cell pair count per
+    vector — is CONSTANT in corpus size (Abbas et al. 2023 run ~50k
+    clusters over LAION-440M for exactly this reason; the codebook at
+    that scale is tens of MB, still broadcast material). The verdict
+    machinery (keep-farthest-from-centroid EXISTS over ordered pairs,
+    DD15_TAU threshold) is dd15's own, via the shared helper — dd20 is
+    to dd15 what dq09 is to dq08: the corpus-size-bounded production
+    form of an op whose exact form is the worst case.
+
+    Plan shape: identical to dd15 — the corpus count (ONE driver-side
+    long, the bounded-metadata class) sizes the codebook literal, cell
+    assignment stays a zero-shuffle narrow pass, and the only
+    volume-proportional exchanges are the cell-keyed self-semi-join and
+    the verdict join on vec_id. What changes is the MATH of the
+    semi-join: per-cell pair work is ~DD20_TARGET_CELL per vector at any
+    volume (vs growing ~n/8 under dd15), which is the difference between
+    a 10x probe tracking the scan and dd15's measured 5.4x pair blow-up.
+    Bit-identity with the oracle: k is the same exact integer on both
+    sides (n < 2^53), centroid norms fold in the sequential order of
+    _dot (sim01 convention)."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = -(-n // DD20_TARGET_CELL)
+    return _semdedup_prune_frame(spark, sf_dir, k=k)
 
 
 @query(

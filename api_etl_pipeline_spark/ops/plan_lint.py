@@ -182,6 +182,16 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("ing18_bloom_dedup_insert", "SortAggregate"): (
         "same dropDuplicates batch-dedup as ing01 upstream of the bloom probe"
     ),
+    ("ing22_reconcile_by_hash", "SortAggregate"): (
+        "merge_upsert's dropDuplicates keeps wide string first() buffers "
+        "(not hash-mutable) — the ing01 class, on the changed-rows subset"
+    ),
+    ("ing22_reconcile_by_hash", "SortMergeJoin"): (
+        "static plan for the keep-leg anti-join on source_url before AQE "
+        "sees the changed-subset size; at runtime AQE flips it to BHJ "
+        "(changed rows are the small side by the idempotency design), and "
+        "archive-scale anti-joins legitimately SMJ — the ing19 MERGE class"
+    ),
     ("dd10_keep_best_dedup", "SortAggregate"): (
         "max_by struct argmax buffer is not hash-mutable; runs on the tiny "
         "post-clustering vertex set"
@@ -327,6 +337,8 @@ CHECKPOINTING_QUERIES = {
     "samp08_temporal_split",  # round 9: (day, user) composite feeds cutoff + labels + flags
     "dd18_prefix_filter_join",  # round 9: shingle sets feed rank + prefix + both verify sides
     "dd19_span_dedup",  # round 10: narrow span/sentence arrays feed keep-first + stats fold
+    "dd20_semdedup_production_k",  # round 11: dd15's assignment checkpoint, shared helper
+    "dd21_substring_dedup",  # round 11: narrow token/window arrays feed keep-first + stats fold
     "dq09_fd_profile_sampled",  # round 10: projected cols + hashes feed N bottom-K legs + profiles
     "st17_span_dedup_live",  # round 10: batch narrow relation feeds the stats fold twice
     "decon02_source_overlap",

@@ -174,6 +174,13 @@ def _scan_audit_allowlist() -> set[str]:
         #   probe-vs-corpus class; per-dim stats collected once as
         #   bounded metadata, the codebook-literal device)
         "sim14_sq8_topk",
+        # round 11: ing22 — archive/window/changed legs are mod-slices of
+        #   the one documents table ONLY in this differential setting (so
+        #   the oracle can restate all three); production reads the stored
+        #   archive and the re-read window from separate paths, one scan
+        #   each, and `changed` would be checkpointed (the cur03/inc01
+        #   differential-setting class)
+        "ing22_reconcile_by_hash",
     }
 
 
