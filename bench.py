@@ -226,14 +226,67 @@ OPTIONAL = [
     "dq09_fd_profile_sampled",  # bottom-K group-sampled FD profile (dq08's 100 TB form)
     "dd19_span_dedup",  # C4 three-sentence-span exact dedup, kept-text checksums
     "cur09_pseudonymize_ids",  # key-coherent pseudonymization audit, injectivity-verified
+    # round 11
+    "ing22_reconcile_by_hash",  # T5 reconciliation merge, hash-compare + anti-join
+    "dd20_semdedup_production_k",  # cell-size-bounded SemDeDup (dd15's 100 TB form)
+    "dd21_substring_dedup",  # Lee-2022 stride-1 exact-substring dedup, kept-text checksums
 ]
 
 
-def bench_set_manifest(registered: list[str], benched: set[str]) -> dict[str, str]:
+def current_round() -> int:
+    """The incoming round number = newest driver CORRECTNESS file + 1.
+    Deterministic from committed artifacts, so the rotation below is
+    reproducible for any checkout of a given round."""
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in Path(_REPO).glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"_r0*(\d+)$", p.stem))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+ROTATION_SIZE = 20
+
+
+def rotation_sample(registered: list[str], benched: set[str]) -> list[str]:
+    """Round-10 verdict task 6: the 124 micro-scale-exempt queries had no
+    perf signal of ANY kind — a plan-level regression in one (an
+    accidental extra exchange) stays invisible until it compounds. Each
+    round benches a rotating ~20-name sample of the micro-exempt class
+    at sf0.1 DESPITE the stage floor: the absolute walls are scheduling-
+    noise-dominated (which is why they stay out of the headline and the
+    main queries dict), but a >2x raw move on a rotated name is a cue to
+    diff its plan fingerprint. The window walks the sorted name list by
+    ROTATION_SIZE per round, so every micro query gets a recorded wall
+    at least once per ~6 rounds. Structurally-exempt classes (live
+    streaming, fixed-size fixtures, Arrow media decode) stay exempt —
+    their walls measure machinery, not plans, at any rotation."""
+    micro = sorted(
+        n
+        for n in registered
+        if n not in benched
+        and not n.endswith("_live")
+        and not n.startswith("ing21")
+        and n[:4] not in ("mm01", "mm02", "mm03", "mm04")
+    )
+    if not micro:
+        return []
+    start = ((current_round() - 1) * ROTATION_SIZE) % len(micro)
+    return [micro[(start + i) % len(micro)] for i in range(min(ROTATION_SIZE, len(micro)))]
+
+
+def bench_set_manifest(
+    registered: list[str], benched: set[str], rotation: set[str] | None = None
+) -> dict[str, str]:
     """Round-9 verdict task 4: the bench-exemption rule used to live in
     comments and session memory only. Enumerate EVERY registered query as
     "benched" or "exempt:<reason>" so BENCH_QUERIES.json is the committed
     membership artifact and 135-of-273 coverage stops being folklore.
+    Round-11: micro-exempt names sampled by this round's rotation are
+    marked "benched:rotation" (timed in queries_rotation, outside the
+    headline).
 
     Exemption classes:
     - live-streaming runs (``*_live``): their wall measures Structured
@@ -253,6 +306,8 @@ def bench_set_manifest(registered: list[str], benched: set[str]) -> dict[str, st
     for n in registered:
         if n in benched:
             out[n] = "benched"
+        elif rotation and n in rotation:
+            out[n] = "benched:rotation"
         elif n.endswith("_live"):
             out[n] = (
                 "exempt:live-streaming run — wall is micro-batch machinery, "
@@ -426,8 +481,8 @@ def main() -> None:
     # phantom 2x regressions (round-3 verdict) that re-measurement quiet
     # could not reproduce.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    timings: dict[str, float] = {}
-    for name in names:
+
+    def time_one(name: str) -> float:
         best = None
         for _ in range(runs):
             df = specs[name].fn(spark, bench_dir)
@@ -435,7 +490,14 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    timings: dict[str, float] = {name: time_one(name) for name in names}
+
+    # round-11: rotating micro-exempt sample — timed, recorded separately
+    # from the headline so `value` stays round-over-round comparable
+    rotation = rotation_sample(list(specs), set(timings))
+    timings_rotation = {name: time_one(name) for name in rotation}
 
     calib = cpu_calibration()
     calib_par = cpu_calibration_parallel(cpus)
@@ -496,9 +558,15 @@ def main() -> None:
             n: round(max(0.0, t - stage_floor) / calib_par, 2)
             for n, t in timings.items()
         },
+        # round-11: the rotating micro-sample walls + which round's window
+        # this is (current_round is derived from committed driver files)
+        "rotation_round": current_round(),
+        "queries_rotation": timings_rotation,
         # round-10: committed membership manifest — every registered query
         # enumerated as benched|exempt:<reason> (round-9 verdict task 4)
-        "bench_set": bench_set_manifest(list(specs), set(timings)),
+        "bench_set": bench_set_manifest(
+            list(specs), set(timings), set(timings_rotation)
+        ),
     }
     # Per-query timings go to a FILE plus an early stdout line; the driver
     # captures only a ~2 KB stdout tail, and round 4's single full-dict line
@@ -514,11 +582,21 @@ def main() -> None:
     compact = {
         k: v
         for k, v in full.items()
-        if k not in ("queries", "queries_calibrated", "queries_calibrated2", "bench_set")
+        if k
+        not in (
+            "queries",
+            "queries_calibrated",
+            "queries_calibrated2",
+            "queries_rotation",
+            "bench_set",
+        )
     }
     compact["n_queries"] = len(timings)
+    compact["n_rotation"] = len(timings_rotation)
     compact["n_registered"] = len(specs)
-    compact["n_exempt"] = sum(1 for v in full["bench_set"].values() if v != "benched")
+    compact["n_exempt"] = sum(
+        1 for v in full["bench_set"].values() if v.startswith("exempt")
+    )
     compact["queries_file"] = str(queries_file)
     print(json.dumps(compact))
 

@@ -116,6 +116,9 @@ QUERIES = [
     "dq09_fd_profile_sampled",  # round-10: bottom-K sample must pin the profile aggs at any volume
     "dd19_span_dedup",  # round-10: span-hash shuffle is the one corpus-scale exchange; text never shuffles
     "cur09_pseudonymize_ids",  # round-10: distinct-id fold + 1-row audit; only ids/pseudonyms shuffle
+    "ing22_reconcile_by_hash",  # round-11: hash-compare + merge joins move (key, hash) only
+    "dd20_semdedup_production_k",  # round-11: k grows with n — within-cell pairs must stay bounded
+    "dd21_substring_dedup",  # round-11: dd19's triple shuffle at stride 1 — linear in tokens
 ]
 
 
