@@ -511,6 +511,14 @@ def _semdedup_prune_frame(spark: SparkSession, sf_dir: str, k: int) -> DataFrame
         best["cent_id"].alias("cell"),
         (-best["negcos"] + F.lit(0.0)).alias("cos_to_cent"),
     )
+    return _semdedup_verdict(assigned)
+
+
+def _semdedup_verdict(assigned: DataFrame) -> DataFrame:
+    """The SemDeDup verdict tail shared by dd15/dd20/dd22: given
+    (vec_id, e, cell, cos_to_cent), checkpoint once, run the within-cell
+    keep-farthest-from-centroid EXISTS semi-join, and join the verdict
+    back on vec_id."""
     from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
 
     # both sides of the within-cell semi-join consume the assignment —
@@ -619,6 +627,176 @@ def dd20_semdedup_production_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "embeddings").count()
     k = -(-n // DD20_TARGET_CELL)
     return _semdedup_prune_frame(spark, sf_dir, k=k)
+
+
+def _dd22_oracle() -> str:
+    t = DD20_TARGET_CELL
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    kk AS (
+        SELECT CAST(CEIL(n / {t}.0) AS BIGINT) AS k2,
+               CAST(CEIL(SQRT(CEIL(n / {t}.0))) AS BIGINT) AS k1
+        FROM nn
+    ),
+    fine AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+        FROM embeddings WHERE vec_id < (SELECT k2 FROM kk)
+    ),
+    sup AS (SELECT cid, ce FROM fine WHERE cid < (SELECT k1 FROM kk)),
+    fgrp AS (
+        SELECT cid, sid FROM (
+            SELECT f.cid, s.cid AS sid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY f.cid
+                       ORDER BY {_duck_cosine('f.ce', 's.ce')} DESC, s.cid ASC
+                   ) AS rn
+            FROM fine f CROSS JOIN sup s
+        ) WHERE rn = 1
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    vs AS (
+        SELECT vec_id, e, sid FROM (
+            SELECT v.vec_id, v.e, s.cid AS sid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_duck_cosine('v.e', 's.ce')} DESC, s.cid ASC
+                   ) AS rn
+            FROM v CROSS JOIN sup s
+        ) WHERE rn = 1
+    ),
+    assigned AS (
+        SELECT vec_id, e, cell, c AS cos_to_cent FROM (
+            SELECT vs.vec_id, vs.e, f.cid AS cell,
+                   {_duck_cosine('vs.e', 'f.ce')} AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vs.vec_id
+                       ORDER BY {_duck_cosine('vs.e', 'f.ce')} DESC, f.cid ASC
+                   ) AS rn
+            FROM vs JOIN fgrp g ON g.sid = vs.sid JOIN fine f ON f.cid = g.cid
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cell, a.cos_to_cent,
+           EXISTS (
+               SELECT 1 FROM assigned b
+               WHERE b.cell = a.cell AND b.vec_id <> a.vec_id
+                 AND {_duck_cosine('a.e', 'b.e')} >= {DD15_TAU}
+                 AND (b.cos_to_cent < a.cos_to_cent
+                      OR (b.cos_to_cent = a.cos_to_cent
+                          AND b.vec_id < a.vec_id))
+           ) AS pruned
+    FROM assigned a
+    """
+
+
+def _two_level_codebook(spark: SparkSession, sf_dir: str):
+    """Driver-side construction of the two-level codebook: collect the
+    first k2 vectors once (k2 = ceil(n / DD20_TARGET_CELL) — the same
+    codebook dd20 folds flat), pick the first k1 = ceil(sqrt(k2)) of
+    them as SUPER-centroids, and group every fine centroid under its
+    nearest super (left-fold cosine, cid tie-break — the exact rule the
+    oracle restates, so grouping is bit-identical cross-engine; every
+    super owns at least itself since cos(c,c) ranks first).
+
+    Returns (k1, k2, CB, NORMS, GROUPS) where CB / NORMS / GROUPS are
+    each ONE literal Column (array<array<double>>, array<double>,
+    array<array<bigint>>) — three plan nodes TOTAL regardless of k2,
+    vs dd20's k2 struct nodes. The data payload (~k2 x d doubles) ships
+    once in the task binary like any broadcast; the expression tree no
+    longer grows with the codebook, which is what the flat form's 100x
+    probe showed breaking."""
+    import math
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    n = len(rows)
+    k2 = -(-n // DD20_TARGET_CELL)
+    k1 = math.ceil(math.sqrt(k2))
+    vecs: dict[int, list[float]] = {}
+    for r in rows:
+        if r["vec_id"] < k2:
+            vecs[int(r["vec_id"])] = [float(x) for x in r["embedding"]]
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    cb = [vecs[j] for j in range(k2)]
+    norms = [math.sqrt(fold_dot(v, v)) for v in cb]
+    groups: list[list[int]] = [[] for _ in range(k1)]
+    for j in range(k2):
+        best_i, best_c = 0, None
+        for i in range(k1):
+            c = fold_dot(cb[j], cb[i]) / (norms[j] * norms[i])
+            if best_c is None or c > best_c:  # ties keep the smaller i
+                best_i, best_c = i, c
+        groups[best_i].append(j)  # j ascending — the oracle's cid order
+    return k1, k2, F.lit(cb), F.lit(norms), F.lit(groups)
+
+
+@query("dd22_semdedup_two_level", oracle=_dd22_oracle())
+def dd22_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with TWO-LEVEL codebook assignment — the production fix
+    dd20's 100x probe row calls for: the flat form scores every row
+    against all k = ceil(n/DD20_TARGET_CELL) centroids, an O(n*k*d)
+    term that is quadratic-in-n once k rides with the corpus, and its
+    k-struct literal plan grows with the codebook. Here each row ranks
+    only the k1 = ceil(sqrt(k2)) SUPER-centroids, then only the fine
+    centroids grouped under the winning super — O(n*sqrt(k)*d) expected
+    work, the standard IVF coarse-then-fine search (same trick as
+    sim05's nprobe, applied to index BUILD). Assignment is approximate
+    exactly the way production SemDeDup/faiss assignment is (the true
+    nearest fine centroid may live under a different super); the rule
+    is deterministic and the oracle restates it exactly, so every
+    verdict still hash-pins.
+
+    Plan shape: the ENTIRE codebook rides as three literal nodes
+    (array-of-arrays CB + norms + groups — see _two_level_codebook), so
+    the analyzed plan is CONSTANT-SIZE in k2 where dd20's flat literal
+    grew k2 struct nodes; assignment stays a zero-shuffle narrow pass,
+    and the verdict tail (within-cell semi-join + vec_id join) is
+    byte-identical to dd15/dd20's via the shared helper. Driver-side
+    state is the k2 x d codebook (the bounded-metadata class, MBs at
+    Abbas-et-al scale) plus the pure-Python grouping pass, whose
+    left-fold cosines are bit-identical to the oracle's list_reduce."""
+    k1, k2, cb_lit, norms_lit, groups_lit = _two_level_codebook(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", _dvec("embedding").alias("e")).withColumn(
+        "qn", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    ecol, qn = F.col("e"), F.col("qn")
+
+    def negcos_of(idx: Column) -> Column:
+        ce = F.element_at(cb_lit, (idx + 1).cast("int"))
+        cn = F.element_at(norms_lit, (idx + 1).cast("int"))
+        return -(_dot(ecol, ce) / (qn * cn))
+
+    ranked_sup = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(k1 - 1).cast("bigint")),
+            lambda i: F.struct(negcos_of(i).alias("negcos"), i.alias("cid")),
+        )
+    )
+    s = F.element_at(ranked_sup, 1)["cid"]
+    ranked_fine = F.sort_array(
+        F.transform(
+            F.element_at(groups_lit, (s + 1).cast("int")),
+            lambda j: F.struct(negcos_of(j).alias("negcos"), j.alias("cid")),
+        )
+    )
+    best = F.element_at(ranked_fine, 1)
+    assigned = base.select(
+        "vec_id",
+        "e",
+        # the groups literal infers array<int>; the family's cell type is long
+        best["cid"].cast("bigint").alias("cell"),
+        (-best["negcos"] + F.lit(0.0)).alias("cos_to_cent"),
+    )
+    return _semdedup_verdict(assigned)
 
 
 @query(

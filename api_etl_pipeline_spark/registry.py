@@ -116,27 +116,29 @@ def _load_all() -> None:
 #      that was pytest-only), dd20 (production-k SemDeDup: cell-size-
 #      bounded codebook, dd15's verdict machinery), dd21 (cross-doc
 #      arbitrary-offset substring dedup — Lee et al. 2022 semantics on
-#      dd19's machinery). Names listed here before the op lands are
-#      skipped by _rotated until registered.
+#      dd19's machinery), dd22 (two-level-codebook SemDeDup assignment —
+#      the O(n*sqrt(k)*d) fix dd20's own 100x probe row motivates).
+#      Names listed here before the op lands are skipped by _rotated
+#      until registered.
 #   3. r12-crunch stagger (round-10 verdict task 2): the r6 cohort is 48
-#      names and ALL of them hit the freshness floor at r12; pulling 9
-#      forward now (hh01, q52, x26, ev15, gr01, gr02, gr03, dq01, dq02 —
+#      names and ALL of them hit the freshness floor at r12; pulling 8
+#      forward now (hh01, q52, x26, ev15, gr01, gr02, gr03, dq01 —
 #      first-registered order within the cohort) leaves the r12 fill
-#      queue at 39 names, which fits the 50-slot prefix with room for
+#      queue at 40 names, which fits the 50-slot prefix with room for
 #      r12's own new ops.
-# 38 + 3 + 9 = 50 exactly. The r12 fill queue (remaining r6 cohort, 39):
-# x14-x21, x23, q39-q50, samp05, sim06, sim09, sim10, tx17, tx18, tx19,
-# mm01-mm06, ret01, st06, st07, st09, st10. Nothing is removed — every
-# query stays registered and the pytest mirror in
-# tests/test_queries_oracle.py still covers all 280.
+# 38 + 4 + 8 = 50 exactly. The r12 fill queue (remaining r6 cohort, 40):
+# dq02, x14-x21, x23, q39-q50, samp05, sim06, sim09, sim10, tx17, tx18,
+# tx19, mm01-mm06, ret01, st06, st07, st09, st10. Nothing is removed —
+# every query stays registered and the pytest mirror in
+# tests/test_queries_oracle.py still covers all 281.
 _DRIVER_SAMPLE_PREFIX = [
     "qsql08", "qsql09", "x13",
     *[f"tx{i:02d}" for i in range(1, 17)],
     "cur01", "chunk01", "dd11", "dd12", "decon01", "decon02", "ev13",
     "llm01", "llm02", "llm03", "mix01", "pack01", "pack02",
     "samp01", "samp02", "samp03", "samp04", "shuf01", "st08",
-    "ing22", "dd20", "dd21",
-    "hh01", "q52", "x26", "ev15", "gr01", "gr02", "gr03", "dq01", "dq02",
+    "ing22", "dd20", "dd21", "dd22",
+    "hh01", "q52", "x26", "ev15", "gr01", "gr02", "gr03", "dq01",
 ]
 
 

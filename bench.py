@@ -230,6 +230,7 @@ OPTIONAL = [
     "ing22_reconcile_by_hash",  # T5 reconciliation merge, hash-compare + anti-join
     "dd20_semdedup_production_k",  # cell-size-bounded SemDeDup (dd15's 100 TB form)
     "dd21_substring_dedup",  # Lee-2022 stride-1 exact-substring dedup, kept-text checksums
+    "dd22_semdedup_two_level",  # coarse-then-fine codebook assignment, O(n*sqrt(k)*d)
 ]
 
 

@@ -145,6 +145,134 @@ def test_dd20_plan_shape_is_dd15s(spark):
     assert fp15 == fp20
 
 
+# ---------------------------------------------------------------- dd22
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _two_level_assign_replay(vecs: dict[int, list[float]]):
+    """Plain-Python replay of dd22's full assignment rule: k2/k1 sizing,
+    fine→super grouping, row→super→fine two-stage ranking."""
+    import math
+
+    from api_etl_pipeline_spark.llm_ops.similarity import DD20_TARGET_CELL
+
+    n = len(vecs)
+    k2 = -(-n // DD20_TARGET_CELL)
+    k1 = math.ceil(math.sqrt(k2))
+    cb = [vecs[j] for j in range(k2)]
+    norms = [math.sqrt(_fold_dot(v, v)) for v in cb]
+
+    def best(e, qn, idxs):
+        ranked = sorted(
+            (-( _fold_dot(e, cb[i]) / (qn * norms[i])), i) for i in idxs
+        )
+        return ranked[0]
+
+    groups = {i: [] for i in range(k1)}
+    for j in range(k2):
+        groups[best(cb[j], norms[j], range(k1))[1]].append(j)
+    out = {}
+    for vid, e in vecs.items():
+        qn = math.sqrt(_fold_dot(e, e))
+        s = best(e, qn, range(k1))[1]
+        negc, cell = best(e, qn, groups[s])
+        out[vid] = (cell, -negc + 0.0)
+    return out
+
+
+def test_dd22_assignment_matches_python_replay(spark):
+    """Spark's two-level assignment (literal-codebook expressions) must
+    equal the plain-Python replay vector-for-vector: same super choice,
+    same fine cell, same cos_to_cent bits."""
+    from api_etl_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["dd22_semdedup_two_level"].fn(spark, sf).collect()
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    expected = _two_level_assign_replay(vecs)
+    assert len(rows) == len(expected)
+    for r in rows:
+        cell, cos = expected[r.vec_id]
+        assert (r.cell, r.cos_to_cent) == (cell, cos), r.vec_id
+
+
+def test_dd22_verdicts_witnessed(spark):
+    """Same third-engine EXISTS re-derivation as dd20's — the verdict
+    tail is shared, but this pins it against dd22's own cells."""
+    import math
+
+    from api_etl_pipeline_spark.llm_ops.similarity import DD15_TAU
+    from api_etl_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["dd22_semdedup_two_level"].fn(spark, sf).collect()
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+
+    def norm(a):
+        return math.sqrt(_fold_dot(a, a))
+
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for members in by_cell.values():
+        for a in members:
+            expected = any(
+                _fold_dot(vecs[a.vec_id], vecs[b.vec_id])
+                / (norm(vecs[a.vec_id]) * norm(vecs[b.vec_id]))
+                >= DD15_TAU
+                and (
+                    b.cos_to_cent < a.cos_to_cent
+                    or (b.cos_to_cent == a.cos_to_cent and b.vec_id < a.vec_id)
+                )
+                for b in members
+                if b.vec_id != a.vec_id
+            )
+            assert a.pruned == expected, a.vec_id
+
+
+def test_dd22_plan_constant_size_and_shape(spark):
+    """The point of the two-level form: the analyzed plan must NOT grow
+    with the codebook (three literal nodes carry all of it), and the
+    verdict tail must plan exactly like dd20's. Pin (a) fingerprint
+    equality with dd20 and (b) the dd22 plan STRING being much smaller
+    than dd20's at the same k (dd20 folds k struct literals into the
+    plan; dd22's stays constant-size)."""
+    from api_etl_pipeline_spark.ops.plan_lint import plan_text, summarize_plan
+
+    qs = all_queries()
+    p20 = plan_text(qs["dd20_semdedup_production_k"].fn(spark, SF_DIR))
+    p22 = plan_text(qs["dd22_semdedup_two_level"].fn(spark, SF_DIR))
+    assert summarize_plan(p20) == summarize_plan(p22)
+    assert len(p22) < len(p20)
+
+
+def test_dd22_cells_bounded_and_nontrivial(spark):
+    """Two-level assignment is approximate, so occupancy skews more than
+    dd20's flat form — but it must stay corpus-size-bounded (measured
+    max 91 at sf0.01 and comparable at sf0.1 vs target 32). Pin a 4x
+    envelope and a non-trivial pruned population."""
+    from collections import Counter
+
+    from api_etl_pipeline_spark.llm_ops.similarity import DD20_TARGET_CELL
+
+    rows = all_queries()["dd22_semdedup_two_level"].fn(spark, SF_DIR).collect()
+    cells = Counter(r.cell for r in rows)
+    assert max(cells.values()) <= 4 * DD20_TARGET_CELL
+    assert sum(r.pruned for r in rows) > 0
+
+
 # ---------------------------------------------------------------- dd21
 
 

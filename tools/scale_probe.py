@@ -119,6 +119,7 @@ QUERIES = [
     "ing22_reconcile_by_hash",  # round-11: hash-compare + merge joins move (key, hash) only
     "dd20_semdedup_production_k",  # round-11: k grows with n — within-cell pairs must stay bounded
     "dd21_substring_dedup",  # round-11: dd19's triple shuffle at stride 1 — linear in tokens
+    "dd22_semdedup_two_level",  # round-11: coarse-then-fine assignment must beat dd20's n*k term
 ]
 
 

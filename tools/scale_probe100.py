@@ -162,6 +162,24 @@ QUERIES = [
     # EV19_CAP guard — 100x users at constant journey length, the
     # production growth mode; the guard must add no exchange.
     "ev19_journey_patterns",
+    # round 11: the reconciliation merge at its second decade — the
+    # hash-compare and anti-join legs move (key, hash) projections only,
+    # so the wall must track the scan like ing19's MERGE class.
+    "ing22_reconcile_by_hash",
+    # round 11: stride-1 substring dedup — re-vocabularied replicas keep
+    # windows replica-local, so this measures the 16-byte-triple
+    # keep-first shuffle at ~W x the dd19 volume, linear in tokens.
+    "dd21_substring_dedup",
+    # round 11: production-k SemDeDup at the DESIGNED stress point — k
+    # grows 63 -> 6250 with the corpus, so within-cell pair work stays
+    # bounded but the flat codebook-literal assignment is O(n*k*d); this
+    # probe exists to measure where that term starts dominating (its
+    # SCALE.md row names the two-level-codebook fix if it does).
+    "dd20_semdedup_production_k",
+    # round 11: the two-level fix itself — coarse-then-fine assignment
+    # (O(n*sqrt(k)*d)) with a constant-size plan; probed at the same
+    # decade as dd20 so the contrast row is apples-to-apples.
+    "dd22_semdedup_two_level",
 ]
 
 
