@@ -480,6 +480,44 @@ def test_dd21_oracle_property_random_corpora(tmp_path):
         assert got == _dd21_python_replay(docs), trial
 
 
+# ------------------------------------------------ bench rotation sample
+
+
+def test_bench_rotation_sample_covers_and_excludes():
+    """The rotating micro-bench window: deterministic for a given round,
+    excludes benched and structurally-exempt names, and successive
+    rounds' windows cover every micro-exempt name within
+    ceil(len/ROTATION_SIZE) rounds."""
+    import bench
+
+    registered = list(all_queries())
+    benched = set(bench.HEADLINE + bench.OPTIONAL) & set(registered)
+    rot = bench.rotation_sample(registered, benched)
+    assert rot == bench.rotation_sample(registered, benched)  # deterministic
+    assert len(rot) == bench.ROTATION_SIZE
+    for n in rot:
+        assert n not in benched
+        assert not n.endswith("_live")
+        assert not n.startswith("ing21")
+        assert n[:4] not in ("mm01", "mm02", "mm03", "mm04")
+    # coverage: walking the window by ROTATION_SIZE per round visits all
+    micro = sorted(
+        n for n in registered
+        if n not in benched and not n.endswith("_live")
+        and not n.startswith("ing21")
+        and n[:4] not in ("mm01", "mm02", "mm03", "mm04")
+    )
+    seen: set[str] = set()
+    rounds_needed = -(-len(micro) // bench.ROTATION_SIZE)
+    base_round = bench.current_round()
+    for r in range(rounds_needed):
+        start = ((base_round + r - 1) * bench.ROTATION_SIZE) % len(micro)
+        seen.update(
+            micro[(start + i) % len(micro)] for i in range(bench.ROTATION_SIZE)
+        )
+    assert seen == set(micro)
+
+
 # ------------------------------------------------- st15 chunk-order fix
 
 
