@@ -734,7 +734,16 @@ def _two_level_codebook(spark: SparkSession, sf_dir: str):
     for j in range(k2):
         best_i, best_c = 0, None
         for i in range(k1):
-            c = fold_dot(cb[j], cb[i]) / (norms[j] * norms[i])
+            den = norms[j] * norms[i]
+            # IEEE parity with the engine-side division: a zero-norm
+            # vector yields NaN there, while Python float division
+            # raises — produce NaN so dd22 degrades exactly like
+            # dd15/dd20 do on the same (out-of-contract) input instead
+            # of crashing on the driver. NaN never wins `c > best_c`,
+            # so a zero-norm centroid deterministically groups under
+            # super 0 (the cosine family's standing no-zero-norm
+            # contract; see sim01's determinism note).
+            c = fold_dot(cb[j], cb[i]) / den if den else float("nan")
             if best_c is None or c > best_c:  # ties keep the smaller i
                 best_i, best_c = i, c
         groups[best_i].append(j)  # j ascending — the oracle's cid order

@@ -255,15 +255,23 @@ def rotation_sample(registered: list[str], benched: set[str]) -> list[str]:
     """Round-10 verdict task 6: the 124 micro-scale-exempt queries had no
     perf signal of ANY kind — a plan-level regression in one (an
     accidental extra exchange) stays invisible until it compounds. Each
-    round benches a rotating ~20-name sample of the micro-exempt class
-    at sf0.1 DESPITE the stage floor: the absolute walls are scheduling-
-    noise-dominated (which is why they stay out of the headline and the
-    main queries dict), but a >2x raw move on a rotated name is a cue to
-    diff its plan fingerprint. The window walks the sorted name list by
-    ROTATION_SIZE per round, so every micro query gets a recorded wall
-    at least once per ~6 rounds. Structurally-exempt classes (live
-    streaming, fixed-size fixtures, Arrow media decode) stay exempt —
-    their walls measure machinery, not plans, at any rotation."""
+    round benches a rotating ~ROTATION_SIZE-name sample of the
+    micro-exempt class at sf0.1 DESPITE the stage floor: the absolute
+    walls are scheduling-noise-dominated (which is why they stay out of
+    the headline and the main queries dict), but a >2x raw move on a
+    rotated name is a cue to diff its plan fingerprint.
+
+    Selection is by residue class, not a moving contiguous window
+    (round-11 review): round r picks the sorted names whose rank
+    satisfies rank % K == (r-1) % K, K = ceil(len/ROTATION_SIZE). For a
+    stable population that visits every name exactly once per K rounds;
+    under registry churn a name's rank shifts only by the number of
+    insertions/removals before it, so its next visit moves by at most
+    that many rounds — a contiguous window re-phased by a changed
+    modulus could instead delay names by a full extra cycle.
+    Structurally-exempt classes (live streaming, fixed-size fixtures,
+    Arrow media decode) stay exempt — their walls measure machinery,
+    not plans, at any rotation."""
     micro = sorted(
         n
         for n in registered
@@ -274,8 +282,9 @@ def rotation_sample(registered: list[str], benched: set[str]) -> list[str]:
     )
     if not micro:
         return []
-    start = ((current_round() - 1) * ROTATION_SIZE) % len(micro)
-    return [micro[(start + i) % len(micro)] for i in range(min(ROTATION_SIZE, len(micro)))]
+    k = -(-len(micro) // ROTATION_SIZE)
+    cls = (current_round() - 1) % k
+    return [n for rank, n in enumerate(micro) if rank % k == cls]
 
 
 def bench_set_manifest(

@@ -4,6 +4,7 @@ FD profile, dd19's span-level exact dedup (the C4 three-sentence rule)."""
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pytest
 
@@ -132,7 +133,8 @@ def _dd19_python_replay(docs: list[tuple[int, str]]) -> dict[int, tuple]:
 
     corpus: list[tuple[int, list[str]]] = []
     for doc_id, text in docs:
-        words = text.strip().split()
+        # match the engines' ' +' split (spaces only), not any-whitespace
+        words = re.split(r" +", text.strip())
         corpus.append((doc_id, words))
         if doc_id < DD19_INJECT_A:
             corpus.append(
