@@ -103,42 +103,42 @@ def _load_all() -> None:
 
 
 # Driver-coverage rotation. The driver's per-round correctness gate samples
-# the FIRST 50 entries of queries() in dict order. This round-11 prefix (per
-# the round-10 verdict tasks 1+2) front-loads, in order:
-#   1. ALL 38 queries whose latest driver row is still round 5 — the
-#      oldest cohort left in the registry: qsql08, qsql09, x13,
-#      tx01-tx16, cur01, chunk01, dd11, dd12, decon01, decon02, ev13,
-#      llm01-llm03, mix01, pack01, pack02, samp01-samp04, shuf01, st08.
-#      The freshness-floor gate leg (tools/round_close.py) fails at the
-#      r11 close unless every one of these sits in the prefix.
-#   2. the round-11 additions needing a FIRST driver row: ing22
-#      (reconcile-by-hash — T5's driver-oracle query, the last §2 row
-#      that was pytest-only), dd20 (production-k SemDeDup: cell-size-
-#      bounded codebook, dd15's verdict machinery), dd21 (cross-doc
-#      arbitrary-offset substring dedup — Lee et al. 2022 semantics on
-#      dd19's machinery), dd22 (two-level-codebook SemDeDup assignment —
-#      the O(n*sqrt(k)*d) fix dd20's own 100x probe row motivates).
-#      Names listed here before the op lands are skipped by _rotated
-#      until registered.
-#   3. r12-crunch stagger (round-10 verdict task 2): the r6 cohort is 48
-#      names and ALL of them hit the freshness floor at r12; pulling 8
-#      forward now (hh01, q52, x26, ev15, gr01, gr02, gr03, dq01 —
-#      first-registered order within the cohort) leaves the r12 fill
-#      queue at 40 names, which fits the 50-slot prefix with room for
-#      r12's own new ops.
-# 38 + 4 + 8 = 50 exactly. The r12 fill queue (remaining r6 cohort, 40):
-# dq02, x14-x21, x23, q39-q50, samp05, sim06, sim09, sim10, tx17, tx18,
-# tx19, mm01-mm06, ret01, st06, st07, st09, st10. Nothing is removed —
+# the FIRST 50 entries of queries() in dict order. This round-12 prefix (per
+# the round-11 verdict task 1) front-loads, in order:
+#   1. ALL 40 queries whose latest driver row is still round 6 — the
+#      entire remaining r6 cohort, exactly the fill queue the round-11
+#      prefix note staged: dq02, x14-x21, x23, q39-q50, samp05, sim06,
+#      sim09, sim10, tx17-tx19, mm01-mm06, ret01, st06, st07, st09,
+#      st10. The freshness-floor gate leg (tools/round_close.py) fails
+#      at the r12 close unless every one of these sits in the prefix.
+#   2. dd22 — its latest row is r11 (fresh), but BOTH its sides change
+#      this round (oracle moved to rank-based centroid selection per the
+#      r11 advice; assignment gained the vectorized grouping + broadcast
+#      codebook path), so it must be re-hash-pinned by the incoming
+#      driver run rather than coast on the r11 row of the old form.
+#   3. the round-12 addition needing a FIRST driver row: dd23
+#      (trained-codebook SemDeDup — spherical-k-means training on
+#      dd22's two-level assignment machinery, sim09-style invariant
+#      oracle). Names listed here before the op lands are skipped by
+#      _rotated until registered.
+#   4. r13-crunch stagger: the r7 cohort is 47 names and ALL of them hit
+#      the freshness floor at r13; pulling 8 forward now (ev17, inc02,
+#      ab01, ev18, dd13, dd14, dq03, dq04 — first-registered order
+#      within the cohort) leaves the r13 fill queue at 39 names, which
+#      fits the 50-slot prefix with room for r13's own new ops.
+# 40 + 1 + 1 + 8 = 50 exactly. The r13 fill queue (remaining r7 cohort,
+# 39): cur02-cur05, dd15, decon03, dq05, dq06, mix02, q01-q18, samp06,
+# sim11, st11-st13, tx20-tx22, w01, w02, x12, x22. Nothing is removed —
 # every query stays registered and the pytest mirror in
-# tests/test_queries_oracle.py still covers all 281.
+# tests/test_queries_oracle.py still covers all 282.
 _DRIVER_SAMPLE_PREFIX = [
-    "qsql08", "qsql09", "x13",
-    *[f"tx{i:02d}" for i in range(1, 17)],
-    "cur01", "chunk01", "dd11", "dd12", "decon01", "decon02", "ev13",
-    "llm01", "llm02", "llm03", "mix01", "pack01", "pack02",
-    "samp01", "samp02", "samp03", "samp04", "shuf01", "st08",
-    "ing22", "dd20", "dd21", "dd22",
-    "hh01", "q52", "x26", "ev15", "gr01", "gr02", "gr03", "dq01",
+    "dq02", *[f"x{i}" for i in range(14, 22)], "x23",
+    *[f"q{i}" for i in range(39, 51)],
+    "samp05", "sim06", "sim09", "sim10", "tx17", "tx18", "tx19",
+    *[f"mm{i:02d}" for i in range(1, 7)],
+    "ret01", "st06", "st07", "st09", "st10",
+    "dd22", "dd23",
+    "ev17", "inc02", "ab01", "ev18", "dd13", "dd14", "dq03", "dq04",
 ]
 
 

@@ -235,11 +235,19 @@ OPTIONAL = [
 
 
 def current_round() -> int:
-    """The incoming round number = newest driver CORRECTNESS file + 1.
-    Deterministic from committed artifacts, so the rotation below is
-    reproducible for any checkout of a given round."""
+    """The incoming round number = newest driver CORRECTNESS file + 1,
+    overridable via SPARK_GRAFT_ROUND (round-11 advice: the file-derived
+    value depends on which generated artifacts happen to be on disk — a
+    bare checkout without them, or a tree with an extra in-progress
+    file, silently shifts the rotation window; the env pin makes a bench
+    run reproducible independent of that). The derived/pinned value is
+    logged to stderr by main() and recorded as rotation_round in the
+    output either way."""
     import re
 
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
     rounds = [
         int(m.group(1))
         for p in Path(_REPO).glob("CORRECTNESS_r*.json")
@@ -458,6 +466,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(
+        f"rotation round {current_round()}"
+        f" ({'pinned via SPARK_GRAFT_ROUND' if os.environ.get('SPARK_GRAFT_ROUND') else 'derived from CORRECTNESS_r* files'})",
+        file=sys.stderr,
+    )
     spark = get_spark("bench")
     specs = all_queries()
     names = [n for n in HEADLINE + OPTIONAL if n in specs]

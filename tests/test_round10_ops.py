@@ -133,8 +133,9 @@ def _dd19_python_replay(docs: list[tuple[int, str]]) -> dict[int, tuple]:
 
     corpus: list[tuple[int, list[str]]] = []
     for doc_id, text in docs:
-        # match the engines' ' +' split (spaces only), not any-whitespace
-        words = re.split(r" +", text.strip())
+        # match the engines' ' +' split AND space-only trim() — .strip(' '),
+        # not .strip(), which would also eat tab/newline the engines keep
+        words = re.split(r" +", text.strip(" "))
         corpus.append((doc_id, words))
         if doc_id < DD19_INJECT_A:
             corpus.append(

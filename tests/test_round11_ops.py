@@ -313,9 +313,11 @@ def _dd21_python_replay(docs: list[tuple[int, str]]) -> dict[int, tuple]:
 
     corpus: list[tuple[int, list[str]]] = []
     for doc_id, text in docs:
-        # engines split on ' +' (spaces only) — match exactly, not any-
-        # whitespace .split(), so the third engine agrees on tab/newline
-        words = re.split(r" +", text.strip())
+        # engines split on ' +' and trim() SPACES ONLY — match both
+        # exactly (.strip(' '), not .strip(), which would also eat
+        # tab/newline the engines keep), so the third engine agrees on
+        # docs with any leading/trailing whitespace
+        words = re.split(r" +", text.strip(" "))
         corpus.append((doc_id, words))
         if doc_id < DD21_INJECT:
             rep = (
