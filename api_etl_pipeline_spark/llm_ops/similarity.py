@@ -16,6 +16,9 @@ so cosine scores, and therefore rankings, hash-match exactly.
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -623,7 +626,17 @@ def dd20_semdedup_production_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 10x probe tracking the scan and dd15's measured 5.4x pair blow-up.
     Bit-identity with the oracle: k is the same exact integer on both
     sides (n < 2^53), centroid norms fold in the sequential order of
-    _dot (sim01 convention)."""
+    _dot (sim01 convention).
+
+    *** CONTRAST FIXTURE — NOT the production path (round-11 verdict
+    task 3). dd20's own 100x probe row (SCALE.md) measured the flat
+    O(n*k*d) assignment at 225x per decade once k rides with the
+    corpus: do NOT run this form past ~10x. The production form is
+    dd22 (two-level assignment, O(n*sqrt(k)*d), measured 85x at the
+    same decade; broadcast-codebook past DD22_LITERAL_MAX_BYTES) with
+    dd23 adding trained centroids. dd20 stays registered precisely to
+    MEASURE the flat-assignment cost against dd22 — the same role
+    dd15's fixed-k worst case plays against dd20's bounded cells. ***"""
     n = load_table(spark, sf_dir, "embeddings").count()
     k = -(-n // DD20_TARGET_CELL)
     return _semdedup_prune_frame(spark, sf_dir, k=k)
@@ -639,10 +652,19 @@ def _dd22_oracle() -> str:
         FROM nn
     ),
     fine AS (
-        SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
-        FROM embeddings WHERE vec_id < (SELECT k2 FROM kk)
+        -- RANK-based codebook selection (round-11 advice): the first k2
+        -- rows ORDERED BY vec_id, exactly what the Spark side collects
+        -- via orderBy(vec_id).limit(k2) — on dense 0..n-1 ids this is
+        -- identical to the flat family's vec_id < k2 filter, and on
+        -- shifted/sparse id layouts (the probe replicas) BOTH engines
+        -- now agree instead of the oracle silently clamping
+        SELECT cid, ce, rk FROM (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+            FROM embeddings
+        ) WHERE rk <= (SELECT k2 FROM kk)
     ),
-    sup AS (SELECT cid, ce FROM fine WHERE cid < (SELECT k1 FROM kk)),
+    sup AS (SELECT cid, ce FROM fine WHERE rk <= (SELECT k1 FROM kk)),
     fgrp AS (
         SELECT cid, sid FROM (
             SELECT f.cid, s.cid AS sid,
@@ -688,32 +710,31 @@ def _dd22_oracle() -> str:
     """
 
 
-def _two_level_codebook(spark: SparkSession, sf_dir: str):
-    """Driver-side construction of the two-level codebook: collect the
-    first k2 vectors once (k2 = ceil(n / DD20_TARGET_CELL) — the same
-    codebook dd20 folds flat), pick the first k1 = ceil(sqrt(k2)) of
-    them as SUPER-centroids, and group every fine centroid under its
-    nearest super (left-fold cosine, cid tie-break — the exact rule the
-    oracle restates, so grouping is bit-identical cross-engine; every
-    super owns at least itself since cos(c,c) ranks first).
+# Codebook payload size (k2 × d × 8 bytes) above which dd22 ships the
+# codebook as a REAL Spark broadcast variable consumed by an Arrow-
+# batched numpy assignment stage instead of plan literals (round-11
+# verdict task 2: at ~50k centroids the literal is ~22 MiB of task
+# binary re-shipped per stage; a broadcast torrents once per executor
+# and the numpy fold is SIMD across rows). Below it, the pure-codegen
+# literal-expression form wins (no Arrow batch hop) — driver scales
+# (sf0.01 codebook 8 KiB, sf0.1 32 KiB) stay on it; the 10×/100× probe
+# scales (320 KiB / 3.2 MiB) cross onto the broadcast path. Tests
+# monkeypatch this to 0 to pin both paths bit-identical.
+DD22_LITERAL_MAX_BYTES = 256 * 1024
 
-    Returns (k1, k2, CB, NORMS, GROUPS) where CB / NORMS / GROUPS are
-    each ONE literal Column (array<array<double>>, array<double>,
-    array<array<bigint>>) — three plan nodes TOTAL regardless of k2,
-    vs dd20's k2 struct nodes. The data payload (~k2 x d doubles) ships
-    once in the task binary like any broadcast; the expression tree no
-    longer grows with the codebook, which is what the flat form's 100x
-    probe showed breaking.
 
-    Only the codebook reaches the driver: one count() for n, then a
-    TakeOrdered of the k2 LOWEST-vec_id rows (the bounded-metadata
-    class — never the corpus). At the driver-checked scales vec_ids are
-    dense 0..n-1, so "first k2 by vec_id" == the oracle's vec_id < k2;
-    at shifted-id probe scales the rank-based selection keeps the
-    codebook well-defined (the flat form silently clamps to the ids
-    that exist below k2 instead)."""
-    import math
+def _codebook_rows(spark: SparkSession, sf_dir: str):
+    """Collect the rank-based codebook shared by dd22/dd23: the k2 =
+    ceil(n / DD20_TARGET_CELL) lowest-vec_id embedding rows. Only the
+    codebook reaches the driver — one count() for n, then a TakeOrdered
+    of k2 rows (the bounded-metadata class, never the corpus). The dd22
+    oracle states the same selection as ROW_NUMBER() OVER (ORDER BY
+    vec_id) <= k2 (round-11 advice: both sides are now rank-based, so
+    they agree on ANY id layout, dense or shifted).
 
+    Returns (n, k1, k2, ids, cb) with ids/cb in ascending-vec_id order;
+    k1 = ceil(sqrt(k2)) is the super-centroid count (the first k1
+    codebook rows serve as supers, mirroring the oracle's rk <= k1)."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
     k2 = -(-n // DD20_TARGET_CELL)
@@ -721,70 +742,84 @@ def _two_level_codebook(spark: SparkSession, sf_dir: str):
     rows = (
         e.select("vec_id", "embedding").orderBy("vec_id").limit(k2).collect()
     )
-
-    def fold_dot(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
-
+    ids = [int(r["vec_id"]) for r in rows]
     cb = [[float(x) for x in r["embedding"]] for r in rows]
-    norms = [math.sqrt(fold_dot(v, v)) for v in cb]
+    return n, k1, k2, ids, cb
+
+
+def _group_fine_under_super(cb: list[list[float]], k1: int):
+    """Group every fine centroid under its nearest super (the first k1
+    codebook rows) — vectorized numpy replacement for the former pure-
+    Python double loop (round-11 verdict task 2: ~1 min of driver time
+    at the 100× probe, now milliseconds), BIT-IDENTICAL to it and to
+    the oracle's restatement of the rule: the per-element products and
+    the dim-ascending left-fold sum are each correctly-rounded float64
+    ops in the same order as _dot / DuckDB's list_reduce (numpy's
+    elementwise multiply/add are separate correctly-rounded ufuncs — no
+    FMA fusion), and np.argmax keeps the FIRST max on bit-equal cosine
+    ties, the loop's `c > best_c` keep-smaller-i rule.
+
+    Fails fast (round-11 advice) instead of diverging silently on the
+    two degenerate inputs the cosine family contracts away: a zero-norm
+    centroid (cosine NaN — the engines would rank it differently than
+    the oracle's inner join) and an empty super group (possible when
+    two supers tie bit-equal and super j's own vector groups under
+    i < j; the oracle would then DROP that group's rows via the fgrp
+    inner join while Spark kept them with NULL cells).
+
+    Returns (norms: list[float], groups: list[list[int]]) with each
+    group's fine indices ascending — the oracle's cid order."""
+    import numpy as np
+
+    C = np.asarray(cb, dtype=np.float64)
+    k2, d = C.shape
+    nacc = np.zeros(k2)
+    for t in range(d):  # dim-ascending left fold, rounded once per step
+        nacc = nacc + C[:, t] * C[:, t]
+    norms = np.sqrt(nacc)
+    if not (norms > 0.0).all():
+        bad = [int(i) for i in np.flatnonzero(~(norms > 0.0))[:8]]
+        raise AssertionError(
+            f"dd22/dd23 codebook rows {bad} have zero norm — cosine "
+            "assignment is undefined for them (the sim01 no-zero-norm "
+            "contract); failing fast on the driver instead of diverging "
+            "from the oracle executor-side"
+        )
+    S = C[:k1]
+    acc = np.zeros((k2, k1))
+    for t in range(d):
+        acc = acc + np.multiply.outer(C[:, t], S[:, t])
+    cos = acc / np.multiply.outer(norms, norms[:k1])
+    best = np.argmax(cos, axis=1)  # first max == keep-smaller-i on ties
     groups: list[list[int]] = [[] for _ in range(k1)]
-    for j in range(k2):
-        best_i, best_c = 0, None
-        for i in range(k1):
-            den = norms[j] * norms[i]
-            # IEEE parity with the engine-side division: a zero-norm
-            # vector yields NaN there, while Python float division
-            # raises — produce NaN so dd22 degrades exactly like
-            # dd15/dd20 do on the same (out-of-contract) input instead
-            # of crashing on the driver. NaN never wins `c > best_c`,
-            # so a zero-norm centroid deterministically groups under
-            # super 0 (the cosine family's standing no-zero-norm
-            # contract; see sim01's determinism note).
-            c = fold_dot(cb[j], cb[i]) / den if den else float("nan")
-            if best_c is None or c > best_c:  # ties keep the smaller i
-                best_i, best_c = i, c
-        groups[best_i].append(j)  # j ascending — the oracle's cid order
-    return k1, k2, F.lit(cb), F.lit(norms), F.lit(groups)
+    for j, i in enumerate(best):  # j ascending — the oracle's cid order
+        groups[int(i)].append(j)
+    empty = [i for i, g in enumerate(groups) if not g]
+    if empty:
+        raise AssertionError(
+            f"dd22/dd23 super centroid(s) {empty} own no fine centroids "
+            "(bit-equal cosine tie sent every candidate elsewhere) — the "
+            "oracle's fgrp inner join would silently drop their rows; "
+            "failing fast on the driver instead"
+        )
+    return [float(x) for x in norms], groups
 
 
-@query("dd22_semdedup_two_level", oracle=_dd22_oracle())
-def dd22_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup with TWO-LEVEL codebook assignment — the production fix
-    dd20's 100x probe row calls for: the flat form scores every row
-    against all k = ceil(n/DD20_TARGET_CELL) centroids, an O(n*k*d)
-    term that is quadratic-in-n once k rides with the corpus, and its
-    k-struct literal plan grows with the codebook. Here each row ranks
-    only the k1 = ceil(sqrt(k2)) SUPER-centroids, then only the fine
-    centroids grouped under the winning super — O(n*sqrt(k)*d) expected
-    work, the standard IVF coarse-then-fine search (same trick as
-    sim05's nprobe, applied to index BUILD). Assignment is approximate
-    exactly the way production SemDeDup/faiss assignment is (the true
-    nearest fine centroid may live under a different super); the rule
-    is deterministic and the oracle restates it exactly, so every
-    verdict still hash-pins.
-
-    Plan shape: the ENTIRE codebook rides as three literal nodes
-    (array-of-arrays CB + norms + groups — see _two_level_codebook), so
-    the EXPRESSION TREE is k-independent (pytest pins the same
-    lambda/sort skeleton at k=16 and k=63) and Column construction is
-    O(1) where dd20 builds k struct Columns per query (Catalyst
-    constant-folds those before the physical plan, so the load-bearing
-    win is the arithmetic, not the plan). Assignment stays a
-    zero-shuffle narrow pass, and the verdict tail (within-cell
-    semi-join + vec_id join) is byte-identical to dd15/dd20's via the
-    shared helper. Driver-side state is the k2 x d codebook (the
-    bounded-metadata class, MBs at Abbas-et-al scale — count() + a
-    TakeOrdered of k2 rows, never the corpus) plus the pure-Python
-    grouping pass, whose left-fold cosines are bit-identical to the
-    oracle's list_reduce."""
-    k1, k2, cb_lit, norms_lit, groups_lit = _two_level_codebook(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", _dvec("embedding").alias("e")).withColumn(
-        "qn", F.sqrt(_dot(F.col("e"), F.col("e")))
-    )
+def _two_level_assign_literal(
+    base: DataFrame,
+    cb: list[list[float]],
+    norms: list[float],
+    groups: list[list[int]],
+    k1: int,
+) -> DataFrame:
+    """Literal-expression two-level assignment: CB / NORMS / GROUPS ride
+    as ONE literal Column each (array<array<double>>, array<double>,
+    array<array<int>>) — three plan nodes total regardless of k2, pure
+    whole-stage codegen, zero shuffle. Returns (vec_id, e, pos,
+    cos_to_cent) where pos is the 0-based codebook POSITION of the
+    winning fine centroid (callers map position → centroid identity)."""
+    cb_lit, norms_lit, groups_lit = F.lit(cb), F.lit(norms), F.lit(groups)
+    b = base.withColumn("qn", F.sqrt(_dot(F.col("e"), F.col("e"))))
     ecol, qn = F.col("e"), F.col("qn")
 
     def negcos_of(idx: Column) -> Column:
@@ -806,14 +841,292 @@ def dd22_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     best = F.element_at(ranked_fine, 1)
-    assigned = base.select(
+    return b.select(
         "vec_id",
         "e",
-        # the groups literal infers array<int>; the family's cell type is long
-        best["cid"].cast("bigint").alias("cell"),
+        best["cid"].cast("bigint").alias("pos"),
         (-best["negcos"] + F.lit(0.0)).alias("cos_to_cent"),
     )
+
+
+def _two_level_assign_broadcast(
+    spark: SparkSession,
+    base: DataFrame,
+    cb: list[list[float]],
+    norms: list[float],
+    groups: list[list[int]],
+    k1: int,
+) -> DataFrame:
+    """Broadcast-variable two-level assignment: the codebook ships ONCE
+    per executor as a real Spark broadcast (torrent distribution — the
+    task binary and the expression tree stay O(1) in k2, which is what
+    the literal form's 100× probe showed breaking at ~22 MiB), and an
+    Arrow-batched numpy stage scores each batch coarse-then-fine.
+
+    Bit-identical to _two_level_assign_literal (pytest pins it at a
+    forced-0 threshold): per-element products and the dim-ascending
+    left-fold accumulate in the same order with one rounding per step
+    (numpy multiply/add are separate correctly-rounded ufuncs, no FMA),
+    np.sqrt == java.lang.Math.sqrt (both correctly rounded), and the
+    argmin-after-NaN→+inf substitution reproduces sort_array's
+    NaN-ranks-last struct order including the all-NaN → position-0
+    degenerate case (out-of-contract zero-norm query vectors degrade
+    identically on both paths). cos_to_cent re-negates the ORIGINAL
+    negcos (not the inf substitute) then adds 0.0, exactly like the
+    literal form's -negcos + 0.0.
+
+    Zero shuffle, same as the literal path: one ArrowEvalPython
+    projection per partition, then the shared verdict tail."""
+    import numpy as np
+
+    C = np.asarray(cb, dtype=np.float64)
+    NO = np.asarray(norms, dtype=np.float64)
+    G = [np.asarray(g, dtype=np.int64) for g in groups]
+    d = C.shape[1]
+    bc = spark.sparkContext.broadcast((C, NO, G))
+
+    @F.pandas_udf("pos bigint, cos_to_cent double")
+    def _assign(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        C, NO, G = bc.value  # one deserialize per executor, not per task
+        k1 = len(G)
+        for ecol in batches:
+            E = np.stack(ecol.to_numpy())
+            m = E.shape[0]
+            qacc = np.zeros(m)
+            for t in range(d):
+                qacc = qacc + E[:, t] * E[:, t]
+            qn = np.sqrt(qacc)
+            acc = np.zeros((m, k1))
+            for t in range(d):
+                acc = acc + np.multiply.outer(E[:, t], C[:k1, t])
+            neg_sup = -(acc / np.multiply.outer(qn, NO[:k1]))
+            wsup = np.argmin(
+                np.where(np.isnan(neg_sup), np.inf, neg_sup), axis=1
+            )
+            pos = np.zeros(m, dtype=np.int64)
+            cos = np.zeros(m, dtype=np.float64)
+            for i in range(k1):
+                mask = wsup == i
+                if not mask.any():
+                    continue
+                g = G[i]
+                Ei, qni = E[mask], qn[mask]
+                acc2 = np.zeros((Ei.shape[0], len(g)))
+                for t in range(d):
+                    acc2 = acc2 + np.multiply.outer(Ei[:, t], C[g, t])
+                neg_fine = -(acc2 / np.multiply.outer(qni, NO[g]))
+                j = np.argmin(
+                    np.where(np.isnan(neg_fine), np.inf, neg_fine), axis=1
+                )
+                pos[mask] = g[j]
+                cos[mask] = -neg_fine[np.arange(Ei.shape[0]), j] + 0.0
+            yield pd.DataFrame({"pos": pos, "cos_to_cent": cos})
+
+    return base.select(
+        "vec_id", "e", _assign("e").alias("a")
+    ).select("vec_id", "e", F.col("a.pos").alias("pos"), F.col("a.cos_to_cent").alias("cos_to_cent"))
+
+
+def _two_level_assign(
+    spark: SparkSession,
+    base: DataFrame,
+    cb: list[list[float]],
+    norms: list[float],
+    groups: list[list[int]],
+    k1: int,
+) -> DataFrame:
+    """Size-dispatched two-level assignment (round-11 verdict task 2):
+    literal expressions below DD22_LITERAL_MAX_BYTES of codebook
+    payload, broadcast-variable + Arrow numpy above. Both paths are
+    bit-identical (pytest pins it), so the dispatch is purely a cost
+    choice and the oracle contract is path-independent."""
+    payload = len(cb) * (len(cb[0]) if cb else 0) * 8
+    if payload > DD22_LITERAL_MAX_BYTES:
+        return _two_level_assign_broadcast(spark, base, cb, norms, groups, k1)
+    return _two_level_assign_literal(base, cb, norms, groups, k1)
+
+
+@query("dd22_semdedup_two_level", oracle=_dd22_oracle())
+def dd22_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with TWO-LEVEL codebook assignment — the production fix
+    dd20's 100x probe row calls for: the flat form scores every row
+    against all k = ceil(n/DD20_TARGET_CELL) centroids, an O(n*k*d)
+    term that is quadratic-in-n once k rides with the corpus, and its
+    k-struct literal plan grows with the codebook. Here each row ranks
+    only the k1 = ceil(sqrt(k2)) SUPER-centroids, then only the fine
+    centroids grouped under the winning super — O(n*sqrt(k)*d) expected
+    work, the standard IVF coarse-then-fine search (same trick as
+    sim05's nprobe, applied to index BUILD). Assignment is approximate
+    exactly the way production SemDeDup/faiss assignment is (the true
+    nearest fine centroid may live under a different super); the rule
+    is deterministic and the oracle restates it exactly, so every
+    verdict still hash-pins.
+
+    Plan shape, size-dispatched (round-11 verdict task 2): below
+    DD22_LITERAL_MAX_BYTES the codebook rides as three literal nodes
+    (array-of-arrays CB + norms + groups), so the EXPRESSION TREE is
+    k-independent (pytest pins the same lambda/sort skeleton at k=16
+    and k=63) and Column construction is O(1) where dd20 builds k
+    struct Columns per query; past the threshold the codebook ships as
+    a REAL Spark broadcast variable consumed by an Arrow-batched numpy
+    stage — task binary and expression tree O(1) in k2, codebook
+    torrented once per executor — with both paths bit-identical
+    (pytest pins it at a forced-0 threshold). Assignment stays a
+    zero-shuffle narrow pass either way, and the verdict tail
+    (within-cell semi-join + vec_id join) is byte-identical to
+    dd15/dd20's via the shared helper. Driver-side state is the k2 x d
+    codebook (the bounded-metadata class, MBs at Abbas-et-al scale —
+    count() + a TakeOrdered of k2 rows, never the corpus) plus the
+    numpy-vectorized fine→super grouping (_group_fine_under_super —
+    left-fold cosines bit-identical to the oracle's list_reduce). The
+    emitted cell is the winning centroid's vec_id via a k2-entry ids
+    literal, matching the rank-based oracle on any id layout."""
+    _, k1, k2, ids, cb = _codebook_rows(spark, sf_dir)
+    norms, groups = _group_fine_under_super(cb, k1)
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", _dvec("embedding").alias("e"))
+    ids_lit = F.lit(ids)
+    assigned = _two_level_assign(spark, base, cb, norms, groups, k1).select(
+        "vec_id",
+        "e",
+        # codebook POSITION → centroid vec_id (dense-id layouts make
+        # these equal; shifted layouts need the mapping for the
+        # rank-based oracle to agree)
+        F.element_at(ids_lit, (F.col("pos") + 1).cast("int"))
+        .cast("bigint")
+        .alias("cell"),
+        "cos_to_cent",
+    )
     return _semdedup_verdict(assigned)
+
+
+DD23_ITERATIONS = 2
+
+
+def _dd23_oracle() -> str:
+    return f"""
+    SELECT COUNT(*)::BIGINT AS n_vectors,
+           CAST(CEIL(COUNT(*) / {DD20_TARGET_CELL}.0) AS BIGINT) AS k2,
+           {DD23_ITERATIONS} AS n_iterations,
+           TRUE AS assigned_once,
+           TRUE AS cells_in_range,
+           TRUE AS objective_monotone
+    FROM embeddings
+    """
+
+
+@query("dd23_semdedup_trained", oracle=_dd23_oracle())
+def dd23_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup against a TRAINED codebook (round-11 verdict task 5):
+    dd20/dd22 verify assignment + verdict against a deterministic
+    seed codebook ("first k2 rows by vec_id" — an oracle device, not a
+    production codebook); dd23 closes the loop by TRAINING the k2
+    centroids with spherical k-means (Lloyd's on unit vectors —
+    Dhillon & Modha 2001, the cosine-objective variant production
+    SemDeDup/faiss coarse quantizers use) and then running the shared
+    verdict machinery against the trained cells. Seeds are dd22's exact
+    rank-based codebook, so iteration 0's assignment is bit-identical
+    to dd22's (pytest pins it); training then moves the centroids.
+
+    Scale shape, per iteration (the sim09 driver-iterates/executors-
+    scan loop on dd22's machinery): assignment is the broadcast-variable
+    + Arrow numpy two-level pass UNCONDITIONALLY — a changing codebook
+    must never fold into plan literals (it would recompile and re-ship
+    the plan per iteration; the broadcast re-torrents only data), and
+    training IS the production regime the size dispatch exists for.
+    The spherical update (new centroid = per-cell mean of UNIT vectors,
+    the choice that makes the cosine objective non-decreasing under
+    exact assignment) reduces through posexplode → groupBy(pos, dim) —
+    a map-side-combined hash agg whose k2 × d output rows collect back
+    as bounded metadata (3 MB at the 100× probe, never the corpus);
+    per-iteration objective J_t = Σ cos rides out of the same shuffle
+    (the sim09 sd2 trick). Empty cells keep their previous centroid.
+
+    Oracle promotion follows sim09's invariant pattern: the trained
+    means are partition-order dependent in the last ulps, so hashing
+    cells cross-engine is meaningless — but Lloyd's INVARIANTS are
+    exact: n_vectors (every vector verdicted exactly once — DuckDB
+    states the count independently), k2 (the same exact integer),
+    n_iterations, assigned_once, cells_in_range, and
+    objective_monotone (J never decreased across the measured run;
+    two-level assignment is approximate, so this is measured, not
+    assumed — 1e-9-relative tolerance absorbs the ulp noise). The full
+    per-cell populations and verdicts are pinned against a numpy
+    third-engine replay in tests/test_round12_ops.py."""
+    _, k1, k2, _, cb = _codebook_rows(spark, sf_dir)
+    d = len(cb[0])
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", _dvec("embedding").alias("e"))
+
+    def tol(a: float) -> float:
+        return abs(a) * 1e-9 + 1e-9
+
+    C = [list(v) for v in cb]
+    objectives: list[float] = []
+    for _ in range(DD23_ITERATIONS):
+        norms, groups = _group_fine_under_super(C, k1)
+        assigned = _two_level_assign_broadcast(spark, base, C, norms, groups, k1)
+        qn = F.sqrt(_dot(F.col("e"), F.col("e")))
+        stats = (
+            assigned.select(
+                "pos",
+                "cos_to_cent",
+                F.posexplode(F.transform("e", lambda x: x / qn)).alias(
+                    "dim", "val"
+                ),
+            )
+            .groupBy("pos", "dim")
+            .agg(
+                F.sum("val").alias("s"),
+                F.count("*").alias("cnt"),
+                # each source row appears once per dim, so Σ cos / d
+                # recovers the exact objective contribution — J_t rides
+                # out of the shuffle the update already pays (sim09)
+                F.sum("cos_to_cent").alias("sc"),
+            )
+            .collect()
+        )
+        objectives.append(sum(r["sc"] for r in stats) / d)
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r["pos"], [0.0] * d)[r["dim"]] = r["s"]
+            counts[r["pos"]] = r["cnt"]
+        C = [
+            [x / counts[p] for x in sums[p]] if p in counts else C[p]
+            for p in range(k2)
+        ]
+    monotone_prefix = all(
+        b >= a - tol(a) for a, b in zip(objectives, objectives[1:])
+    )
+    norms, groups = _group_fine_under_super(C, k1)
+    assigned = _two_level_assign_broadcast(
+        spark, base, C, norms, groups, k1
+    ).select(
+        "vec_id",
+        "e",
+        # trained centroids have no vec_id; the cell IS the codebook
+        # position (0..k2-1), which cells_in_range states exactly
+        F.col("pos").cast("bigint").alias("cell"),
+        "cos_to_cent",
+    )
+    verdict = _semdedup_verdict(assigned)
+    return verdict.agg(
+        F.count("*").alias("n_vectors"),
+        F.lit(k2).cast("bigint").alias("k2"),
+        F.lit(DD23_ITERATIONS).cast("int").alias("n_iterations"),
+        (F.count_distinct("vec_id") == F.count("*")).alias("assigned_once"),
+        ((F.min("cell") >= 0) & (F.max("cell") < k2)).alias("cells_in_range"),
+        (
+            F.lit(monotone_prefix)
+            & (
+                F.sum("cos_to_cent")
+                >= F.lit(objectives[-1] - tol(objectives[-1]))
+            )
+        ).alias("objective_monotone"),
+    )
 
 
 @query(

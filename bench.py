@@ -228,9 +228,16 @@ OPTIONAL = [
     "cur09_pseudonymize_ids",  # key-coherent pseudonymization audit, injectivity-verified
     # round 11
     "ing22_reconcile_by_hash",  # T5 reconciliation merge, hash-compare + anti-join
-    "dd20_semdedup_production_k",  # cell-size-bounded SemDeDup (dd15's 100 TB form)
+    # dd20 is a documented CONTRAST FIXTURE (round-11 verdict task 3):
+    # its flat O(n*k*d) assignment is the cost dd22 exists to beat (225x
+    # vs 85x per decade at the 100x probe) — do NOT run it past ~10x.
+    # It stays benched at sf0.1 (0.4 s, well inside its envelope) BECAUSE
+    # the dd20-vs-dd22 delta at the same sf is the ongoing measurement.
+    "dd20_semdedup_production_k",  # contrast fixture: flat-assignment cost yardstick
     "dd21_substring_dedup",  # Lee-2022 stride-1 exact-substring dedup, kept-text checksums
     "dd22_semdedup_two_level",  # coarse-then-fine codebook assignment, O(n*sqrt(k)*d)
+    # round 12
+    "dd23_semdedup_trained",  # spherical-k-means trained codebook + verdict (2 Lloyd rounds)
 ]
 
 

@@ -120,6 +120,10 @@ QUERIES = [
     "dd20_semdedup_production_k",  # round-11: k grows with n — within-cell pairs must stay bounded
     "dd21_substring_dedup",  # round-11: dd19's triple shuffle at stride 1 — linear in tokens
     "dd22_semdedup_two_level",  # round-11: coarse-then-fine assignment must beat dd20's n*k term
+    # round-12: dd22 crosses onto the broadcast+Arrow path at 10x
+    # (320 KiB codebook > DD22_LITERAL_MAX_BYTES) — the ratio now
+    # measures the production dispatch, not just the literal form
+    "dd23_semdedup_trained",  # round-12: trained codebook — per-iteration scans + k2*d-bounded update shuffles
 ]
 
 
