@@ -1129,6 +1129,161 @@ def dd23_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd24_oracle() -> str:
+    t = DD20_TARGET_CELL
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 10 <> 0),
+    kk AS (
+        SELECT CAST(CEIL(n / {t}.0) AS BIGINT) AS k2,
+               CAST(CEIL(SQRT(CEIL(n / {t}.0))) AS BIGINT) AS k1
+        FROM nn
+    ),
+    fine AS (
+        -- rank-based codebook over the STANDING corpus only (the store
+        -- the delta is reconciled against) — the dd22 selection rule
+        SELECT cid, ce, rk FROM (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) AS rk
+            FROM embeddings WHERE vec_id % 10 <> 0
+        ) WHERE rk <= (SELECT k2 FROM kk)
+    ),
+    sup AS (SELECT cid, ce FROM fine WHERE rk <= (SELECT k1 FROM kk)),
+    fgrp AS (
+        SELECT cid, sid FROM (
+            SELECT f.cid, s.cid AS sid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY f.cid
+                       ORDER BY {_duck_cosine('f.ce', 's.ce')} DESC, s.cid ASC
+                   ) AS rn
+            FROM fine f CROSS JOIN sup s
+        ) WHERE rn = 1
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    vs AS (
+        SELECT vec_id, e, sid FROM (
+            SELECT v.vec_id, v.e, s.cid AS sid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_duck_cosine('v.e', 's.ce')} DESC, s.cid ASC
+                   ) AS rn
+            FROM v CROSS JOIN sup s
+        ) WHERE rn = 1
+    ),
+    assigned AS (
+        SELECT vec_id, e, cell, c AS cos_to_cent FROM (
+            SELECT vs.vec_id, vs.e, f.cid AS cell,
+                   {_duck_cosine('vs.e', 'f.ce')} AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vs.vec_id
+                       ORDER BY {_duck_cosine('vs.e', 'f.ce')} DESC, f.cid ASC
+                   ) AS rn
+            FROM vs JOIN fgrp g ON g.sid = vs.sid JOIN fine f ON f.cid = g.cid
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cell, a.cos_to_cent,
+           EXISTS (
+               SELECT 1 FROM assigned b
+               WHERE b.cell = a.cell AND b.vec_id <> a.vec_id
+                 AND {_duck_cosine('a.e', 'b.e')} >= {DD15_TAU}
+                 AND (b.vec_id % 10 <> 0
+                      OR b.cos_to_cent < a.cos_to_cent
+                      OR (b.cos_to_cent = a.cos_to_cent
+                          AND b.vec_id < a.vec_id))
+           ) AS pruned
+    FROM assigned a WHERE a.vec_id % 10 = 0
+    """
+
+
+@query("dd24_incremental_semdedup", oracle=_dd24_oracle())
+def dd24_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup — dd14's standing-store refresh pattern for
+    EMBEDDINGS: when a delta batch (vec_id % 10 == 0, the dd14 split
+    convention) lands against an already-deduplicated standing corpus,
+    only the delta needs a verdict. The codebook is the STANDING
+    corpus's (dd22's rank-based first-k2, k2 = ceil(n_standing/32)) —
+    an incremental refresh must NOT re-cluster the store, or every
+    standing cell id (and every stored verdict) would be invalidated.
+    Delta verdict rule: pruned iff some same-cell partner within
+    DD15_TAU either (a) is a STANDING member — the store always wins,
+    the keep-first semantics every incremental dedup (dd14, ing01)
+    uses — or (b) is a delta member that dominates under dd15's
+    keep-farthest-from-centroid rule. Standing rows are never
+    re-verdicted (their verdicts are immutable store state).
+
+    Scale shape: ONE narrow pass assigns standing+delta together (the
+    standing assignment is recomputed here only so the query is
+    self-contained and oracle-closed — the dd14/cur03 differential-
+    setting convention; production reads the stored cell column and
+    assigns ONLY the delta, O(|delta|·√k·d) fresh compute per refresh),
+    the checkpointed assignment feeds both sides of the cell-keyed
+    left-semi join, and the join output is bounded by DELTA cell
+    occupancy (~|delta|·DD20_TARGET_CELL/|corpus| pairs per cell), not
+    corpus size — at a daily-refresh 100 TB corpus with a ~1% delta
+    this is the dd14 argument verbatim. Assignment dispatches
+    literal/broadcast by codebook size exactly as dd22
+    (_two_level_assign). Bit-identity: shared machinery end-to-end;
+    the oracle restates the standing-only rank selection, the
+    two-stage ranking, and the incremental EXISTS verbatim."""
+    e = load_table(spark, sf_dir, "embeddings")
+    standing = e.filter(F.col("vec_id") % 10 != 0)
+    n = standing.count()
+    k2 = -(-n // DD20_TARGET_CELL)
+    k1 = math.ceil(math.sqrt(k2))
+    rows = (
+        standing.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(k2)
+        .collect()
+    )
+    ids = [int(r["vec_id"]) for r in rows]
+    cb = [[float(x) for x in r["embedding"]] for r in rows]
+    norms, groups = _group_fine_under_super(cb, k1)
+    base = e.select("vec_id", _dvec("embedding").alias("e"))
+    ids_lit = F.lit(ids)
+    assigned = _two_level_assign(spark, base, cb, norms, groups, k1).select(
+        "vec_id",
+        "e",
+        F.element_at(ids_lit, (F.col("pos") + 1).cast("int"))
+        .cast("bigint")
+        .alias("cell"),
+        "cos_to_cent",
+    )
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
+    # both join sides consume the one-pass assignment — materialize once
+    assigned = lazy_checkpoint(assigned)
+    delta = assigned.filter(F.col("vec_id") % 10 == 0)
+    a, b = delta.alias("a"), assigned.alias("b")
+    b_wins = (F.col("b.vec_id") % 10 != 0) | (
+        (F.col("b.cos_to_cent") < F.col("a.cos_to_cent"))
+        | (
+            (F.col("b.cos_to_cent") == F.col("a.cos_to_cent"))
+            & (F.col("b.vec_id") < F.col("a.vec_id"))
+        )
+    )
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (_cosine(F.col("a.e"), F.col("b.e")) >= DD15_TAU)
+            & b_wins,
+            "left_semi",
+        )
+        .select("vec_id")
+        .withColumn("pr", F.lit(True))
+    )
+    return (
+        delta.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cos_to_cent",
+            F.coalesce("pr", F.lit(False)).alias("pruned"),
+        )
+    )
+
+
 @query(
     "sim06_matmul_topk",
     oracle=f"""
@@ -1536,6 +1691,228 @@ def sim08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "adc", "rn")
+    )
+
+
+@query(
+    "sim15_ivfpq_topk",
+    oracle=f"""
+    WITH cents AS ({_DUCK_IVF_CENTROIDS}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    assign AS (
+        SELECT vec_id, cent_id, ce FROM (
+            SELECT v.vec_id, c.cent_id, c.ce,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_duck_cosine('v.e', 'c.ce')} DESC, c.cent_id ASC
+                   ) AS rn
+            FROM v CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    resid AS (
+        SELECT a.vec_id, list_transform(v.e, (x,i) -> x - (a.ce)[i]) AS r,
+               a.cent_id AS cell
+        FROM assign a JOIN v ON v.vec_id = a.vec_id
+    ),
+    subs AS (SELECT unnest(generate_series(0, 3)) AS s),
+    codes AS (
+        SELECT vec_id, cell, s, cent_id AS code FROM (
+            SELECT r.vec_id, r.cell, s.s, c2.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r.vec_id, s.s
+                       ORDER BY {_DUCK_L2SQ.format(
+                           a='list_slice(r.r, s.s * 16 + 1, s.s * 16 + 16)',
+                           b='list_slice(c2.ce, s.s * 16 + 1, s.s * 16 + 16)')}
+                           ASC, c2.cent_id ASC
+                   ) AS rn
+            FROM resid r CROSS JOIN subs s CROSS JOIN cents c2
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id AS pcell, ce AS pce FROM (
+            SELECT v.vec_id, c.cent_id, c.ce,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_duck_cosine('v.e', 'c.ce')} DESC, c.cent_id ASC
+                   ) AS rn
+            FROM v CROSS JOIN cents c WHERE v.vec_id < 5
+        ) WHERE rn <= 2
+    ),
+    qd AS (
+        SELECT p.query_id, p.pcell, s.s, c2.cent_id AS code,
+               {_DUCK_L2SQ.format(
+                   a="list_slice(list_transform(q.e, (x,i) -> x - (p.pce)[i]),"
+                     " s.s * 16 + 1, s.s * 16 + 16)",
+                   b='list_slice(c2.ce, s.s * 16 + 1, s.s * 16 + 16)')} AS qd2
+        FROM probes p
+        JOIN v q ON q.vec_id = p.query_id
+        CROSS JOIN subs s CROSS JOIN cents c2
+    ),
+    adc AS (
+        SELECT qd.query_id, c.vec_id AS neighbor_id,
+               MAX(CASE WHEN qd.s = 0 THEN qd.qd2 END)
+                   + MAX(CASE WHEN qd.s = 1 THEN qd.qd2 END)
+                   + MAX(CASE WHEN qd.s = 2 THEN qd.qd2 END)
+                   + MAX(CASE WHEN qd.s = 3 THEN qd.qd2 END) AS adc
+        FROM codes c
+        JOIN qd ON qd.pcell = c.cell AND qd.s = c.s AND qd.code = c.code
+        WHERE c.vec_id <> qd.query_id
+        GROUP BY qd.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, adc, rn FROM (
+        SELECT query_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC
+               )::BIGINT AS rn
+        FROM adc
+    )
+    WHERE rn <= 3
+    """,
+)
+def sim15_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed search — the faiss IVFPQ production index layout,
+    closing the ANN family's read-path gap: sim04/05 prune the scan by
+    cell but score RAW floats; sim07/08 score compressed codes but scan
+    the WHOLE corpus. Production does both: each vector lives in an IVF
+    cell (cosine coarse quantizer, the sim04 rule) and is PQ-encoded on
+    its RESIDUAL v − c_cell (Jégou et al. 2011 — residuals cluster far
+    tighter than raw vectors, so the same codebook budget buys less
+    distortion), 4×16-dim subspaces against the 8 deterministic seed
+    subvectors (the sim07 codebook). A query probes its nprobe=2 best
+    cells, builds ONE 4×8 exact-L2² table per probed cell from its own
+    residual against that cell's centroid, and ADC-scores only the
+    probed cells' codes — 4 lookups + 3 adds per candidate.
+
+    Scale shape: the corpus pass is ONE narrow zero-shuffle projection
+    (assign + residual + 4 argmin folds over literal codebooks); the
+    query side folds in as ONE literal array of (query_id, cell,
+    4×8 table) structs — each corpus row explodes through F.filter of
+    that array, so a row only materializes pairs for queries that
+    probed ITS cell (≤ q·nprobe, no corpus blow-up and no join at
+    all); the only exchange is the per-query top-k window. At 100 TB
+    the codes table is ~1/64 of the float payload and the probe
+    pruning skips ~6/8 of it — the two savings MULTIPLY, which is why
+    this is the production layout. Cross-engine determinism: residual
+    subtraction is one exact IEEE op per element on both sides, every
+    L2² is the sequential fold (_l2sq ≡ _DUCK_L2SQ), table entries are
+    driver-computed with the identical fold (the _centroid_array_lit
+    argument), and the 4-term ADC sum is left-associated on both
+    sides."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _centroid_array_lit(spark, sf_dir)
+    base = e.select("vec_id", _dvec("embedding").alias("e")).withColumn(
+        "qn", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    ranked = _ranked_cells(cents, F.col("e"), F.col("qn"))
+    cell = F.element_at(ranked, 1)["cent_id"]
+    assigned = base.select("vec_id", "e", cell.alias("cell"))
+    ce_of_cell = F.element_at(
+        F.filter(cents, lambda c: c["cent_id"] == F.col("cell")), 1
+    )["ce"]
+    resid = assigned.select(
+        "vec_id",
+        "cell",
+        F.zip_with("e", ce_of_cell, lambda x, y: x - y).alias("r"),
+    )
+
+    # driver-side codebook + per-(query, probed-cell) ADC tables: all
+    # inputs are the 8 centroids and 5 query vectors — bounded metadata
+    rows = (
+        e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    cvecs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in sorted(rows, key=lambda r: r["vec_id"])
+    ]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    cnorms = {cid: math.sqrt(fold_dot(v, v)) for cid, v in cvecs}
+    qrows = (
+        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    qtabs = []  # (query_id, probed cell, 4×8 table) — 10 entries
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        qid = int(r["vec_id"])
+        qv = [float(x) for x in r["embedding"]]
+        qnorm = math.sqrt(fold_dot(qv, qv))
+        probed = sorted(
+            cvecs,
+            key=lambda cv: (-(fold_dot(qv, cv[1]) / (qnorm * cnorms[cv[0]])), cv[0]),
+        )[:2]
+        for pcell, pvec in probed:
+            qres = [x - y for x, y in zip(qv, pvec)]
+            tab = [
+                [l2sq(qres[s * 16:(s + 1) * 16], cv[s * 16:(s + 1) * 16])
+                 for _, cv in cvecs]
+                for s in range(4)
+            ]
+            qtabs.append((qid, pcell, tab))
+
+    # per-subspace residual codes: argmin over the literal codebook
+    code_cols = []
+    for s in range(4):
+        ranked_codes = F.sort_array(
+            F.array(*[
+                F.struct(
+                    _l2sq(
+                        F.slice(F.col("r"), s * 16 + 1, 16),
+                        F.lit(cv[s * 16:(s + 1) * 16]),
+                    ).alias("d2"),
+                    F.lit(cid).cast("long").alias("cent_id"),
+                )
+                for cid, cv in cvecs
+            ])
+        )
+        code_cols.append(
+            F.element_at(ranked_codes, 1)["cent_id"].alias(f"code{s}")
+        )
+    coded = resid.select("vec_id", "cell", *code_cols)
+
+    per_query = F.array(*[
+        F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.lit(pcell).cast("long").alias("pcell"),
+            (
+                F.element_at(F.lit(tab[0]), F.col("code0").cast("int") + 1)
+                + F.element_at(F.lit(tab[1]), F.col("code1").cast("int") + 1)
+                + F.element_at(F.lit(tab[2]), F.col("code2").cast("int") + 1)
+                + F.element_at(F.lit(tab[3]), F.col("code3").cast("int") + 1)
+            ).alias("adc"),
+        )
+        for qid, pcell, tab in qtabs
+    ])
+    pairs = (
+        coded.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(
+                F.filter(per_query, lambda q: q["pcell"] == F.col("cell"))
+            ).alias("q"),
+        )
+        .select(
+            "neighbor_id",
+            F.col("q")["query_id"].alias("query_id"),
+            F.col("q")["adc"].alias("adc"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
     return (
         pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)

@@ -340,6 +340,7 @@ CHECKPOINTING_QUERIES = {
     "dd20_semdedup_production_k",  # round 11: dd15's assignment checkpoint, shared helper
     "dd22_semdedup_two_level",  # round 11: same checkpoint in the shared verdict tail
     "dd23_semdedup_trained",  # round 12: same checkpoint, trained-codebook cells
+    "dd24_incremental_semdedup",  # round 12: one-pass assignment feeds both semi-join sides
     "dd21_substring_dedup",  # round 11: narrow token/window arrays feed keep-first + stats fold
     "dq09_fd_profile_sampled",  # round 10: projected cols + hashes feed N bottom-K legs + profiles
     "st17_span_dedup_live",  # round 10: batch narrow relation feeds the stats fold twice

@@ -116,29 +116,32 @@ def _load_all() -> None:
 #      r11 advice; assignment gained the vectorized grouping + broadcast
 #      codebook path), so it must be re-hash-pinned by the incoming
 #      driver run rather than coast on the r11 row of the old form.
-#   3. the round-12 addition needing a FIRST driver row: dd23
+#   3. the round-12 additions needing a FIRST driver row: dd23
 #      (trained-codebook SemDeDup — spherical-k-means training on
 #      dd22's two-level assignment machinery, sim09-style invariant
-#      oracle). Names listed here before the op lands are skipped by
+#      oracle), dd24 (incremental SemDeDup: delta batch vs a standing
+#      store's codebook, the dd14 refresh pattern for embeddings), and
+#      sim15 (IVF+PQ composed ADC search — the faiss IVFPQ production
+#      read path). Names listed here before the op lands are skipped by
 #      _rotated until registered.
 #   4. r13-crunch stagger: the r7 cohort is 47 names and ALL of them hit
-#      the freshness floor at r13; pulling 8 forward now (ev17, inc02,
-#      ab01, ev18, dd13, dd14, dq03, dq04 — first-registered order
-#      within the cohort) leaves the r13 fill queue at 39 names, which
-#      fits the 50-slot prefix with room for r13's own new ops.
-# 40 + 1 + 1 + 8 = 50 exactly. The r13 fill queue (remaining r7 cohort,
-# 39): cur02-cur05, dd15, decon03, dq05, dq06, mix02, q01-q18, samp06,
+#      the freshness floor at r13; pulling 6 forward now (ev17, inc02,
+#      ab01, ev18, dd13, dd14 — first-registered order within the
+#      cohort) leaves the r13 fill queue at 41 names, which fits the
+#      50-slot prefix with room for r13's own new ops.
+# 40 + 1 + 3 + 6 = 50 exactly. The r13 fill queue (remaining r7 cohort,
+# 41): cur02-cur05, dd15, decon03, dq03-dq06, mix02, q01-q18, samp06,
 # sim11, st11-st13, tx20-tx22, w01, w02, x12, x22. Nothing is removed —
 # every query stays registered and the pytest mirror in
-# tests/test_queries_oracle.py still covers all 282.
+# tests/test_queries_oracle.py still covers all 284.
 _DRIVER_SAMPLE_PREFIX = [
     "dq02", *[f"x{i}" for i in range(14, 22)], "x23",
     *[f"q{i}" for i in range(39, 51)],
     "samp05", "sim06", "sim09", "sim10", "tx17", "tx18", "tx19",
     *[f"mm{i:02d}" for i in range(1, 7)],
     "ret01", "st06", "st07", "st09", "st10",
-    "dd22", "dd23",
-    "ev17", "inc02", "ab01", "ev18", "dd13", "dd14", "dq03", "dq04",
+    "dd22", "dd23", "dd24", "sim15",
+    "ev17", "inc02", "ab01", "ev18", "dd13", "dd14",
 ]
 
 

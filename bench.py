@@ -238,6 +238,8 @@ OPTIONAL = [
     "dd22_semdedup_two_level",  # coarse-then-fine codebook assignment, O(n*sqrt(k)*d)
     # round 12
     "dd23_semdedup_trained",  # spherical-k-means trained codebook + verdict (2 Lloyd rounds)
+    "dd24_incremental_semdedup",  # delta-vs-standing-store SemDeDup refresh (dd14's pattern)
+    "sim15_ivfpq_topk",  # IVF cell pruning x PQ residual codes — the faiss IVFPQ read path
 ]
 
 

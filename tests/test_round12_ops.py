@@ -313,3 +313,234 @@ def test_dd23_objective_strictly_improves(spark):
     E = np.array([v for _, v in rows], dtype=np.float64)
     _, obj = _numpy_training_replay(E, 2)
     assert obj[-1] > obj[0] + 1.0
+
+
+# ------------------------------------------------------------- dd24
+
+
+def test_dd24_incremental_rule_witnessed(spark):
+    """Third-engine re-derivation of the incremental verdict from raw
+    embeddings (the dd20/dd22 witnessed-EXISTS pattern): a delta row is
+    pruned iff some same-cell partner within DD15_TAU is standing, or
+    is a delta member that dominates under dd15's rule — recomputed
+    here with plain-Python folds over the query's own cells."""
+    from api_etl_pipeline_spark.llm_ops.similarity import DD15_TAU
+    from api_etl_pipeline_spark.tables import load_table
+
+    sf = SF_SMOKE
+    out = {
+        r.vec_id: r
+        for r in all_queries()["dd24_incremental_semdedup"].fn(spark, sf).collect()
+    }
+    assert out and all(v % 10 == 0 for v in out)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    # cells must come from the query itself (the trained/assigned state);
+    # re-derive cell membership for ALL vectors from the same standing
+    # codebook via the replay helper the dd22 test owns
+    from tests.test_round11_ops import _two_level_assign_replay
+
+    standing_vecs = {v: e for v, e in vecs.items() if v % 10 != 0}
+    # replay expects dense-codebook semantics: feed it the full corpus
+    # but with k2/k1 sized on standing — replicate inline instead
+    n = len(standing_vecs)
+    k2 = -(-n // 32)
+    import math as m
+
+    k1 = m.ceil(m.sqrt(k2))
+    cb_ids = sorted(standing_vecs)[:k2]
+    cb = [standing_vecs[i] for i in cb_ids]
+    norms = [m.sqrt(fold_dot(v, v)) for v in cb]
+
+    def best(e, qn, idxs):
+        ranked = sorted(
+            (-(fold_dot(e, cb[i]) / (qn * norms[i])), i) for i in idxs
+        )
+        return ranked[0]
+
+    groups = {i: [] for i in range(k1)}
+    for j in range(k2):
+        groups[best(cb[j], norms[j], range(k1))[1]].append(j)
+    assigned = {}
+    for vid, e in vecs.items():
+        qn = m.sqrt(fold_dot(e, e))
+        s = best(e, qn, range(k1))[1]
+        negc, pos = best(e, qn, groups[s])
+        assigned[vid] = (cb_ids[pos], -negc + 0.0)
+
+    def cos(a, b):
+        return fold_dot(vecs[a], vecs[b]) / (
+            m.sqrt(fold_dot(vecs[a], vecs[a]))
+            * m.sqrt(fold_dot(vecs[b], vecs[b]))
+        )
+
+    n_pruned = 0
+    for vid, r in out.items():
+        cell, c2c = assigned[vid]
+        assert (r.cell, r.cos_to_cent) == (cell, c2c), vid
+        expected = any(
+            cos(vid, b) >= DD15_TAU
+            and (
+                b % 10 != 0
+                or assigned[b][1] < c2c
+                or (assigned[b][1] == c2c and b < vid)
+            )
+            for b, (bcell, _) in assigned.items()
+            if b != vid and bcell == cell
+        )
+        assert r.pruned == expected, vid
+        n_pruned += r.pruned
+    assert 0 < n_pruned < len(out)
+
+
+def test_dd24_standing_codebook_unchanged_by_delta(spark):
+    """The incremental contract: the codebook (and hence every standing
+    cell id) must derive from the STANDING corpus only — adding the
+    delta must not move it. Pin: dd24's distinct cells are a subset of
+    the standing codebook's vec_ids, and k2 sizes on the standing
+    count, not the full corpus."""
+    from api_etl_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = SF_DIR
+    e = load_table(spark, sf, "embeddings")
+    n_standing = e.filter(F.col("vec_id") % 10 != 0).count()
+    k2 = -(-n_standing // 32)
+    cb_ids = [
+        r.vec_id
+        for r in e.filter(F.col("vec_id") % 10 != 0)
+        .orderBy("vec_id")
+        .limit(k2)
+        .collect()
+    ]
+    out = all_queries()["dd24_incremental_semdedup"].fn(spark, sf).collect()
+    assert {r.cell for r in out} <= set(cb_ids)
+    assert all(c % 10 != 0 for c in cb_ids)
+
+
+# ------------------------------------------------------------- sim15
+
+
+def test_sim15_matches_python_ivfpq_replay(spark):
+    """Full plain-Python IVFPQ replay at sf0.001: cosine cell
+    assignment, residual PQ codes, nprobe=2 probe lists, per-(query,
+    cell) ADC tables, top-3 — every output row must match bit-for-bit
+    (same folds, same tie rules)."""
+    import math as m
+
+    from api_etl_pipeline_spark.tables import load_table
+
+    sf = SF_SMOKE
+    rows = all_queries()["sim15_ivfpq_topk"].fn(spark, sf).collect()
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    cents = {i: vecs[i] for i in range(8)}
+    cnorm = {i: m.sqrt(fold_dot(v, v)) for i, v in cents.items()}
+
+    def ranked_cells(e):
+        qn = m.sqrt(fold_dot(e, e))
+        return sorted(
+            (-(fold_dot(e, cents[i]) / (qn * cnorm[i])), i) for i in cents
+        )
+
+    cell = {}
+    codes = {}
+    for vid, e in vecs.items():
+        c = ranked_cells(e)[0][1]
+        cell[vid] = c
+        r = [x - y for x, y in zip(e, cents[c])]
+        codes[vid] = [
+            min(
+                (l2sq(r[s * 16:(s + 1) * 16], cents[j][s * 16:(s + 1) * 16]), j)
+                for j in cents
+            )[1]
+            for s in range(4)
+        ]
+    expected = {}
+    for qid in range(5):
+        probes = [i for _, i in ranked_cells(vecs[qid])[:2]]
+        cand = []
+        for pcell in probes:
+            qres = [x - y for x, y in zip(vecs[qid], cents[pcell])]
+            tab = [
+                {j: l2sq(qres[s * 16:(s + 1) * 16], cents[j][s * 16:(s + 1) * 16])
+                 for j in cents}
+                for s in range(4)
+            ]
+            for vid, c in cell.items():
+                if c == pcell and vid != qid:
+                    cs = codes[vid]
+                    adc = ((tab[0][cs[0]] + tab[1][cs[1]]) + tab[2][cs[2]]) + tab[3][cs[3]]
+                    cand.append((adc, vid))
+        for rn, (adc, vid) in enumerate(sorted(cand)[:3], start=1):
+            expected[(qid, vid)] = (adc, rn)
+    got = {(r.query_id, r.neighbor_id): (r.adc, r.rn) for r in rows}
+    assert got == expected
+
+
+def test_sim15_candidates_only_from_probed_cells(spark):
+    """Structural claim of the composed index: every returned neighbor's
+    IVF cell is one of its query's 2 probed cells (the scan-pruning
+    contract), and each query returns exactly min(3, candidates) rows."""
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.llm_ops.similarity import (
+        _centroid_array_lit,
+        _dot,
+        _dvec,
+        _ranked_cells,
+    )
+    from api_etl_pipeline_spark.tables import load_table
+
+    sf = SF_DIR
+    rows = all_queries()["sim15_ivfpq_topk"].fn(spark, sf).collect()
+    e = load_table(spark, sf, "embeddings")
+    cents = _centroid_array_lit(spark, sf)
+    base = e.select("vec_id", _dvec("embedding").alias("e")).withColumn(
+        "qn", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    ranked = _ranked_cells(cents, F.col("e"), F.col("qn"))
+    cell_of = {
+        r.vec_id: r.cell
+        for r in base.select(
+            "vec_id", F.element_at(ranked, 1)["cent_id"].alias("cell")
+        ).collect()
+    }
+    probes_of = {
+        r.vec_id: [p["cent_id"] for p in r.probes]
+        for r in base.filter(F.col("vec_id") < 5)
+        .select("vec_id", F.slice(ranked, 1, 2).alias("probes"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert cell_of[r.neighbor_id] in probes_of[r.query_id], r
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rn)
+    for q, rns in per_q.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1)), q

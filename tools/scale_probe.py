@@ -124,6 +124,8 @@ QUERIES = [
     # (320 KiB codebook > DD22_LITERAL_MAX_BYTES) — the ratio now
     # measures the production dispatch, not just the literal form
     "dd23_semdedup_trained",  # round-12: trained codebook — per-iteration scans + k2*d-bounded update shuffles
+    "dd24_incremental_semdedup",  # round-12: verdict join must stay delta-cell-bounded, not corpus-bounded
+    "sim15_ivfpq_topk",  # round-12: code scan + probe pruning must multiply, window stays query-bounded
 ]
 
 
