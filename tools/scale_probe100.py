@@ -178,8 +178,26 @@ QUERIES = [
     "dd20_semdedup_production_k",
     # round 11: the two-level fix itself — coarse-then-fine assignment
     # (O(n*sqrt(k)*d)) with a constant-size plan; probed at the same
-    # decade as dd20 so the contrast row is apples-to-apples.
+    # decade as dd20 so the contrast row is apples-to-apples. Round 12:
+    # at this decade the 3.2 MiB codebook crosses DD22_LITERAL_MAX_BYTES,
+    # so this row now measures the BROADCAST+Arrow production path (and
+    # the numpy-vectorized fine->super grouping) — the r11 verdict's
+    # "re-run 100x probe" for the off-the-literal fix.
     "dd22_semdedup_two_level",
+    # round 12: trained-codebook SemDeDup at the second decade — 3
+    # broadcast assignments (k2=6250 via k1=80 supers) plus 2 spherical
+    # updates whose k2*d stats collects are the only driver traffic;
+    # the training loop's cost must track the corpus scans, not k.
+    "dd23_semdedup_trained",
+    # round 12: the incremental refresh at the second decade — the
+    # standing codebook grows with the store but the verdict join must
+    # stay bounded by DELTA cell occupancy (the dd14 argument).
+    "dd24_incremental_semdedup",
+    # round 12: IVFPQ read path — code scan (~1/64 payload) x probe
+    # pruning (~2/8 cells) must multiply; the top-k window exchange
+    # stays query-bounded. Replica-0 ids survive the shift, so the
+    # 8-centroid/5-query literals resolve identically at 100x.
+    "sim15_ivfpq_topk",
 ]
 
 
