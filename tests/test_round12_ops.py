@@ -544,3 +544,169 @@ def test_sim15_candidates_only_from_probed_cells(spark):
         per_q.setdefault(r.query_id, []).append(r.rn)
     for q, rns in per_q.items():
         assert sorted(rns) == list(range(1, len(rns) + 1)), q
+
+
+# ------------------------------------------- random-corpus robustness
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.integers(2, 12).flatmap(
+        lambda k2: st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-100,
+                    max_value=100,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                ),
+                min_size=6,
+                max_size=6,
+            ).filter(lambda v: sum(x * x for x in v) > 1e-12),
+            min_size=k2,
+            max_size=k2,
+        )
+    )
+)
+def test_group_fine_property_random(cb):
+    """Hypothesis pin of the numpy grouping against the scalar loop over
+    ARBITRARY small codebooks (including near-parallel vectors and
+    subnormal-ish magnitudes hypothesis likes to produce) — the fixture
+    test above covers the real codebooks; this covers the input space
+    the bit-identity argument claims in general."""
+    from api_etl_pipeline_spark.llm_ops.similarity import (
+        _group_fine_under_super,
+    )
+
+    k1 = math.ceil(math.sqrt(len(cb)))
+    try:
+        norms, groups = _group_fine_under_super(cb, k1)
+    except AssertionError:
+        # degenerate (bit-equal tie emptied a super) — the documented
+        # fail-fast contract; the loop replay cannot be compared because
+        # the engine refuses the codebook on BOTH paths identically
+        return
+    exp_norms, exp_groups = _python_group_replay(cb, k1)
+    assert norms == exp_norms
+    assert groups == exp_groups
+
+
+def _write_random_embeddings(tmpdir: str, seed: int, n: int, d: int = 64):
+    """Deterministic random corpus in the testdata embeddings layout
+    (dense vec_id 0..n-1, float32-precision values so the parquet
+    float->double widening is exact on both engines)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(size=(n, d)).astype(np.float32).astype(np.float64)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vals)}
+    )
+    pdf.to_parquet(f"{tmpdir}/embeddings.parquet", index=False)
+
+
+@pytest.mark.parametrize("seed", [7, 1912])
+def test_dd22_random_corpus_four_engines(spark, monkeypatch, tmp_path, seed):
+    """The dd21-style random-corpus pin, for dd22: on a fresh random
+    corpus (not the fixtures the thresholds were tuned on), the literal
+    path, the broadcast path, the plain-Python assignment replay, and
+    the DuckDB oracle must all agree bit-for-bit."""
+    import duckdb
+
+    import api_etl_pipeline_spark.llm_ops.similarity as sim
+    from tests.test_round11_ops import _two_level_assign_replay
+
+    _write_random_embeddings(str(tmp_path), seed, n=150)
+    spec = all_queries()["dd22_semdedup_two_level"]
+    literal = {
+        r.vec_id: (r.cell, r.cos_to_cent, r.pruned)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    monkeypatch.setattr(sim, "DD22_LITERAL_MAX_BYTES", 0)
+    broadcast = {
+        r.vec_id: (r.cell, r.cos_to_cent, r.pruned)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    monkeypatch.undo()
+    assert broadcast == literal
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    oracle = {
+        int(v): (int(c), ct, bool(p))
+        for v, c, ct, p in con.execute(spec.oracle).fetchall()
+    }
+    assert literal == oracle
+
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{tmp_path}/embeddings.parquet")
+    vecs = {
+        int(v): [float(x) for x in e]
+        for v, e in zip(pdf["vec_id"], pdf["embedding"])
+    }
+    replay = _two_level_assign_replay(vecs)
+    for vid, (cell, cos, _) in literal.items():
+        assert replay[vid] == (cell, cos), vid
+
+
+@pytest.mark.parametrize("seed", [23])
+def test_dd24_random_corpus_vs_oracle(spark, tmp_path, seed):
+    """dd24 on a fresh random corpus: Spark output equals its DuckDB
+    oracle exactly (standing-codebook selection, two-stage ranking, and
+    the store-wins incremental EXISTS all re-derived independently)."""
+    import duckdb
+
+    _write_random_embeddings(str(tmp_path), seed, n=140)
+    spec = all_queries()["dd24_incremental_semdedup"]
+    got = {
+        r.vec_id: (r.cell, r.cos_to_cent, r.pruned)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    oracle = {
+        int(v): (int(c), ct, bool(p))
+        for v, c, ct, p in con.execute(spec.oracle).fetchall()
+    }
+    assert got == oracle
+    assert set(got) == {v for v in range(140) if v % 10 == 0}
+
+
+@pytest.mark.parametrize("seed", [101])
+def test_sim15_random_corpus_vs_oracle(spark, tmp_path, seed):
+    """sim15 on a fresh random corpus: Spark output equals its DuckDB
+    oracle exactly (cell assignment, residual PQ codes, probe lists,
+    per-(query,cell) ADC tables, top-3 — every fold re-derived by the
+    oracle from raw floats)."""
+    import duckdb
+
+    _write_random_embeddings(str(tmp_path), seed, n=160)
+    spec = all_queries()["sim15_ivfpq_topk"]
+    got = {
+        (r.query_id, r.neighbor_id): (r.adc, r.rn)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    oracle = {
+        (int(q), int(nb)): (adc, int(rn))
+        for q, nb, adc, rn in con.execute(spec.oracle).fetchall()
+    }
+    assert got == oracle and got
