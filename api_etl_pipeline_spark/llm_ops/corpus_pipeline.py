@@ -39,7 +39,12 @@ from api_etl_pipeline_spark.llm_ops.curation import (
     cur07_extract,
     cur07_extract_sql,
 )
-from api_etl_pipeline_spark.llm_ops.dedup import _DUCK_SIGNATURES, _signatures
+from api_etl_pipeline_spark.llm_ops.dedup import (
+    _DUCK_SIGNATURES,
+    _duck_bands_from,
+    _lsh_bands,
+    _signatures,
+)
 from api_etl_pipeline_spark.llm_ops.sampling import SAMP07_BUCKETS, dsir_log_weights
 from api_etl_pipeline_spark.llm_ops.text import EN_STOPWORDS
 from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
@@ -64,19 +69,21 @@ _DUCK_EXACT = f"""
     ) k ON q.doc_id = k.keeper
 """
 
-# near-dedup: smallest doc_id within any shared MinHash band bucket wins
+# near-dedup: smallest doc_id within any shared MinHash (band, bucket)
+# wins — the band table comes from the SAME generated geometry as
+# dd04's (_duck_bands_from), so the funnel's near-dup stage can never
+# drift from the production index
 _DUCK_NEAR = f"""
     WITH sig AS ({_DUCK_SIGNATURES}),
     bands AS (
-        SELECT doc_id, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
-        UNION ALL
-        SELECT doc_id, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) AS bucket FROM sig
+        {_duck_bands_from("sig")}
     ),
     exact AS ({_DUCK_EXACT}),
     demoted AS (
         SELECT DISTINCT b.doc_id
         FROM bands a
-        JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
         WHERE a.doc_id IN (SELECT doc_id FROM exact)
           AND b.doc_id IN (SELECT doc_id FROM exact)
     )
@@ -122,26 +129,19 @@ def near_dup_demoted_ids(
     doc sharing a band bucket with a lower surviving doc_id). Exposed
     separately from the filtering wrapper so flag-style consumers
     (llm02's single-pass funnel) can mark instead of drop."""
-    sig = _signatures(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.md5(F.concat_ws("_", F.col("mh0").cast("string"), F.col("mh1").cast("string")).cast("binary")),
-                F.md5(F.concat_ws("_", F.col("mh2").cast("string"), F.col("mh3").cast("string")).cast("binary")),
-            )
-        ).alias("bucket"),
-    )
-    # the band table is tiny (2 rows per doc) but sits on BOTH sides of the
-    # self-join — materialize it once instead of recomputing the whole
-    # shingle->signature subtree per side (localCheckpoint truncates the
-    # lineage; at cluster scale use a reliable checkpoint dir)
+    bands = _lsh_bands(_signatures(spark, sf_dir))
+    # the band table is narrow (N_BANDS rows per doc) but sits on BOTH
+    # sides of the self-join — materialize it once instead of recomputing
+    # the whole shingle->signature subtree per side (localCheckpoint
+    # truncates the lineage; at cluster scale use a reliable checkpoint dir)
     live_bands = lazy_checkpoint(bands.join(survivors, "doc_id", "left_semi"))
     a, b = live_bands.alias("a"), live_bands.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()

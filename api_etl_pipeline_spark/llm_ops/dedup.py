@@ -15,9 +15,9 @@ Design for scale (the whole point of these at 100 TB):
 - verification: exact n-gram Jaccard on the candidate pairs.
 
 Cross-engine determinism: hashes are md5 hex (identical in Spark and
-DuckDB); each minhash = integer MIN over a 32-bit slice of the shingle
-md5 (order-independent, and integer MIN keeps Spark on HashAggregate);
-no float accumulation anywhere.
+DuckDB); each minhash = integer MIN over a 32-bit slice of a (salted)
+shingle md5 (order-independent, and integer MIN keeps Spark on
+HashAggregate); no float accumulation anywhere.
 """
 
 from __future__ import annotations
@@ -29,7 +29,29 @@ from api_etl_pipeline_spark.checkpoint import eager_checkpoint, lazy_checkpoint
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
 
-N_MINHASH = 4  # 2 bands × 2 rows
+# Production LSH geometry (round-12 verdict task 2): 32 bands × 2 rows
+# over 64 min-wise hashes. The r12-shipped 2-band × 2-row / 4-hash
+# geometry measured 0.18 recall at the audit's J band by its own
+# instrument (dd16); banding theory puts the b32r2 candidate threshold
+# at (1/32)^(1/2) ≈ 0.18 with P[candidate] = 1-(1-J²)^32 = 0.73 / 0.87
+# / 0.996 at J = 0.20 / 0.25 / 0.40 — matched to the audit's is_dup bar
+# (J ≥ 0.2) instead of sitting far above it (the b16r2 intermediate
+# measured 0.767 at sf0.01, just under the ≥0.8 target; both remain
+# measured rows in dd17's sweep). 64 hashes = 512 B of signature state
+# per doc, the middle of the 32-128 range SCALE.md's band-math row
+# prescribes; each hash is one 32-bit slice of a SALTED md5 computed in
+# the SAME shingle explode (16 md5s per shingle, no extra scan — the
+# dd17 device). The old b2r2 geometry survives inside dd17's sweep as
+# the measured contrast row.
+N_MINHASH = 64
+N_BANDS = 32
+ROWS_PER_BAND = 2
+assert N_BANDS * ROWS_PER_BAND == N_MINHASH
+_N_MD5 = N_MINHASH // 4  # 4 32-bit slices per md5
+# salt convention shared with dd17's sweep since r9: md5 #0 is unsalted
+# (h = md5(shingle), byte-identical to the original 4-hash signature),
+# md5 #k prepends 'g{k+1}' (h2 = md5('g2'||shingle), ...)
+_MD5_SALTS = tuple("" if k == 0 else f"g{k + 1}" for k in range(_N_MD5))
 
 
 def _shingles(toks: Column) -> Column:
@@ -52,72 +74,126 @@ def _shingles(toks: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-_DUCK_SHINGLES = """
-    SELECT doc_id, tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2] AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
-         UNNEST(generate_series(1, len(tokens) - 2)) AS u(i)
-    WHERE len(tokens) >= 3
-"""
-
-# one md5 per shingle; the 4 hash functions are its disjoint 8-hex-char
-# slices converted to BIGINT — 4 independent 32-bit min-wise hashes for one
-# md5 call, and integer MINs keep Spark on HashAggregate (a string MIN
-# falls back to SortAggregate: sort-dominated, ~3x slower)
-_DUCK_SIGNATURES = f"""
+def _duck_sig_from(rel: str) -> str:
+    """Signature SQL over an arbitrary (doc_id, text) relation —
+    generated from the module geometry so the oracle can never drift
+    from the Spark form. The N_MINHASH hash functions are the disjoint
+    8-hex-char slices of _N_MD5 salted md5s per shingle (all computed in
+    the one UNNEST pass), each converted to BIGINT: integer MINs keep
+    Spark on HashAggregate (a string MIN falls back to SortAggregate:
+    sort-dominated, ~3x slower)."""
+    shingle = "tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]"
+    hashes = ",\n                   ".join(
+        f"md5({('' if not s else repr(s) + ' || ')}{shingle}) AS h{k}"
+        for k, s in enumerate(_MD5_SALTS)
+    )
+    mins = ",\n           ".join(
+        f"MIN(('0x' || substr(h{j // 4}, {1 + 8 * (j % 4)}, 8))::BIGINT) AS mh{j}"
+        for j in range(N_MINHASH)
+    )
+    return f"""
     SELECT doc_id,
-           MIN(('0x' || substr(h, 1, 8))::BIGINT)  AS mh0,
-           MIN(('0x' || substr(h, 9, 8))::BIGINT)  AS mh1,
-           MIN(('0x' || substr(h, 17, 8))::BIGINT) AS mh2,
-           MIN(('0x' || substr(h, 25, 8))::BIGINT) AS mh3
-    FROM (SELECT doc_id, md5(shingle) AS h FROM ({_DUCK_SHINGLES}))
+           {mins}
+    FROM (
+        SELECT doc_id,
+                   {hashes}
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM {rel}),
+             UNNEST(generate_series(1, len(tokens) - 2)) AS u(i)
+        WHERE len(tokens) >= 3
+    )
     GROUP BY doc_id
-"""
+    """
+
+
+_DUCK_SIGNATURES = _duck_sig_from("documents")
+
+
+def _sig_hash_cols() -> list[Column]:
+    """The _N_MD5 salted md5 columns over an exploded `shingle` column —
+    shared by _signatures_of and dd17's sweep (same salt convention)."""
+    cols = []
+    for k, s in enumerate(_MD5_SALTS):
+        base = F.col("shingle") if not s else F.concat(F.lit(s), F.col("shingle"))
+        cols.append(F.md5(base.cast("binary")).alias(f"h{k}"))
+    return cols
+
+
+def _min_slice_aggs(prefix: str = "mh") -> list[Column]:
+    """N_MINHASH per-doc MIN aggregates: hash j = 32-bit slice j%4 of
+    salted md5 j//4. MIN is order-independent, so the signature is
+    partition-layout-invariant."""
+    return [
+        F.min(
+            F.conv(F.substring(f"h{j // 4}", 1 + 8 * (j % 4), 8), 16, 10).cast("bigint")
+        ).alias(f"{prefix}{j}")
+        for j in range(N_MINHASH)
+    ]
 
 
 def _signatures_of(d: DataFrame) -> DataFrame:
     """(doc_id, text) → doc_id + N_MINHASH minhash values: explode
-    shingles once, hash each shingle ONCE, and take per-doc MINs of the
-    md5's four disjoint 32-bit hex slices (4 independent min-wise hashes
-    for 1 md5 call). MIN is order-independent, so the signature is
-    partition-layout-invariant."""
+    shingles once, compute all _N_MD5 salted md5s of each shingle in
+    that ONE pass, and take per-doc MINs of their disjoint 32-bit hex
+    slices (4 independent min-wise hashes per md5 call)."""
     toks = d.select("doc_id", F.split("text", " ").alias("toks"))
-    sh = toks.select("doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")).select(
-        "doc_id", F.md5(F.col("shingle").cast("binary")).alias("h")
-    )
-    aggs = [
-        F.min(F.conv(F.substring("h", 1 + 8 * i, 8), 16, 10).cast("bigint")).alias(f"mh{i}")
-        for i in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    sh = toks.select(
+        "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
+    ).select("doc_id", *_sig_hash_cols())
+    return sh.groupBy("doc_id").agg(*_min_slice_aggs())
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures_of(load_table(spark, sf_dir, "documents"))
 
 
+def _band_hashes(band: int, rows: int = ROWS_PER_BAND) -> list[str]:
+    """Hash column names owned by one band: band i takes the contiguous
+    slice [i*rows, (i+1)*rows) — the convention every geometry in dd17's
+    sweep shares, so shorter geometries' bands are PREFIXES of the
+    production band set (supersets are provable, not asserted)."""
+    return [f"mh{band * rows + j}" for j in range(rows)]
+
+
+def _bucket_col(cols: list[str]) -> Column:
+    return F.md5(
+        F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).cast("binary")
+    )
+
+
 def _lsh_bands(sig: DataFrame) -> DataFrame:
-    """Signatures → (doc_id, band, bucket): 2 bands × 2 rows, both bands
-    in ONE pass over the signatures (explode, not union — a union would
+    """Signatures → (doc_id, band, bucket): all N_BANDS bands in ONE
+    pass over the signatures (explode, not union — a union would
     recompute the whole shingle→signature subtree per band)."""
-
-    def _bucket(lo: str, hi: str) -> Column:
-        return F.md5(
-            F.concat_ws(
-                "_", F.col(lo).cast("string"), F.col(hi).cast("string")
-            ).cast("binary")
-        )
-
     return sig.select(
         "doc_id",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("band"), _bucket("mh0", "mh1").alias("bucket")),
-                F.struct(F.lit(1).alias("band"), _bucket("mh2", "mh3").alias("bucket")),
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        _bucket_col(_band_hashes(i)).alias("bucket"),
+                    )
+                    for i in range(N_BANDS)
+                ]
             )
         ).alias("bb"),
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def _duck_bands_from(sig: str) -> str:
+    """Band SQL over a signature relation — generated from the same
+    geometry (band i buckets mh[2i], mh[2i+1])."""
+    parts = [
+        "SELECT doc_id, {i} AS band, md5({cat}) AS bucket FROM {sig}".format(
+            i=i,
+            sig=sig,
+            cat=" || '_' || ".join(f"{c}::VARCHAR" for c in _band_hashes(i)),
+        )
+        for i in range(N_BANDS)
+    ]
+    return "\n        UNION ALL\n        ".join(parts)
 
 
 @query(
@@ -165,17 +241,16 @@ def dd02_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dd03_minhash_signatures", oracle=_DUCK_SIGNATURES)
 def dd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures over 3-gram shingles (4 hash functions = seeded
-    md5 variants; the signature approximates set identity under Jaccard)."""
+    """MinHash signatures over 3-gram shingles (N_MINHASH=32 hash
+    functions = 32-bit slices of 8 salted md5 variants; the signature
+    approximates set identity under Jaccard)."""
     return _signatures(spark, sf_dir)
 
 
 _DUCK_LSH_PAIRS = f"""
     WITH sig AS ({_DUCK_SIGNATURES}),
     bands AS (
-        SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig
-        UNION ALL
-        SELECT doc_id, 1 AS band, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) AS bucket FROM sig
+        {_duck_bands_from("sig")}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
@@ -185,10 +260,13 @@ _DUCK_LSH_PAIRS = f"""
 
 @query("dd04_minhash_lsh_pairs", oracle=_DUCK_LSH_PAIRS)
 def dd04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: 2 bands × 2 rows — docs agreeing on a whole band land
-    in the same bucket; the bucket self-join emits candidate pairs only
-    (never the full cross product). At scale the join shuffles on the
-    bucket key and skew-splits hot buckets via AQE."""
+    """LSH banding at the production geometry: 32 bands × 2 rows over 64
+    hashes (candidate threshold ≈ (1/32)^(1/2) ≈ 0.18; dd16 measures the
+    realized recall/precision, dd17 the trade-off curve vs the retired
+    b2r2 default). Docs agreeing on a whole band land in the same
+    bucket; the bucket self-join emits candidate pairs only (never the
+    full cross product). At scale the join shuffles on the bucket key
+    and skew-splits hot buckets via AQE."""
     # materialize the small band table once — it feeds both sides of the
     # self-join and would otherwise recompute the signature subtree twice
     bands = lazy_checkpoint(_lsh_bands(_signatures(spark, sf_dir)))
@@ -785,36 +863,6 @@ def dd13_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_sig_from(rel: str) -> str:
-    """Signature SQL over an arbitrary (doc_id, text) relation — the
-    parameterized form of _DUCK_SIGNATURES, used by dd14's two sides."""
-    return f"""
-        SELECT doc_id,
-               MIN(('0x' || substr(h, 1, 8))::BIGINT)  AS mh0,
-               MIN(('0x' || substr(h, 9, 8))::BIGINT)  AS mh1,
-               MIN(('0x' || substr(h, 17, 8))::BIGINT) AS mh2,
-               MIN(('0x' || substr(h, 25, 8))::BIGINT) AS mh3
-        FROM (
-            SELECT doc_id,
-                   md5(tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]) AS h
-            FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM {rel}),
-                 UNNEST(generate_series(1, len(tokens) - 2)) AS u(i)
-            WHERE len(tokens) >= 3
-        )
-        GROUP BY doc_id
-    """
-
-
-def _duck_bands_from(sig: str) -> str:
-    return f"""
-        SELECT doc_id, 0 AS band,
-               md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM {sig}
-        UNION ALL
-        SELECT doc_id, 1 AS band,
-               md5(mh2::VARCHAR || '_' || mh3::VARCHAR) AS bucket FROM {sig}
-    """
-
-
 @query(
     "dd14_incremental_dedup",
     oracle=f"""
@@ -1021,10 +1069,7 @@ def _dd16_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT p.*,
-               ((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END)
-                + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END)
-                + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END)
-                + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END))::BIGINT
+               ({" + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH))})::BIGINT
                    AS agree,
                p.inter * 5 >= p.un AS is_dup,
                c.da IS NOT NULL AS is_cand
@@ -1049,8 +1094,8 @@ def _dd16_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN ROUND(COUNT(CASE WHEN is_dup AND is_cand THEN 1 END)
                            / COUNT(CASE WHEN is_cand THEN 1 END)::DOUBLE, 6)
                 ELSE 0.0 END AS precision,
-           SUM(ABS(agree * un - 4 * inter))::BIGINT AS est_err_num,
-           (4 * SUM(un))::BIGINT AS est_err_den,
+           SUM(ABS(agree * un - {N_MINHASH} * inter))::BIGINT AS est_err_num,
+           ({N_MINHASH} * SUM(un))::BIGINT AS est_err_den,
            COALESCE(SUM(CASE WHEN is_dup AND NOT is_cand
                              THEN da * 10000 + db END), 0)::BIGINT
                AS missed_pair_checksum
@@ -1071,14 +1116,15 @@ def dd16_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     MISSED pairs (which false negatives, not just how many).
 
     Measured geometry (sf0.01): the every-5th-token mutant lands at
-    J ≈ 0.4 on 3-gram shingles; the theory curve for 2 bands x 2 rows
-    says P[candidate] = 1-(1-J²)² ≈ 0.30, and the shipped 4-hash
-    signature MEASURES 11/60 = 0.18 recall at 0.92 precision — the
-    under-recall a tiny banding geometry buys, quantified. This is the
-    audit's whole point: SCALE.md's band-math row prescribes 64-128
-    minhashes (8x4+) at production scale, and this query is the
-    standing instrument that proves whether a geometry change actually
-    bought the recall it promised.
+    J ≈ 0.2-0.45 on 3-gram shingles. The r12-shipped b2r2/4-hash
+    geometry measured 11/60 = 0.18 recall at 0.92 precision by this
+    instrument — the under-recall a tiny banding geometry buys,
+    quantified — and the round-13 production flip to b32r2/64 hashes
+    MEASURES 58/60 = 0.967 recall at 0.906 precision on the same
+    ground truth (the full ladder, including the 0.767 b16r2
+    intermediate, is dd17's sweep). This is the audit's whole point:
+    it is the standing instrument that proves whether a geometry
+    change actually bought the recall it promised.
 
     Plan shape: the derived corpus and its signatures are bounded
     (2·DD16_STRATUM rows) and checkpointed once; ALL joins are
@@ -1179,10 +1225,10 @@ def dd16_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_cand > 0, F.round(tp / n_cand, 6))
         .otherwise(F.lit(0.0))
         .alias("precision"),
-        F.sum(F.abs(F.col("agree") * F.col("un") - 4 * F.col("inter")))
+        F.sum(F.abs(F.col("agree") * F.col("un") - N_MINHASH * F.col("inter")))
         .cast("bigint")
         .alias("est_err_num"),
-        (4 * F.sum("un")).cast("bigint").alias("est_err_den"),
+        (N_MINHASH * F.sum("un")).cast("bigint").alias("est_err_den"),
         F.coalesce(
             F.sum(
                 F.when(
@@ -1197,69 +1243,53 @@ def dd16_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# dd17 — LSH band-geometry sweep, measured by dd16's instrument. dd16
-# quantifies the shipped 2x2/4-hash geometry at ~0.18 recall on J≈0.4
-# pairs; SCALE.md's band-math row prescribes more hashes at production
-# scale. This query MEASURES the prescription instead of asserting it:
-# the same derived stratum and the same exact-Jaccard ground truth
-# score three geometries side by side — the shipped b2r2 (4 hashes,
-# byte-identical buckets to dd04), b4r2 (8 hashes, 4 bands of 2: the
-# recall direction), and b2r4 (8 hashes, 2 bands of 4: the precision
-# direction) — so the recall/precision trade of a geometry change is a
-# driver-hashed fact, not a formula. The 4 extra hashes come from a
-# salted second md5 ('g2'||shingle), the same slicing convention as
-# _DUCK_SIGNATURES.
+# dd17 — LSH band-geometry sweep, measured by dd16's instrument. The
+# r12-retired b2r2/4-hash default measured ~0.18 recall on J≈0.4 pairs;
+# this query MEASURES the geometry ladder instead of asserting the
+# band-math formula: the same derived stratum and the same exact-Jaccard
+# ground truth score six geometries side by side — the retired b2r2
+# contrast (4 hashes), b4r2 / b2r4 (8 hashes: more-bands vs longer-bands
+# directions), b8r4 (32 hashes in 8 long bands: the high-threshold
+# shape, τ ≈ (1/8)^(1/4) ≈ 0.59 — precision at the cost of recall at
+# the audit's J band), b16r2 (the half-width intermediate), and b32r2 —
+# the PRODUCTION geometry, whose buckets are byte-identical to
+# dd04/dd16's. Every geometry takes contiguous hash slices (band i =
+# hashes [i*r, (i+1)*r)), so shorter geometries' band sets are prefixes
+# of longer same-r ones and the superset relations (b2r2 ⊂ b4r2 ⊂ b16r2
+# ⊂ b32r2 candidates; b2r4 ⊂ b8r4) are provable, not sampled. All 64
+# hashes come from the one signature builder (_signatures_of) — 16
+# salted md5s in the SAME shingle explode.
 DD17_GEOMETRIES = (
     ("b2r2", 2, 2, 4),
     ("b4r2", 4, 2, 8),
     ("b2r4", 2, 4, 8),
+    ("b8r4", 8, 4, 32),
+    ("b16r2", 16, 2, 32),
+    ("b32r2", 32, 2, 64),
 )
+
+
+def _dd17_duck_bands(sig: str) -> str:
+    """Per-geometry band SQL over the full 32-hash signature relation."""
+    parts = []
+    for g, b, r, _h in DD17_GEOMETRIES:
+        for i in range(b):
+            cat = " || '_' || ".join(
+                f"mh{i * r + j}::VARCHAR" for j in range(r)
+            )
+            parts.append(
+                f"SELECT doc_id, '{g}' AS g, {i} AS band, md5({cat}) AS bucket FROM {sig}"
+            )
+    return "\n        UNION ALL ".join(parts)
 
 
 @query(
     "dd17_lsh_geometry_sweep",
     oracle=f"""
     WITH {_DUCK_DD16_DERIVED},
-    sig8 AS (
-        SELECT doc_id,
-               MIN(('0x' || substr(h1, 1, 8))::BIGINT)  AS mh0,
-               MIN(('0x' || substr(h1, 9, 8))::BIGINT)  AS mh1,
-               MIN(('0x' || substr(h1, 17, 8))::BIGINT) AS mh2,
-               MIN(('0x' || substr(h1, 25, 8))::BIGINT) AS mh3,
-               MIN(('0x' || substr(h2, 1, 8))::BIGINT)  AS mh4,
-               MIN(('0x' || substr(h2, 9, 8))::BIGINT)  AS mh5,
-               MIN(('0x' || substr(h2, 17, 8))::BIGINT) AS mh6,
-               MIN(('0x' || substr(h2, 25, 8))::BIGINT) AS mh7
-        FROM (
-            SELECT doc_id,
-                   md5(tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) AS h1,
-                   md5('g2' || tokens[i] || ' ' || tokens[i+1] || ' '
-                       || tokens[i+2]) AS h2
-            FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM derived),
-                 UNNEST(generate_series(1, len(tokens) - 2)) AS u(i)
-            WHERE len(tokens) >= 3
-        )
-        GROUP BY doc_id
-    ),
+    sig32 AS ({_duck_sig_from("derived")}),
     bands AS (
-        SELECT doc_id, 'b2r2' AS g, 0 AS band,
-               md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bucket FROM sig8
-        UNION ALL SELECT doc_id, 'b2r2', 1,
-               md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig8
-        UNION ALL SELECT doc_id, 'b4r2', 0,
-               md5(mh0::VARCHAR || '_' || mh1::VARCHAR) FROM sig8
-        UNION ALL SELECT doc_id, 'b4r2', 1,
-               md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig8
-        UNION ALL SELECT doc_id, 'b4r2', 2,
-               md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig8
-        UNION ALL SELECT doc_id, 'b4r2', 3,
-               md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig8
-        UNION ALL SELECT doc_id, 'b2r4', 0,
-               md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_'
-                   || mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig8
-        UNION ALL SELECT doc_id, 'b2r4', 1,
-               md5(mh4::VARCHAR || '_' || mh5::VARCHAR || '_'
-                   || mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig8
+        {_dd17_duck_bands("sig32")}
     ),
     cand AS (
         SELECT DISTINCT a.g AS g, a.doc_id AS da, b.doc_id AS db
@@ -1309,76 +1339,40 @@ DD17_GEOMETRIES = (
     """,
 )
 def dd17_lsh_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Band-geometry sweep over dd16's audit stratum: the shipped b2r2
-    geometry plus two 8-hash alternatives (b4r2 = more bands → recall,
-    b2r4 = longer bands → precision), each scored against the identical
-    exact-Jaccard ground truth. One row per geometry with the confusion
-    matrix, recall/precision (single bigint divisions), and the
-    missed-pair checksum — the measured trade-off curve the band-math
-    formula only predicts. b2r2's buckets are byte-identical to
-    dd04/dd16's, tying the sweep to the production index.
+    """Band-geometry sweep over dd16's audit stratum: the production
+    b16r2 geometry (buckets byte-identical to dd04/dd16's), the retired
+    b2r2 contrast, the two 8-hash intermediates (b4r2 = more bands →
+    recall, b2r4 = longer bands → precision) and the 32-hash long-band
+    b8r4, each scored against the identical exact-Jaccard ground truth.
+    One row per geometry with the confusion matrix, recall/precision
+    (single bigint divisions), and the missed-pair checksum — the
+    measured trade-off curve the band-math formula only predicts.
 
     Plan shape: one derived-corpus checkpoint (shared builder with
-    dd16), one 8-hash signature checkpoint (two md5s per shingle in
-    the SAME explode pass — the salted second hash costs no extra
-    scan), a per-geometry bucket self-join keyed on (geometry, band,
-    bucket), and the dd16 id-sequence pair lattice crossed with the
-    3-row geometry literal (broadcast BNLJ). Fixed stratum —
-    corpus-size-independent like dd16."""
+    dd16), ONE full-width signature checkpoint (the production builder —
+    16 salted md5s per shingle in the SAME explode pass), a per-geometry
+    bucket self-join keyed on (geometry, band, bucket), and the dd16
+    id-sequence pair lattice crossed with the 6-row geometry literal
+    (broadcast BNLJ). Fixed stratum — corpus-size-independent like
+    dd16."""
     n_derived = 2 * DD16_STRATUM
     derived = _dd16_derived(spark, sf_dir)
     dtoks = derived.select("doc_id", F.split("text", " ").alias("toks"))
     sh = dtoks.select(
         "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("sh")
     )
-    shing = dtoks.select(
-        "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
-    ).select(
-        "doc_id",
-        F.md5(F.col("shingle").cast("binary")).alias("h1"),
-        F.md5(F.concat(F.lit("g2"), F.col("shingle")).cast("binary")).alias("h2"),
-    )
-    sig8 = lazy_checkpoint(
-        shing.groupBy("doc_id").agg(
-            *[
-                F.min(
-                    F.conv(F.substring("h1", 1 + 8 * i, 8), 16, 10).cast("bigint")
-                ).alias(f"mh{i}")
-                for i in range(4)
-            ],
-            *[
-                F.min(
-                    F.conv(F.substring("h2", 1 + 8 * i, 8), 16, 10).cast("bigint")
-                ).alias(f"mh{4 + i}")
-                for i in range(4)
-            ],
-        )
-    )
-
-    def bucket(*cols: str) -> Column:
-        return F.md5(
-            F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).cast("binary")
-        )
+    sig32 = lazy_checkpoint(_signatures_of(derived))
 
     band_structs = [
-        F.struct(F.lit("b2r2").alias("g"), F.lit(0).alias("band"),
-                 bucket("mh0", "mh1").alias("bucket")),
-        F.struct(F.lit("b2r2").alias("g"), F.lit(1).alias("band"),
-                 bucket("mh2", "mh3").alias("bucket")),
-        F.struct(F.lit("b4r2").alias("g"), F.lit(0).alias("band"),
-                 bucket("mh0", "mh1").alias("bucket")),
-        F.struct(F.lit("b4r2").alias("g"), F.lit(1).alias("band"),
-                 bucket("mh2", "mh3").alias("bucket")),
-        F.struct(F.lit("b4r2").alias("g"), F.lit(2).alias("band"),
-                 bucket("mh4", "mh5").alias("bucket")),
-        F.struct(F.lit("b4r2").alias("g"), F.lit(3).alias("band"),
-                 bucket("mh6", "mh7").alias("bucket")),
-        F.struct(F.lit("b2r4").alias("g"), F.lit(0).alias("band"),
-                 bucket("mh0", "mh1", "mh2", "mh3").alias("bucket")),
-        F.struct(F.lit("b2r4").alias("g"), F.lit(1).alias("band"),
-                 bucket("mh4", "mh5", "mh6", "mh7").alias("bucket")),
+        F.struct(
+            F.lit(g).alias("g"),
+            F.lit(i).alias("band"),
+            _bucket_col([f"mh{i * r + j}" for j in range(r)]).alias("bucket"),
+        )
+        for g, b, r, _h in DD17_GEOMETRIES
+        for i in range(b)
     ]
-    bands = sig8.select(
+    bands = sig32.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.g", "bb.band", "bb.bucket")
     a, b = bands.alias("a"), bands.alias("b")

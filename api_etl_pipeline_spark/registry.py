@@ -103,45 +103,44 @@ def _load_all() -> None:
 
 
 # Driver-coverage rotation. The driver's per-round correctness gate samples
-# the FIRST 50 entries of queries() in dict order. This round-12 prefix (per
-# the round-11 verdict task 1) front-loads, in order:
-#   1. ALL 40 queries whose latest driver row is still round 6 — the
-#      entire remaining r6 cohort, exactly the fill queue the round-11
-#      prefix note staged: dq02, x14-x21, x23, q39-q50, samp05, sim06,
-#      sim09, sim10, tx17-tx19, mm01-mm06, ret01, st06, st07, st09,
-#      st10. The freshness-floor gate leg (tools/round_close.py) fails
-#      at the r12 close unless every one of these sits in the prefix.
-#   2. dd22 — its latest row is r11 (fresh), but BOTH its sides change
-#      this round (oracle moved to rank-based centroid selection per the
-#      r11 advice; assignment gained the vectorized grouping + broadcast
-#      codebook path), so it must be re-hash-pinned by the incoming
-#      driver run rather than coast on the r11 row of the old form.
-#   3. the round-12 additions needing a FIRST driver row: dd23
-#      (trained-codebook SemDeDup — spherical-k-means training on
-#      dd22's two-level assignment machinery, sim09-style invariant
-#      oracle), dd24 (incremental SemDeDup: delta batch vs a standing
-#      store's codebook, the dd14 refresh pattern for embeddings), and
-#      sim15 (IVF+PQ composed ADC search — the faiss IVFPQ production
-#      read path). Names listed here before the op lands are skipped by
+# the FIRST 50 entries of queries() in dict order. This round-13 prefix (per
+# the round-12 verdict task 1) front-loads, in order:
+#   1. ALL 41 queries whose latest driver row is still round 7 — the
+#      entire r7 cohort, exactly the fill queue the round-12 prefix
+#      note staged: cur02-cur05, dd15, decon03, dq03-dq06, mix02,
+#      q01-q18, samp06, sim11, st11-st13, tx20-tx22, w01, w02, x12,
+#      x22. The freshness-floor gate leg (tools/round_close.py) fails
+#      at the r13 close unless every one of these sits in the prefix.
+#   2. the near-dup geometry re-pin set (round-12 verdict task 2): the
+#      production LSH geometry flipped from 2 bands × 2 rows / 4 hashes
+#      to 32 bands × 2 rows / 64 hashes (llm_ops/dedup.py), changing
+#      the output of every pair consumer. The judge-named consumers get
+#      fresh driver rows THIS round: dd04 itself, dd09, dd10, dd13,
+#      dd14, gr03 (samp06 is already in the queue above), plus the two
+#      audits that prove the uplift — dd16 (recall 0.18 → 0.967 at
+#      sf0.01) and dd17 (the six-geometry measured ladder).
+#   3. the round-13 addition needing a FIRST driver row: cls01 (learned
+#      quality-classifier scoring — fastText-style centroid/logistic
+#      scorer with weights folded in as literals, the DSIR/sim04
+#      device). Names listed here before the op lands are skipped by
 #      _rotated until registered.
-#   4. r13-crunch stagger: the r7 cohort is 47 names and ALL of them hit
-#      the freshness floor at r13; pulling 6 forward now (ev17, inc02,
-#      ab01, ev18, dd13, dd14 — first-registered order within the
-#      cohort) leaves the r13 fill queue at 41 names, which fits the
-#      50-slot prefix with room for r13's own new ops.
-# 40 + 1 + 3 + 6 = 50 exactly. The r13 fill queue (remaining r7 cohort,
-# 41): cur02-cur05, dd15, decon03, dq03-dq06, mix02, q01-q18, samp06,
-# sim11, st11-st13, tx20-tx22, w01, w02, x12, x22. Nothing is removed —
-# every query stays registered and the pytest mirror in
-# tests/test_queries_oracle.py still covers all 284.
+# 41 + 8 + 1 = 50 exactly. Geometry-changed names that do NOT fit this
+# prefix — dd03 and llm01-llm04 — stay registered with live spark-vs-
+# oracle agreement (both sides derive from the same generated geometry)
+# and are the staged r14 pull-forwards: the r14 fill queue is the
+# 45-name r8 cohort (cur06, dq07, ev01-ev12, ev14, ev16, inc01,
+# q19-q38, st14, stats01, stats02, tx23, udaf01, w03, x11, x24), and
+# dd03 + llm01-04 fill the remaining 5 slots exactly. Nothing is
+# removed — every query stays registered and the pytest mirror in
+# tests/test_queries_oracle.py still covers all of them.
 _DRIVER_SAMPLE_PREFIX = [
-    "dq02", *[f"x{i}" for i in range(14, 22)], "x23",
-    *[f"q{i}" for i in range(39, 51)],
-    "samp05", "sim06", "sim09", "sim10", "tx17", "tx18", "tx19",
-    *[f"mm{i:02d}" for i in range(1, 7)],
-    "ret01", "st06", "st07", "st09", "st10",
-    "dd22", "dd23", "dd24", "sim15",
-    "ev17", "inc02", "ab01", "ev18", "dd13", "dd14",
+    "cur02", "cur03", "cur04", "cur05", "dd15", "decon03",
+    "dq03", "dq04", "dq05", "dq06", "mix02",
+    *[f"q{i:02d}" for i in range(1, 19)],
+    "samp06", "sim11", "st11", "st12", "st13",
+    "tx20", "tx21", "tx22", "w01", "w02", "x12", "x22",
+    "dd04", "dd09", "dd10", "dd13", "dd14", "gr03", "dd16", "dd17",
+    "cls01",
 ]
 
 

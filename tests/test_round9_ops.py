@@ -339,12 +339,14 @@ def test_dd16_audit_invariants(spark):
     assert (row.n_false_negatives == 0) == (row.missed_pair_checksum == 0)
 
 
-def test_dd17_b2r2_row_equals_dd16(spark):
-    """dd17's b2r2 row must reproduce dd16's audit EXACTLY — same derived
-    corpus, same ground truth, byte-identical buckets — so the sweep is
-    verifiably anchored to the production geometry, and the 8-hash rows
-    must show the textbook trade: more bands never lose recall vs b2r2,
-    longer bands never lose precision."""
+def test_dd17_production_row_equals_dd16(spark):
+    """dd17's b32r2 row must reproduce dd16's audit EXACTLY — same
+    derived corpus, same ground truth, byte-identical buckets — so the
+    sweep is verifiably anchored to the production geometry, and the
+    ladder must show the textbook trade: contiguous-slice banding makes
+    each same-r geometry's band set a PREFIX of the wider one's, so the
+    candidate supersets b2r2 ⊆ b4r2 ⊆ b16r2 ⊆ b32r2 (and b2r4 ⊆ b8r4)
+    are set-inclusion facts, asserted on counts."""
     from api_etl_pipeline_spark.registry import all_queries
 
     qs = all_queries()
@@ -353,18 +355,22 @@ def test_dd17_b2r2_row_equals_dd16(spark):
         r.geometry: r
         for r in qs["dd17_lsh_geometry_sweep"].fn(spark, "/root/testdata/sf0.001").collect()
     }
-    assert set(rows) == {"b2r2", "b4r2", "b2r4"}
-    b22 = rows["b2r2"]
+    assert set(rows) == {"b2r2", "b4r2", "b2r4", "b8r4", "b16r2", "b32r2"}
+    prod = rows["b32r2"]
     for col in ("n_true_dups", "n_candidates", "n_true_positives",
                 "n_false_negatives", "n_false_positives", "recall",
                 "precision", "missed_pair_checksum"):
-        assert getattr(b22, col) == getattr(d16, col), col
-    # banding theory, measured: b4r2's candidate set is a superset of
-    # b2r2's (same first two bands plus two more), so recall can only rise
-    assert rows["b4r2"].n_true_positives >= b22.n_true_positives
-    assert rows["b4r2"].n_candidates >= b22.n_candidates
-    # b2r4 requires 4-hash agreement per band — candidates can only shrink
-    assert rows["b2r4"].n_candidates <= b22.n_candidates
+        assert getattr(prod, col) == getattr(d16, col), col
+    # banding theory, measured: wider same-r geometries add bands without
+    # removing any, so recall/candidates can only rise along the chain
+    for lo, hi in (("b2r2", "b4r2"), ("b4r2", "b16r2"), ("b16r2", "b32r2"),
+                   ("b2r4", "b8r4")):
+        assert rows[hi].n_true_positives >= rows[lo].n_true_positives, (lo, hi)
+        assert rows[hi].n_candidates >= rows[lo].n_candidates, (lo, hi)
+    # longer bands require r-hash agreement per band — at equal hash
+    # budget, candidates can only shrink vs the shorter-band geometry
+    assert rows["b2r4"].n_candidates <= rows["b2r2"].n_candidates
+    assert rows["b8r4"].n_candidates <= rows["b16r2"].n_candidates
 
 
 def test_ev19_pattern_semantics_three_engines():
@@ -1005,8 +1011,8 @@ def test_sim14_sq8_invariants(spark):
 def test_dd18_prefix_filter_completeness(spark):
     """The prefix-filter THEOREM in action: dd18's output must equal the
     brute-force all-pairs exact-Jaccard join at the threshold — no false
-    negatives (the guarantee LSH cannot give; dd16 measured dd04's
-    banding at 0.18 recall on this corpus) and no false positives (the
+    negatives (the guarantee LSH cannot give; even the production b32r2
+    banding measures <1.0 recall by dd16) and no false positives (the
     verify step is exact integer arithmetic)."""
     import itertools
 
