@@ -517,21 +517,34 @@ def _semdedup_prune_frame(spark: SparkSession, sf_dir: str, k: int) -> DataFrame
     return _semdedup_verdict(assigned)
 
 
-def _semdedup_verdict(assigned: DataFrame) -> DataFrame:
-    """The SemDeDup verdict tail shared by dd15/dd20/dd22: given
+def _semdedup_verdict(
+    assigned: DataFrame,
+    *,
+    left_filter: Column | None = None,
+    b_wins_extra: Column | None = None,
+) -> DataFrame:
+    """The SemDeDup verdict tail shared by dd15/dd20/dd22/dd24: given
     (vec_id, e, cell, cos_to_cent), checkpoint once, run the within-cell
     keep-farthest-from-centroid EXISTS semi-join, and join the verdict
-    back on vec_id."""
+    back on vec_id. The two knobs are dd24's incremental shape (round-12
+    advice: one helper instead of a near-identical re-implementation
+    that could drift): `left_filter` restricts the VERDICTED side (the
+    delta — partners still come from the full assignment), and
+    `b_wins_extra` is an extra domination disjunct evaluated against the
+    partner alias "b" (the store-always-wins clause)."""
     from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
 
     # both sides of the within-cell semi-join consume the assignment —
     # materialize once instead of re-ranking the codebook per side
     assigned = lazy_checkpoint(assigned)
-    a, b = assigned.alias("a"), assigned.alias("b")
+    left = assigned.filter(left_filter) if left_filter is not None else assigned
+    a, b = left.alias("a"), assigned.alias("b")
     b_wins = (F.col("b.cos_to_cent") < F.col("a.cos_to_cent")) | (
         (F.col("b.cos_to_cent") == F.col("a.cos_to_cent"))
         & (F.col("b.vec_id") < F.col("a.vec_id"))
     )
+    if b_wins_extra is not None:
+        b_wins = b_wins_extra | b_wins
     dominated = (
         a.join(
             b,
@@ -545,7 +558,7 @@ def _semdedup_verdict(assigned: DataFrame) -> DataFrame:
         .withColumn("pr", F.lit(True))
     )
     return (
-        assigned.join(dominated, "vec_id", "left")
+        left.join(dominated, "vec_id", "left")
         .select(
             "vec_id",
             "cell",
@@ -647,9 +660,11 @@ def _dd22_oracle() -> str:
     return f"""
     WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
     kk AS (
-        SELECT CAST(CEIL(n / {t}.0) AS BIGINT) AS k2,
-               CAST(CEIL(SQRT(CEIL(n / {t}.0))) AS BIGINT) AS k1
-        FROM nn
+        SELECT k2, CAST(CEIL(SQRT(k2)) AS BIGINT) AS k1
+        FROM (
+            SELECT LEAST(CAST(CEIL(n / {t}.0) AS BIGINT), {DD22_K_CAP}) AS k2
+            FROM nn
+        )
     ),
     fine AS (
         -- RANK-based codebook selection (round-11 advice): the first k2
@@ -722,6 +737,21 @@ def _dd22_oracle() -> str:
 # monkeypatch this to 0 to pin both paths bit-identical.
 DD22_LITERAL_MAX_BYTES = 256 * 1024
 
+# Driver-side codebook cap (round-12 verdict task 4): k2 = ceil(n/32)
+# rides with the corpus, and the codebook is COLLECTED to the driver
+# (then literal-folded or broadcast) — at 10⁹ vectors the uncapped term
+# is ~16 GB of driver state. Cap the centroid count at 2¹⁶ (Abbas et
+# al. 2023 run ~50k clusters at 440M vectors — the cap is ABOVE the
+# published production operating point): past n = 32·2¹⁶ ≈ 2.1M
+# vectors, mean cell occupancy grows linearly as n/(32·2¹⁶) instead of
+# holding at DD20_TARGET_CELL, which is disclosed in SCALE.md's
+# driver-memory-budget row (the within-cell pair term grows with
+# occupancy; the next step past the cap is a distributed codebook —
+# centroid-table join — not a bigger driver heap). Both oracles state
+# LEAST(ceil(n/32), cap), so the rule is hash-pinned, and the cap
+# bounds driver codebook state at 2¹⁶·d·8 B (≈ 16 MB at d=32).
+DD22_K_CAP = 1 << 16
+
 
 def _codebook_rows(spark: SparkSession, sf_dir: str):
     """Collect the rank-based codebook shared by dd22/dd23: the k2 =
@@ -734,10 +764,12 @@ def _codebook_rows(spark: SparkSession, sf_dir: str):
 
     Returns (n, k1, k2, ids, cb) with ids/cb in ascending-vec_id order;
     k1 = ceil(sqrt(k2)) is the super-centroid count (the first k1
-    codebook rows serve as supers, mirroring the oracle's rk <= k1)."""
+    codebook rows serve as supers, mirroring the oracle's rk <= k1).
+    k2 is capped at DD22_K_CAP so driver codebook state stays bounded
+    at any corpus size (the oracle states the same LEAST)."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
-    k2 = -(-n // DD20_TARGET_CELL)
+    k2 = min(-(-n // DD20_TARGET_CELL), DD22_K_CAP)
     k1 = math.ceil(math.sqrt(k2))
     rows = (
         e.select("vec_id", "embedding").orderBy("vec_id").limit(k2).collect()
@@ -856,6 +888,7 @@ def _two_level_assign_broadcast(
     norms: list[float],
     groups: list[list[int]],
     k1: int,
+    return_handle: bool = False,
 ) -> DataFrame:
     """Broadcast-variable two-level assignment: the codebook ships ONCE
     per executor as a real Spark broadcast (torrent distribution — the
@@ -924,9 +957,16 @@ def _two_level_assign_broadcast(
                 cos[mask] = -neg_fine[np.arange(Ei.shape[0]), j] + 0.0
             yield pd.DataFrame({"pos": pos, "cos_to_cent": cos})
 
-    return base.select(
+    out = base.select(
         "vec_id", "e", _assign("e").alias("a")
     ).select("vec_id", "e", F.col("a.pos").alias("pos"), F.col("a.cos_to_cent").alias("cos_to_cent"))
+    # return_handle lets iterating callers (dd23's training loop)
+    # unpersist each round's codebook broadcast once its assignment is
+    # materialized — otherwise DD23_ITERATIONS+1 broadcasts accumulate
+    # on the executors across a bench/test session (round-12 advice).
+    # unpersist (not destroy) keeps the handle re-broadcastable if the
+    # plan is re-executed.
+    return (out, bc) if return_handle else out
 
 
 def _two_level_assign(
@@ -1004,15 +1044,22 @@ def dd22_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DD23_ITERATIONS = 2
 
+# measured training diagnostics from the most recent dd23 run (see the
+# dd23 docstring's oracle-promotion note: monotonicity is a measured
+# property under approximate assignment, pytest-checked on the fixed
+# test corpus rather than oracle-gated on arbitrary corpora)
+DD23_LAST_OBJECTIVES: list[float] = []
+DD23_LAST_MONOTONE: bool | None = None
+
 
 def _dd23_oracle() -> str:
     return f"""
     SELECT COUNT(*)::BIGINT AS n_vectors,
-           CAST(CEIL(COUNT(*) / {DD20_TARGET_CELL}.0) AS BIGINT) AS k2,
+           LEAST(CAST(CEIL(COUNT(*) / {DD20_TARGET_CELL}.0) AS BIGINT),
+                 {DD22_K_CAP}) AS k2,
            {DD23_ITERATIONS} AS n_iterations,
            TRUE AS assigned_once,
-           TRUE AS cells_in_range,
-           TRUE AS objective_monotone
+           TRUE AS cells_in_range
     FROM embeddings
     """
 
@@ -1048,13 +1095,20 @@ def dd23_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     means are partition-order dependent in the last ulps, so hashing
     cells cross-engine is meaningless — but Lloyd's INVARIANTS are
     exact: n_vectors (every vector verdicted exactly once — DuckDB
-    states the count independently), k2 (the same exact integer),
-    n_iterations, assigned_once, cells_in_range, and
-    objective_monotone (J never decreased across the measured run;
-    two-level assignment is approximate, so this is measured, not
-    assumed — 1e-9-relative tolerance absorbs the ulp noise). The full
-    per-cell populations and verdicts are pinned against a numpy
-    third-engine replay in tests/test_round12_ops.py."""
+    states the count independently), k2 (the same exact integer,
+    DD22_K_CAP-capped on both sides), n_iterations, assigned_once and
+    cells_in_range. Objective monotonicity is deliberately NOT a
+    hard-pinned output column (round-12 advice): Lloyd guarantees it
+    only under EXACT assignment, and the two-level assignment is
+    approximate — on an arbitrary corpus/seed a rare legitimate
+    regression would spuriously fail the correctness gate. It stays a
+    MEASURED diagnostic instead: the per-iteration objectives land in
+    DD23_LAST_OBJECTIVES after every run, and
+    tests/test_round12_ops.py asserts monotonicity (1e-9-relative
+    tolerance) on the fixed test corpus, where a failure means the
+    machinery changed, not the corpus. The full per-cell populations
+    and verdicts are pinned against a numpy third-engine replay in the
+    same test file."""
     _, k1, k2, _, cb = _codebook_rows(spark, sf_dir)
     d = len(cb[0])
     e = load_table(spark, sf_dir, "embeddings")
@@ -1067,7 +1121,9 @@ def dd23_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     objectives: list[float] = []
     for _ in range(DD23_ITERATIONS):
         norms, groups = _group_fine_under_super(C, k1)
-        assigned = _two_level_assign_broadcast(spark, base, C, norms, groups, k1)
+        assigned, bch = _two_level_assign_broadcast(
+            spark, base, C, norms, groups, k1, return_handle=True
+        )
         qn = F.sqrt(_dot(F.col("e"), F.col("e")))
         # Arrow transfer (toPandas), not collect(): the k2 × d stats
         # relation is 400k rows at the 100× probe — Row-object
@@ -1093,6 +1149,11 @@ def dd23_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .toPandas()
         )
+        # this iteration's assignment is fully materialized in `stats` —
+        # drop the codebook broadcast's executor copies before the next
+        # iteration re-broadcasts the moved centroids (round-12 advice:
+        # the handles otherwise accumulate for the session's lifetime)
+        bch.unpersist(blocking=False)
         # pandas .sum() reassociates vs the old sequential fold — fine:
         # objectives feed only tolerance-checked comparisons (1e-9 rel,
         # measured margins are ~1e7 times wider)
@@ -1108,7 +1169,13 @@ def dd23_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         means = piv.to_numpy() / counts.reindex(piv.index).to_numpy()[:, None]
         for p, row in zip(piv.index.to_numpy(), means):
             C[int(p)] = [float(x) for x in row]  # absent cells keep C[p]
-    monotone_prefix = all(
+    # measured diagnostics, NOT oracle-gated output (round-12 advice —
+    # monotonicity is only guaranteed under exact assignment): the
+    # per-iteration objectives and their tolerance-checked monotone
+    # verdict are published module-side for the pytest and for operators
+    global DD23_LAST_OBJECTIVES, DD23_LAST_MONOTONE
+    DD23_LAST_OBJECTIVES = list(objectives)
+    DD23_LAST_MONOTONE = all(
         b >= a - tol(a) for a, b in zip(objectives, objectives[1:])
     )
     norms, groups = _group_fine_under_super(C, k1)
@@ -1129,13 +1196,6 @@ def dd23_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(DD23_ITERATIONS).cast("int").alias("n_iterations"),
         (F.count_distinct("vec_id") == F.count("*")).alias("assigned_once"),
         ((F.min("cell") >= 0) & (F.max("cell") < k2)).alias("cells_in_range"),
-        (
-            F.lit(monotone_prefix)
-            & (
-                F.sum("cos_to_cent")
-                >= F.lit(objectives[-1] - tol(objectives[-1]))
-            )
-        ).alias("objective_monotone"),
     )
 
 
@@ -1144,9 +1204,11 @@ def _dd24_oracle() -> str:
     return f"""
     WITH nn AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 10 <> 0),
     kk AS (
-        SELECT CAST(CEIL(n / {t}.0) AS BIGINT) AS k2,
-               CAST(CEIL(SQRT(CEIL(n / {t}.0))) AS BIGINT) AS k1
-        FROM nn
+        SELECT k2, CAST(CEIL(SQRT(k2)) AS BIGINT) AS k1
+        FROM (
+            SELECT LEAST(CAST(CEIL(n / {t}.0) AS BIGINT), {DD22_K_CAP}) AS k2
+            FROM nn
+        )
     ),
     fine AS (
         -- rank-based codebook over the STANDING corpus only (the store
@@ -1237,7 +1299,7 @@ def dd24_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     standing = e.filter(F.col("vec_id") % 10 != 0)
     n = standing.count()
-    k2 = -(-n // DD20_TARGET_CELL)
+    k2 = min(-(-n // DD20_TARGET_CELL), DD22_K_CAP)
     k1 = math.ceil(math.sqrt(k2))
     rows = (
         standing.select("vec_id", "embedding")
@@ -1258,39 +1320,12 @@ def dd24_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cell"),
         "cos_to_cent",
     )
-    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
-
-    # both join sides consume the one-pass assignment — materialize once
-    assigned = lazy_checkpoint(assigned)
-    delta = assigned.filter(F.col("vec_id") % 10 == 0)
-    a, b = delta.alias("a"), assigned.alias("b")
-    b_wins = (F.col("b.vec_id") % 10 != 0) | (
-        (F.col("b.cos_to_cent") < F.col("a.cos_to_cent"))
-        | (
-            (F.col("b.cos_to_cent") == F.col("a.cos_to_cent"))
-            & (F.col("b.vec_id") < F.col("a.vec_id"))
-        )
-    )
-    dominated = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") != F.col("b.vec_id"))
-            & (_cosine(F.col("a.e"), F.col("b.e")) >= DD15_TAU)
-            & b_wins,
-            "left_semi",
-        )
-        .select("vec_id")
-        .withColumn("pr", F.lit(True))
-    )
-    return (
-        delta.join(dominated, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            "cos_to_cent",
-            F.coalesce("pr", F.lit(False)).alias("pruned"),
-        )
+    # the shared verdict tail in its incremental shape: only the delta
+    # is verdicted, and a standing partner dominates unconditionally
+    return _semdedup_verdict(
+        assigned,
+        left_filter=F.col("vec_id") % 10 == 0,
+        b_wins_extra=F.col("b.vec_id") % 10 != 0,
     )
 
 

@@ -89,6 +89,7 @@ def _load_all() -> None:
     from api_etl_pipeline_spark import ingest  # noqa: F401
     from api_etl_pipeline_spark.ingest import queries as ingest_queries  # noqa: F401
     from api_etl_pipeline_spark.llm_ops import (  # noqa: F401
+        classifier,
         corpus_pipeline,
         curation,
         dedup,

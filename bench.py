@@ -240,6 +240,8 @@ OPTIONAL = [
     "dd23_semdedup_trained",  # spherical-k-means trained codebook + verdict (2 Lloyd rounds)
     "dd24_incremental_semdedup",  # delta-vs-standing-store SemDeDup refresh (dd14's pattern)
     "sim15_ivfpq_topk",  # IVF cell pruning x PQ residual codes — the faiss IVFPQ read path
+    # round 13
+    "cls01_quality_classifier",  # centroid quality scorer: train-slice agg + map-only scoring
 ]
 
 
@@ -256,6 +258,14 @@ def current_round() -> int:
 
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
+        # validate the override (round-12 advice): a malformed value
+        # used to surface as a bare ValueError, and 0/negative silently
+        # skewed the rotation residue math
+        if not env.isdigit() or int(env) < 1:
+            raise SystemExit(
+                f"SPARK_GRAFT_ROUND must be a positive integer round "
+                f"number, got {env!r}"
+            )
         return int(env)
     rounds = [
         int(m.group(1))
@@ -514,14 +524,30 @@ def main() -> None:
     # could not reproduce.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
+    # queries whose fn() runs Spark jobs BEFORE returning the plan (the
+    # driver-iterates class — dd23 trains its codebook during query
+    # construction): their per-query wall above cannot see that work, so
+    # the construction wall is recorded separately (round-12 verdict
+    # task 6 — it was disclosed in SCALE.md prose but invisible to
+    # round-over-round drift tooling). Any other query whose min
+    # construction wall crosses 0.5 s is reported too, so a future op
+    # can't silently grow a hidden driver-side phase.
+    construction_tracked = {"dd23_semdedup_trained"}
+    constructions: dict[str, float] = {}
+
     def time_one(name: str) -> float:
         best = None
+        cbest = None
         for _ in range(runs):
+            c0 = time.perf_counter()
             df = specs[name].fn(spark, bench_dir)
+            c1 = time.perf_counter()
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            cbest = (c1 - c0) if cbest is None else min(cbest, c1 - c0)
+        constructions[name] = round(cbest, 3)
         return round(best, 3)
 
     timings: dict[str, float] = {name: time_one(name) for name in names}
@@ -548,6 +574,14 @@ def main() -> None:
         "cpu_calib_sec": calib,
         "cpu_calib_par_sec": calib_par,
         "spark_stage_floor_sec": stage_floor,
+        # driver-iterates construction walls (min-of-runs, seconds):
+        # work fn() does before returning the plan — tracked names
+        # always, plus anything crossing 0.5 s
+        "construction_sec": {
+            n: c
+            for n, c in sorted(constructions.items())
+            if n in construction_tracked or c >= 0.5
+        },
         # box-speed-normalized numbers (round-5 verdict task 2): the
         # driver's r5 run was uniformly ~1.25x the r4 wall-clocks on
         # plan-pinned unchanged queries — host CPU steal, not code.

@@ -1,0 +1,182 @@
+"""Round-13 operator pins: cls01 (learned quality classifier) replayed
+in a pure-Python third engine, the production LSH geometry's recall
+floor held by dd16's own instrument, and the WindowGlobal plan-lint
+rule's detector pinned on both real plans and the grammar cases it
+parses."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from api_etl_pipeline_spark.registry import all_queries
+from tests.conftest import SF_DIR, SF_SMOKE
+
+SF_01 = "/root/testdata/sf0.01"
+SF_1 = "/root/testdata/sf0.1"
+
+
+def _py_cls01(sf_dir: str):
+    """Third-engine replay of cls01 from the raw parquet: integer
+    features via Python // (exact like both engines' DIV), centroid
+    direction from exact integer sums, separating-threshold bias,
+    fixed-order IEEE float folds identical to the SQL/Column trees."""
+    from api_etl_pipeline_spark.llm_ops.classifier import CLS01_TRAIN_N
+    from api_etl_pipeline_spark.llm_ops.text import EN_STOPWORDS
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, n_chars FROM "
+        f"'{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    stop = set(EN_STOPWORDS)
+    feats = {}
+    for doc_id, text, n_chars in rows:
+        toks = text.split(" ")
+        n = len(toks)
+        dis = len(set(toks))
+        st = sum(1 for t in toks if t in stop)
+        x = (n, (10000 * dis) // n, (10000 * st) // n, (100 * n_chars) // n)
+        label = n >= 8 and 10 * dis >= 3 * n and 2 * st <= n
+        feats[doc_id] = (x, label)
+    train = {i: v for i, v in feats.items() if i < CLS01_TRAIN_N}
+    n_pos = sum(1 for _, l in train.values() if l)
+    n_neg = len(train) - n_pos
+    sp = [0] * 4
+    sn = [0] * 4
+    for x, l in train.values():
+        tgt = sp if l else sn
+        for j in range(4):
+            tgt[j] += x[j]
+    w = [sp[j] / n_pos - sn[j] / n_neg for j in range(4)]
+
+    def s0(x):
+        acc = w[0] * x[0]
+        for j in range(1, 4):
+            acc = acc + w[j] * x[j]
+        return acc
+
+    lo = min(s0(x) for x, l in train.values() if l)
+    hi = max(s0(x) for x, l in train.values() if not l)
+    t = (lo + hi) / 2
+    return {
+        i: (l, i < CLS01_TRAIN_N, s0(x) - t, s0(x) > t)
+        for i, (x, l) in feats.items()
+    }
+
+
+def test_cls01_matches_python_replay(spark):
+    """Every output row — label, train membership, margin, prediction —
+    must match the pure-Python replay; margins to 1e-9 relative (the
+    engines and Python build the same IEEE trees; tolerance only
+    absorbs the displayed ROUND(6))."""
+    exp = _py_cls01(SF_SMOKE)
+    got = {
+        r.doc_id: r
+        for r in all_queries()["cls01_quality_classifier"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for i, (label, is_train, margin, pred) in exp.items():
+        r = got[i]
+        assert r.label_high == label, i
+        assert r.is_train == is_train, i
+        assert r.predicted_high == pred, i
+        assert r.score == pytest.approx(margin, rel=1e-9, abs=1e-6), i
+
+
+def test_cls01_beats_majority_on_holdout(spark):
+    """The learned filter must actually be a classifier: on the sf0.1
+    holdout (docs outside the train slice) accuracy must beat the
+    all-positive majority baseline, with perfect precision on this
+    corpus (measured 0.9989 / 1.0 at round 13) — guards against a
+    refactor that degrades training back to the uncalibrated-midpoint
+    form (0.76 accuracy, worse than majority)."""
+    rows = (
+        all_queries()["cls01_quality_classifier"].fn(spark, SF_1).collect()
+    )
+    ho = [r for r in rows if not r.is_train]
+    assert len(ho) >= 4000
+    acc = sum(r.label_high == r.predicted_high for r in ho) / len(ho)
+    majority = sum(r.label_high for r in ho) / len(ho)
+    assert acc >= 0.99
+    assert acc > majority
+    predicted_pos = [r for r in ho if r.predicted_high]
+    precision = sum(r.label_high for r in predicted_pos) / len(predicted_pos)
+    assert precision == 1.0
+
+
+def test_cls01_margin_sign_consistent(spark):
+    """The displayed margin and the prediction must agree in sign
+    (ROUND(6) must never flip a verdict presentation-side)."""
+    for r in (
+        all_queries()["cls01_quality_classifier"].fn(spark, SF_SMOKE).collect()
+    ):
+        if r.score > 1e-6:
+            assert r.predicted_high
+        if r.score < -1e-6:
+            assert not r.predicted_high
+
+
+def test_dd16_production_recall_floor(spark):
+    """Round-12 verdict task 2's done-criterion, held as a standing
+    regression guard: the production geometry must measure >= 0.8
+    recall by dd16's own instrument at the driver's sf0.01 (b32r2
+    measured 0.967 / precision 0.906 at round 13; the retired b2r2
+    measured 0.18)."""
+    row = (
+        all_queries()["dd16_lsh_recall_audit"].fn(spark, SF_01).collect()[0]
+    )
+    assert row.recall >= 0.8, row
+    assert row.precision >= 0.8, row
+
+
+def test_window_global_detector_grammar():
+    """_has_global_window must parse the three windowspecdefinition
+    shapes the formatted plan emits: partitioned (first arg a bare
+    column), ordered-unpartitioned (first arg carries ASC/DESC), and
+    frame-only-unpartitioned (first arg is the frame)."""
+    from api_etl_pipeline_spark.ops.plan_lint import _has_global_window
+
+    part = "Window [windowspecdefinition(o_custkey#64L, o_totalprice#66 DESC NULLS LAST, specifiedwindowframe(RowFrame, a, b))]"
+    ordered = "Window [windowspecdefinition(s_acctbal#3 ASC NULLS FIRST, specifiedwindowframe(RangeFrame, -500.0, 500.0))]"
+    frame_only = "Window [windowspecdefinition(specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))]"
+    assert not _has_global_window(part)
+    assert _has_global_window(ordered)
+    assert _has_global_window(frame_only)
+    assert _has_global_window(part + "\n" + ordered)
+
+
+def test_window_global_rule_on_real_plans(spark):
+    """End-to-end on real plans: w10 (share-of-total, global by
+    construction) must fire the WindowGlobal warn WITH its allowlist
+    reason; w01 (partitioned top-k) must not fire it; cls01's BNLJ
+    warn must carry its reason."""
+    from api_etl_pipeline_spark.ops.plan_lint import lint_plan, plan_text
+
+    qs = all_queries()
+    f10 = {
+        (f.node, f.allowed)
+        for f in lint_plan(
+            "w10_share_of_total",
+            plan_text(qs["w10_share_of_total"].fn(spark, SF_SMOKE)),
+        )
+    }
+    assert ("WindowGlobal", True) in f10
+    f01 = {
+        f.node
+        for f in lint_plan(
+            "w01_topk_per_group",
+            plan_text(qs["w01_topk_per_group"].fn(spark, SF_SMOKE)),
+        )
+    }
+    assert "WindowGlobal" not in f01
+    fcls = {
+        (f.node, f.allowed)
+        for f in lint_plan(
+            "cls01_quality_classifier",
+            plan_text(qs["cls01_quality_classifier"].fn(spark, SF_SMOKE)),
+        )
+    }
+    assert ("BroadcastNestedLoopJoin", True) in fcls
+    assert all(node != "WindowGlobal" for node, _ in fcls)

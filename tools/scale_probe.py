@@ -126,6 +126,7 @@ QUERIES = [
     "dd23_semdedup_trained",  # round-12: trained codebook — per-iteration scans + k2*d-bounded update shuffles
     "dd24_incremental_semdedup",  # round-12: verdict join must stay delta-cell-bounded, not corpus-bounded
     "sim15_ivfpq_topk",  # round-12: code scan + probe pruning must multiply, window stays query-bounded
+    "cls01_quality_classifier",  # round-13: fixed train-slice agg + map-only scoring — must track the scan
 ]
 
 
