@@ -164,7 +164,28 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(stats))
         return 0
 
-    # cmd == run
+    # cmd == run — with the S11 run.log tee when a warehouse is given
+    # (reference cli.py:45-50: stdout/stderr tee into the run dir for
+    # the run's duration; the warehouse is this engine's run dir)
+    if args.warehouse:
+        import contextlib
+
+        from api_etl_pipeline_spark.ingest.capture import LogTee
+
+        Path(args.warehouse).mkdir(parents=True, exist_ok=True)
+        with (Path(args.warehouse) / "run.log").open(
+            "w", encoding="utf-8"
+        ) as log_file:
+            out_tee = LogTee(sys.stdout, log_file)
+            err_tee = LogTee(sys.stderr, log_file)
+            with contextlib.redirect_stdout(out_tee), contextlib.redirect_stderr(
+                err_tee
+            ):
+                return _run_ingest(spark, args)
+    return _run_ingest(spark, args)
+
+
+def _run_ingest(spark, args) -> int:
     from api_etl_pipeline_spark.ingest.pipeline import run_offline_ingest
 
     try:

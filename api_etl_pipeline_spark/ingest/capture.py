@@ -15,6 +15,8 @@ gzip copy is an output-codec option at write time.
 
 from __future__ import annotations
 
+import io
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -22,6 +24,27 @@ from api_etl_pipeline_spark.ingest.redact import redact_headers_json
 
 PRETTY_MAX_BYTES = 2_000_000  # settings.py:13-16
 GZIP_MIN_BYTES = 5_000_000  # settings.py:17-20
+
+
+class LogTee(io.TextIOBase):
+    """S11 run-log tee (reference run_capture.py:39-51 / cli.py:45-50):
+    every write is mirrored to all wrapped streams, so a CLI run's
+    stdout/stderr land in <warehouse>/run.log AND on the console. This
+    is driver-side process logging, not query semantics — the one
+    reference sink that is a file-of-record rather than a table."""
+
+    def __init__(self, *streams) -> None:
+        self._streams = streams
+
+    def write(self, s: str) -> int:
+        for stream in self._streams:
+            stream.write(s)
+            stream.flush()
+        return len(s)
+
+    def flush(self) -> None:
+        for stream in self._streams:
+            stream.flush()
 
 
 def number_attempts(attempts: DataFrame) -> DataFrame:

@@ -29,6 +29,27 @@ def test_cli_run_failure_writes_error_txt(spark, tmp_path):
     ])
     assert rc == 1
     assert "unknown provider" in (wh / "error.txt").read_text()
+    # S11: the failure message that went to stderr is also in run.log
+    assert "run failed:" in (wh / "run.log").read_text()
+
+
+def test_cli_run_tees_run_log(spark, tmp_path, capsys):
+    """S11 (reference cli.py:45-50): a warehouse run tees its
+    stdout/stderr into <warehouse>/run.log while STILL printing to the
+    console — the summary JSON must appear in both."""
+    wh = tmp_path / "wh"
+    rc = main([
+        "run", "--provider", "sec_edgar", "--fixture-root", "tests/fixtures",
+        "--warehouse", str(wh), "--run-id", "run-tee",
+    ])
+    assert rc == 0
+    console = capsys.readouterr().out
+    log = (wh / "run.log").read_text()
+    summary = json.loads(log.strip().splitlines()[-1])
+    assert summary["run_id"] == "run-tee"
+    assert summary["status"] == "succeeded"
+    # same line reached the console (the tee mirrors, not redirects)
+    assert json.loads(console.strip().splitlines()[-1]) == summary
 
 
 def test_cli_list_and_query(spark, capsys):

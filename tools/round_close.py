@@ -181,6 +181,14 @@ def _scan_audit_allowlist() -> set[str]:
         #   each, and `changed` would be checkpointed (the cur03/inc01
         #   differential-setting class)
         "ing22_reconcile_by_hash",
+        # round 13: cls01 — the two train-slice aggregates (class sums,
+        #   threshold min/max) plus the corpus scoring pass each read
+        #   documents in the final plan, but BOTH training scans carry
+        #   the pushed doc_id < 500 filter (bounded slices, not corpus
+        #   traversals); at 100 TB the slice aggregates are one tiny
+        #   partition-pruned read each and only the scoring pass sees
+        #   the corpus — the tx20 per-phase-stats class
+        "cls01_quality_classifier",
     }
 
 
