@@ -422,21 +422,28 @@ def dd07_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 20
 ) -> DataFrame:
-    """Connected components by iterative minimum-label propagation — the
-    clustering step between candidate-pair generation (dd04/dd07/dd08)
-    and keep-one-per-cluster dedup. Returns (vertex, component) where
-    component is the minimum vertex id reachable.
+    """Connected components by minimum-label propagation WITH pointer
+    jumping — the clustering step between candidate-pair generation
+    (dd04/dd07/dd08) and keep-one-per-cluster dedup. Returns (vertex,
+    component) where component is the minimum vertex id reachable.
 
-    Spark-first shape: each iteration is one DataFrame round
-    (edges ⋈ labels → per-vertex min over both directions + self), with
-    `localCheckpoint` truncating the lineage so the plan doesn't grow
-    exponentially with iterations (the classic iterative-algorithm trap;
-    on a cluster use `spark.checkpoint.dir` + checkpoint()). Convergence
-    is detected with a changed-labels count — diameter-bounded, so
-    max_iters=20 covers any realistic near-dup cluster (dup clusters are
-    near-cliques with tiny diameters; even a path of 2^20 docs would be
-    pathological). This is the SURVEY-sanctioned rows-only category:
-    genuinely iterative, not SQL-expressible.
+    Spark-first shape: each iteration is (a) one neighbor round
+    (edges ⋈ labels → per-vertex min over both directions + self) and
+    (b) one POINTER-JUMP round (labels ⋈ labels on component=vertex:
+    c(v) ← c(c(v)) — path halving), with `localCheckpoint` truncating
+    the lineage so the plan doesn't grow exponentially with iterations
+    (the classic iterative-algorithm trap; on a cluster use
+    `spark.checkpoint.dir` + checkpoint()). Neighbor-only propagation
+    needs O(diameter) rounds — the round-13 production LSH geometry's
+    higher recall produced sf0.1 near-dup CHAINS deeper than 20 hops,
+    which under-converged the old form (caught by the sf0.1 oracle
+    sweep; dup clusters are NOT always near-cliques). The jump step
+    doubles the effective hop length per round, so convergence is
+    O(log diameter): 20 iterations covers diameters ~2^20. Convergence
+    is detected with a changed-labels probe per round; the final
+    labels are exact min-reachable ids, matching the oracles' WITH
+    RECURSIVE transitive closure. This is the SURVEY-sanctioned
+    rows-only category: genuinely iterative, not SQL-expressible.
     """
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -453,14 +460,35 @@ def connected_components(
             .groupBy(F.col("u").alias("vertex"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        stepped = labels.join(neighbor_min, "vertex", "left").select(
+            "vertex",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+            (F.col("nbr_min") < F.col("component")).alias("changed"),
+        )
+        # pointer jump (path halving): follow the label one more hop —
+        # component ids are themselves vertex ids, so their CURRENT
+        # labels re-join on vertex. least() keeps monotonicity (labels
+        # only ever decrease), and `changed` ORs in the jump so a round
+        # that only shortcuts pointers still counts as progress.
+        parent = stepped.select(
+            F.col("vertex").alias("p_vertex"), F.col("component").alias("p_component")
+        )
         new_labels = (
-            labels.join(neighbor_min, "vertex", "left")
+            stepped.join(
+                parent, stepped.component == parent.p_vertex, "left"
+            )
             .select(
                 "vertex",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("p_component"), F.col("component")),
                 ).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("changed"),
+                (
+                    F.col("changed")
+                    | (F.col("p_component") < F.col("component"))
+                ).alias("changed"),
             )
         ).transform(eager_checkpoint)  # truncate lineage each round
         n_changed = new_labels.filter(F.col("changed")).limit(1).count()

@@ -217,7 +217,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("dd09_dup_clusters+ckpt", "SortMergeJoin"): (
         "connected-components star rounds join the candidate edge list "
         "with the evolving label frame — fact-fact on vertex id by "
-        "nature; per-round cost is the documented 2-shuffle CC model"
+        "nature; per-round cost is the neighbor-min + pointer-jump CC "
+        "model (round 13: the jump join buys O(log diameter) rounds)"
     ),
     ("dd10_keep_best_dedup+ckpt", "SortMergeJoin"): (
         "inherits dd09's CC rounds (same checkpointed subtree)"

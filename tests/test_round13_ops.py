@@ -131,6 +131,29 @@ def test_dd16_production_recall_floor(spark):
     assert row.precision >= 0.8, row
 
 
+def test_connected_components_deep_chain(spark):
+    """Round-13 regression: the production LSH geometry's higher recall
+    produced sf0.1 near-dup CHAINS deeper than the old 20-iteration
+    neighbor-propagation horizon (labels under-converged and the sf0.1
+    oracle sweep caught dd09/dd10/samp06 disagreeing with the
+    transitive-closure oracle). Pointer jumping makes convergence
+    O(log diameter): a 200-hop path — 10x the old horizon — must fully
+    converge to component 0 within the default max_iters=20, and a
+    multi-component graph must keep components separate."""
+    from api_etl_pipeline_spark.llm_ops.dedup import connected_components
+
+    n = 201
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(1000, 1001), (1001, 1002)],
+        "src bigint, dst bigint",
+    )
+    got = {
+        r.vertex: r.component for r in connected_components(edges).collect()
+    }
+    assert all(got[v] == 0 for v in range(n))
+    assert got[1000] == got[1001] == got[1002] == 1000
+
+
 def test_window_global_detector_grammar():
     """_has_global_window must parse the three windowspecdefinition
     shapes the formatted plan emits: partitioned (first arg a bare
