@@ -104,44 +104,35 @@ def _load_all() -> None:
 
 
 # Driver-coverage rotation. The driver's per-round correctness gate samples
-# the FIRST 50 entries of queries() in dict order. This round-13 prefix (per
-# the round-12 verdict task 1) front-loads, in order:
-#   1. ALL 41 queries whose latest driver row is still round 7 — the
-#      entire r7 cohort, exactly the fill queue the round-12 prefix
-#      note staged: cur02-cur05, dd15, decon03, dq03-dq06, mix02,
-#      q01-q18, samp06, sim11, st11-st13, tx20-tx22, w01, w02, x12,
-#      x22. The freshness-floor gate leg (tools/round_close.py) fails
-#      at the r13 close unless every one of these sits in the prefix.
-#   2. the near-dup geometry re-pin set (round-12 verdict task 2): the
-#      production LSH geometry flipped from 2 bands × 2 rows / 4 hashes
-#      to 32 bands × 2 rows / 64 hashes (llm_ops/dedup.py), changing
-#      the output of every pair consumer. The judge-named consumers get
-#      fresh driver rows THIS round: dd04 itself, dd09, dd10, dd13,
-#      dd14, gr03 (samp06 is already in the queue above), plus the two
-#      audits that prove the uplift — dd16 (recall 0.18 → 0.967 at
-#      sf0.01) and dd17 (the six-geometry measured ladder).
-#   3. the round-13 addition needing a FIRST driver row: cls01 (learned
-#      quality-classifier scoring — fastText-style centroid/logistic
-#      scorer with weights folded in as literals, the DSIR/sim04
-#      device). Names listed here before the op lands are skipped by
-#      _rotated until registered.
-# 41 + 8 + 1 = 50 exactly. Geometry-changed names that do NOT fit this
-# prefix — dd03 and llm01-llm04 — stay registered with live spark-vs-
-# oracle agreement (both sides derive from the same generated geometry)
-# and are the staged r14 pull-forwards: the r14 fill queue is the
-# 45-name r8 cohort (cur06, dq07, ev01-ev12, ev14, ev16, inc01,
-# q19-q38, st14, stats01, stats02, tx23, udaf01, w03, x11, x24), and
-# dd03 + llm01-04 fill the remaining 5 slots exactly. Nothing is
-# removed — every query stays registered and the pytest mirror in
+# the FIRST 50 entries of queries() in dict order. This round-14 prefix (per
+# the round-13 verdict task 1) front-loads, in order:
+#   1. ALL 45 queries whose latest driver row is still round 8 — the
+#      entire r8 cohort, verified against the latest-round histogram
+#      (r8×45, r9×44, r10×50, r11×48, r12×48, r13×50) at the start of
+#      round 14: cur06, dq07, ev01-ev12, ev14, ev16, inc01, q19-q38,
+#      st14, stats01, stats02, tx23, udaf01, w03, x11, x24. The
+#      freshness-floor gate leg (tools/round_close.py) fails at the
+#      r14 close unless every one of these sits in the prefix.
+#   2. the 5 geometry-changed pull-forwards staged at r13: dd03 and
+#      llm01-llm04 — their outputs changed with the b32r2/64-hash
+#      production geometry but did not fit the r13 prefix; the r13
+#      judge swept them 4+1 green at sf0.01 and staged them here.
+# 45 + 5 = 50 exactly — zero free slots, exactly as the r13 verdict
+# item 2 predicted (no r8 name was refreshed since). Consequence: any
+# NEW round-14 operator (dd25 simhash-recall audit) is registered with
+# a live oracle + pytest third-engine replay now and queued for its
+# FIRST driver row in the r15 prefix, the r13-staging precedent.
+# R15 fill queue = the 44-name r9 cohort (latest-round histogram at
+# r14 start) + dd25 + remaining slack. Nothing is removed — every
+# query stays registered and the pytest mirror in
 # tests/test_queries_oracle.py still covers all of them.
 _DRIVER_SAMPLE_PREFIX = [
-    "cur02", "cur03", "cur04", "cur05", "dd15", "decon03",
-    "dq03", "dq04", "dq05", "dq06", "mix02",
-    *[f"q{i:02d}" for i in range(1, 19)],
-    "samp06", "sim11", "st11", "st12", "st13",
-    "tx20", "tx21", "tx22", "w01", "w02", "x12", "x22",
-    "dd04", "dd09", "dd10", "dd13", "dd14", "gr03", "dd16", "dd17",
-    "cls01",
+    "cur06", "dq07",
+    *[f"ev{i:02d}" for i in range(1, 13)], "ev14", "ev16",
+    "inc01",
+    *[f"q{i:02d}" for i in range(19, 39)],
+    "st14", "stats01", "stats02", "tx23", "udaf01", "w03", "x11", "x24",
+    "dd03", "llm01", "llm02", "llm03", "llm04",
 ]
 
 
