@@ -3,8 +3,11 @@
 Mirrors the reference's declarative env config (settings.py:7-41) and its
 string-coercion helpers (http_client.py:56-63) without the pydantic
 dependency: every knob has the reference's default, the reference's env
-alias, and tolerant parsing (bad values fall back to the default — the
-engine must not fail on a malformed env, matching `_safe_json` spirit).
+alias, tolerant parsing (bad values fall back to the default — the
+engine must not fail on a malformed env, matching `_safe_json` spirit),
+and — round 14 — the reference's `.env`-file layer (settings.py:8:
+`env_file=".env"`) with pydantic-settings precedence: process env >
+`<cwd>/.env` > field default.
 
 The two documented-but-unconsumed knobs (SEC_MAX_RPS / NRC_MAX_RPS,
 BASELINE.md: "never read by code") are intentionally consumed here —
@@ -15,10 +18,54 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from pathlib import Path
+
+
+def dotenv_values(path: str | os.PathLike | None = None) -> dict[str, str]:
+    """Parse a `.env` file (reference settings.py:8 —
+    `SettingsConfigDict(env_file=".env")`): KEY=VALUE lines, full-line
+    `#` comments, blank lines, an optional `export ` prefix, and
+    single/double quote stripping — the python-dotenv subset the
+    reference's pydantic-settings layer actually exercises. A missing
+    or unreadable file is an empty mapping (pydantic-settings treats
+    env_file as optional). Defaults to `<cwd>/.env`, matching the
+    reference's cwd-relative resolution."""
+    p = Path(path) if path is not None else Path.cwd() / ".env"
+    out: dict[str, str] = {}
+    try:
+        text = p.read_text()
+    except OSError:
+        return out
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        if line.startswith("export "):
+            line = line[len("export "):].lstrip()
+        key, _, value = line.partition("=")
+        key = key.strip()
+        if not key:
+            continue
+        value = value.strip()
+        if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
+            value = value[1:-1]
+        out[key] = value
+    return out
+
+
+def _env_raw(name: str) -> str | None:
+    """Layered lookup with the reference's pydantic-settings precedence
+    (env vars beat the dotenv file, which beats field defaults). The
+    dotenv file is re-read per lookup — load_settings() is a cold-path
+    config read, and staleness would be worse than the microseconds."""
+    raw = os.environ.get(name)
+    if raw is not None:
+        return raw
+    return dotenv_values().get(name)
 
 
 def env_int(name: str, default: int) -> int:
-    raw = os.environ.get(name)
+    raw = _env_raw(name)
     if raw is None:
         return default
     try:
@@ -28,7 +75,7 @@ def env_int(name: str, default: int) -> int:
 
 
 def env_float(name: str, default: float) -> float:
-    raw = os.environ.get(name)
+    raw = _env_raw(name)
     if raw is None:
         return default
     try:
@@ -39,7 +86,7 @@ def env_float(name: str, default: float) -> float:
 
 def env_bool(name: str, default: bool = False) -> bool:
     """Truthy env parse (http_client.py:56): 1/true/yes/on, case-insensitive."""
-    raw = os.environ.get(name)
+    raw = _env_raw(name)
     if raw is None:
         return default
     return raw.strip().lower() in ("1", "true", "yes", "on")

@@ -81,6 +81,45 @@ def test_settings_env_parsing(monkeypatch):
     assert env_float("NOPE_MISSING", 1.5) == 1.5
 
 
+def test_settings_dotenv_layer(monkeypatch, tmp_path):
+    """Round-14 parity close-out (reference settings.py:8 —
+    `SettingsConfigDict(env_file=".env")`): a `<cwd>/.env` file feeds
+    the settings knobs with pydantic-settings precedence — process env
+    beats the file, the file beats the field default — plus the
+    python-dotenv grammar subset the reference exercises (comments,
+    blanks, `export ` prefix, quote stripping)."""
+    from api_etl_pipeline_spark.ingest.settings import dotenv_values
+
+    (tmp_path / ".env").write_text(
+        "# storage knobs (reference .env.example shape)\n"
+        "\n"
+        "APP_MAX_ARTIFACT_BYTES=2048\n"
+        "export APP_PDF_READ_TIMEOUT_SECONDS=33.5\n"
+        'APP_LIVE="yes"\n'
+        "SEC_MAX_RPS='4'\n"
+        "MALFORMED LINE WITHOUT EQUALS\n"
+        "=no-key\n"
+    )
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("APP_MAX_ARTIFACT_BYTES", raising=False)
+    monkeypatch.delenv("APP_PDF_READ_TIMEOUT_SECONDS", raising=False)
+    monkeypatch.delenv("APP_LIVE", raising=False)
+    # process env must take precedence over the file (pydantic-settings
+    # source order: env vars before dotenv)
+    monkeypatch.setenv("SEC_MAX_RPS", "9")
+    s = load_settings()
+    assert s.max_artifact_bytes == 2048  # from .env
+    assert s.pdf_read_timeout_seconds == 33.5  # export-prefixed line
+    assert s.live is True  # quoted truthy value
+    assert s.sec_max_rps == 9.0  # process env wins
+    assert s.capture_gzip_min_bytes == 5_000_000  # default, not in either
+    parsed = dotenv_values(tmp_path / ".env")
+    assert "MALFORMED LINE WITHOUT EQUALS" not in parsed
+    assert "" not in parsed
+    # missing file == empty mapping (env_file is optional in pydantic)
+    assert dotenv_values(tmp_path / "absent.env") == {}
+
+
 def test_salted_agg_equals_direct(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
     direct = {
