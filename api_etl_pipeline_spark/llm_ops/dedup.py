@@ -22,6 +22,9 @@ HashAggregate); no float accumulation anywhere.
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -419,6 +422,51 @@ def dd07_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Size dispatch for connected_components (round 14, the dd22
+# literal-vs-broadcast device): an edge set at or below this cap is
+# collected and union-found ON THE DRIVER in one pass; above it the
+# distributed pointer-jumping loop runs. Rationale: the loop costs
+# O(log diameter) Spark JOBS — ~1 s of pure scheduling per round on a
+# warm local[32] regardless of data size (measured r14: 14 rounds ≈
+# 14 s over a 3k-edge sf0.1 graph whose union-find takes
+# milliseconds) — while the edge set is bounded by the DUP RATE, not
+# the corpus. 250k edges ≈ 4 MB of long pairs on the driver (the
+# bounded-metadata collect class, same budget as the dd22 codebook
+# cap); past the cap the log-depth loop is the standard distributed
+# form and its per-round cost amortizes over real work. Tests pin the
+# two paths equal by monkeypatching the cap to 0/∞; the deep-chain
+# regression pins the DISTRIBUTED path explicitly.
+CC_DRIVER_MAX_EDGES = 250_000
+
+
+def _cc_driver_union_find(
+    spark: SparkSession, edge_rows: list, id_type: str
+) -> DataFrame:
+    """Exact min-label components via union-find with path compression
+    (union-by-min: the larger root attaches under the smaller, so each
+    final root IS the component's minimum vertex id — independent of
+    edge order). Mirrors the pytest third-engine union-find pin."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    data = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(
+        data, schema=f"vertex {id_type}, component {id_type}"
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 20
 ) -> DataFrame:
@@ -427,7 +475,15 @@ def connected_components(
     (dd04/dd07/dd08) and keep-one-per-cluster dedup. Returns (vertex,
     component) where component is the minimum vertex id reachable.
 
-    Spark-first shape: each iteration is (a) one neighbor round
+    SIZE-DISPATCHED (round 14): the materialized edge count picks the
+    strategy — at or below CC_DRIVER_MAX_EDGES the labels come from a
+    driver union-find over the collected pairs (exact same min-label
+    fixpoint; the collect is bounded by the cap, never the corpus);
+    above it the distributed loop below runs. Both paths are pinned
+    equal by pytest on the same graphs.
+
+    Spark-first shape (the above-cap path): each iteration is (a) one
+    neighbor round
     (edges ⋈ labels → per-vertex min over both directions + self) and
     (b) one POINTER-JUMP round (labels ⋈ labels on component=vertex:
     c(v) ← c(c(v)) — path halving), with `localCheckpoint` truncating
@@ -440,13 +496,32 @@ def connected_components(
     sweep; dup clusters are NOT always near-cliques). The jump step
     doubles the effective hop length per round, so convergence is
     O(log diameter): 20 iterations covers diameters ~2^20. Convergence
-    is detected with a changed-labels probe per round; the final
-    labels are exact min-reachable ids, matching the oracles' WITH
-    RECURSIVE transitive closure. This is the SURVEY-sanctioned
+    is detected with a changed-labels probe every SECOND round (r13
+    verdict task 2b: the probe is a count() job whose cost is pure
+    scheduling overhead at 20 rounds; probing odd rounds halves the
+    job count at worst one extra — already-converged — iteration); the
+    final labels are exact min-reachable ids, matching the oracles'
+    WITH RECURSIVE transitive closure. This is the SURVEY-sanctioned
     rows-only category: genuinely iterative, not SQL-expressible.
+
+    The edge list is checkpointed ONCE up front (r13 verdict task 2):
+    it is consumed by the dispatch count and then joined in every
+    iteration, and an unmaterialized edge relation re-executes the
+    whole upstream candidate-pair pipeline (signatures + band join for
+    dd04 input) per round — at 20 rounds that multiplied the most
+    expensive map-side work in the dedup family by 20×. Edge state is
+    bounded by the duplication rate, not the corpus, so materializing
+    it is the cheap side of that trade at any scale.
     """
-    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    e2 = eager_checkpoint(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
+    if e2.count() <= CC_DRIVER_MAX_EDGES:
+        id_type = e2.schema["u"].dataType.simpleString()
+        rows = [(r["u"], r["v"]) for r in e2.collect()]
+        return _cc_driver_union_find(e2.sparkSession, rows, id_type)
+    both = e2.unionByName(
+        e2.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     labels = (
         both.select(F.col("u").alias("vertex"))
@@ -454,7 +529,7 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .transform(eager_checkpoint)
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neighbor_min = (
             both.join(labels, both.v == labels.vertex)
             .groupBy(F.col("u").alias("vertex"))
@@ -491,11 +566,59 @@ def connected_components(
                 ).alias("changed"),
             )
         ).transform(eager_checkpoint)  # truncate lineage each round
-        n_changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
-        if n_changed == 0:
-            break
+        # probe convergence on odd rounds and the last round only
+        if it % 2 == 1 or it == max_iters - 1:
+            n_changed = new_labels.filter(F.col("changed")).limit(1).count()
+            if n_changed == 0:
+                break
     return labels
+
+
+# Shared near-dup component map (r13 verdict task 2a): dd09, dd10 and
+# samp06 all consume connected_components(dd04_minhash_lsh_pairs(...))
+# and — before round 14 — each rebuilt the identical pair set AND
+# re-iterated the identical component loop at query-construction time
+# (42 s of the r13 bench's 111.8 s construction wall, the single
+# largest cost in the repo). One checkpointed map per (session,
+# sf_dir, geometry) is driver-hash-neutral: the cached DataFrame is
+# the same checkpointed labels relation every consumer would have
+# built itself. Keyed on applicationId so a fresh SparkSession (tests
+# spin several) never sees another session's dead RDD blocks; stale
+# sessions' entries are pruned on insert. The build wall is recorded
+# in SHARED_BUILD_WALLS so bench.py can report the one-time cost
+# honestly (a min-of-runs per-query timer would otherwise show ~0 for
+# all three consumers and the cost would vanish from the drift
+# tooling).
+_COMPONENTS_CACHE: dict[tuple, DataFrame] = {}
+SHARED_BUILD_WALLS: dict[str, float] = {}
+
+
+def dd04_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (vertex, component) map over dd04's production-geometry LSH
+    candidate pairs — built once per (session, sf_dir, geometry) and
+    shared by every consumer (dd09/dd10/samp06)."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        N_MINHASH,
+        N_BANDS,
+        ROWS_PER_BAND,
+    )
+    got = _COMPONENTS_CACHE.get(key)
+    if got is None:
+        t0 = time.perf_counter()
+        got = connected_components(
+            dd04_minhash_lsh_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
+        )
+        wall_key = f"dd04_components[{os.path.basename(str(sf_dir).rstrip('/'))}]"
+        SHARED_BUILD_WALLS[wall_key] = (
+            SHARED_BUILD_WALLS.get(wall_key, 0.0) + (time.perf_counter() - t0)
+        )
+        for stale in [k for k in _COMPONENTS_CACHE if k[0] != key[0]]:
+            del _COMPONENTS_CACHE[stale]
+        _COMPONENTS_CACHE[key] = got
+    return got
 
 
 _DUCK_CLOSURE = """
@@ -536,9 +659,10 @@ def dd09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (UNION-dedup guarantees termination) — two entirely different
     algorithms agreeing on every component is the strongest differential
     check in the dedup family. Cluster membership is additionally pinned
-    against a pytest union-find."""
-    pairs = dd04_minhash_lsh_pairs(spark, sf_dir)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    against a pytest union-find. The component map is the shared
+    per-(session, sf, geometry) build (dd04_components) since round
+    14, so the three consumers pay its construction once."""
+    comp = dd04_components(spark, sf_dir)
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
         comp.join(F.broadcast(sizes), "component")
@@ -583,9 +707,7 @@ def dd10_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     when replicas differ in quality (truncation, boilerplate). Emits one
     row per cluster: keeper + cluster size. max_by on a (ratio, -doc_id)
     struct makes the argmax deterministic in one hash aggregation."""
-    comp = connected_components(
-        dd04_minhash_lsh_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
-    )
+    comp = dd04_components(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     quality = (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio")

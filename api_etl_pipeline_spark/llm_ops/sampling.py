@@ -339,20 +339,20 @@ def samp06_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     and audit agree only if the component labels agree doc-for-doc.
 
     Plan shape: dd04 candidates → log-depth components (driver-iterated
-    pointer jumping, eager-checkpointed) → ONE left join of the corpus
-    against the ≤|dup docs| component map (AQE broadcasts it) → a
+    pointer jumping, eager-checkpointed; since round 14 the map is the
+    SHARED per-(session, sf, geometry) build — dedup.dd04_components —
+    so dd09/dd10/samp06 pay the pair+component construction once per
+    process, not three times) → ONE left join of the corpus against
+    the ≤|dup docs| component map (AQE broadcasts it) → a
     cluster-keyed window over the dup subset + one hash agg to the
     2-row audit. At 100 TB the component map is the only state that
     moves — bounded by the duplication rate, not the corpus."""
-    from api_etl_pipeline_spark.llm_ops.dedup import (
-        connected_components,
-        dd04_minhash_lsh_pairs,
-    )
+    from api_etl_pipeline_spark.llm_ops.dedup import dd04_components
 
     d = load_table(spark, sf_dir, "documents")
-    comp = connected_components(
-        dd04_minhash_lsh_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
-    ).select(F.col("vertex").alias("doc_id"), "component")
+    comp = dd04_components(spark, sf_dir).select(
+        F.col("vertex").alias("doc_id"), "component"
+    )
     gk = F.coalesce(F.col("component"), F.col("doc_id"))
     assigned = d.join(comp, "doc_id", "left").select(
         "doc_id",

@@ -139,7 +139,10 @@ def test_connected_components_deep_chain(spark):
     transitive-closure oracle). Pointer jumping makes convergence
     O(log diameter): a 200-hop path — 10x the old horizon — must fully
     converge to component 0 within the default max_iters=20, and a
-    multi-component graph must keep components separate."""
+    multi-component graph must keep components separate. The cap is
+    monkeypatched to 0 so this pins the DISTRIBUTED pointer-jumping
+    path, not the round-14 driver union-find dispatch."""
+    from api_etl_pipeline_spark.llm_ops import dedup
     from api_etl_pipeline_spark.llm_ops.dedup import connected_components
 
     n = 201
@@ -147,11 +150,53 @@ def test_connected_components_deep_chain(spark):
         [(i, i + 1) for i in range(n - 1)] + [(1000, 1001), (1001, 1002)],
         "src bigint, dst bigint",
     )
-    got = {
-        r.vertex: r.component for r in connected_components(edges).collect()
-    }
+    old_cap = dedup.CC_DRIVER_MAX_EDGES
+    dedup.CC_DRIVER_MAX_EDGES = 0
+    try:
+        got = {
+            r.vertex: r.component
+            for r in connected_components(edges).collect()
+        }
+    finally:
+        dedup.CC_DRIVER_MAX_EDGES = old_cap
     assert all(got[v] == 0 for v in range(n))
     assert got[1000] == got[1001] == got[1002] == 1000
+
+
+def test_connected_components_paths_identical(spark):
+    """Round-14 size dispatch: the driver union-find (at/below
+    CC_DRIVER_MAX_EDGES) and the distributed pointer-jumping loop must
+    produce the IDENTICAL (vertex, component) relation on the same
+    graph — chain + triangle + singleton-pair + cross-link, the shapes
+    that distinguish min-label fixpoints from approximations."""
+    from api_etl_pipeline_spark.llm_ops import dedup
+
+    edge_list = (
+        [(i, i + 1) for i in range(0, 30)]  # 31-vertex chain
+        + [(100, 101), (101, 102), (100, 102)]  # triangle
+        + [(200, 300)]  # pair with a gap
+        + [(15, 102)]  # cross-link chain<->triangle
+    )
+    edges = spark.createDataFrame(edge_list, "src bigint, dst bigint")
+    old_cap = dedup.CC_DRIVER_MAX_EDGES
+    try:
+        dedup.CC_DRIVER_MAX_EDGES = 10**9  # force driver path
+        small = {
+            (r.vertex, r.component)
+            for r in dedup.connected_components(edges).collect()
+        }
+        dedup.CC_DRIVER_MAX_EDGES = 0  # force distributed path
+        big = {
+            (r.vertex, r.component)
+            for r in dedup.connected_components(edges).collect()
+        }
+    finally:
+        dedup.CC_DRIVER_MAX_EDGES = old_cap
+    assert small == big
+    # triangle + chain merged through the cross-link: all take min 0
+    comp = dict(small)
+    assert comp[102] == 0 and comp[100] == 0
+    assert comp[300] == 200
 
 
 def test_window_global_detector_grammar():

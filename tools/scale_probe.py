@@ -236,6 +236,31 @@ def main() -> None:
     base = time_set(spark, base_dir)
     big = time_set(spark, OUT)
     bucketed = time_set(spark, f"catalog:{BUCKET_PREFIX}", BUCKETED_QUERIES)
+    # round 14 (r13 verdict task 4): the shared CC construction wall at
+    # 10x — cache cleared per decade, one full dd04_components build +
+    # materialization; prints edge count and which dispatch path ran
+    # (CC_DRIVER_MAX_EDGES decides; a flip between decades is designed).
+    from api_etl_pipeline_spark.llm_ops import dedup as _dedup
+
+    cc = {}
+    for tag, d in (("1x", base_dir), ("10x", OUT)):
+        _dedup._COMPONENTS_CACHE.clear()
+        _dedup.SHARED_BUILD_WALLS.clear()
+        t0 = time.perf_counter()
+        _dedup.dd04_components(spark, d).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        cc[tag] = round(time.perf_counter() - t0, 3)
+        n_edges = _dedup.dd04_minhash_lsh_pairs(spark, d).count()
+        path = (
+            "driver-uf" if n_edges <= _dedup.CC_DRIVER_MAX_EDGES
+            else "distributed"
+        )
+        print(
+            f"cc_construction {tag}: {cc[tag]}s ({n_edges} edges, {path})",
+            flush=True,
+        )
+
     print(f"{'query':36s} {'1x':>8s} {'10x':>8s} {'ratio':>6s} {'10x-bkt':>8s} {'b-ratio':>7s}")
     for name in QUERIES:
         r = big[name] / base[name] if base[name] else float("inf")
@@ -244,6 +269,8 @@ def main() -> None:
             br = bucketed[name] / base[name] if base[name] else float("inf")
             line += f" {bucketed[name]:8.3f} {br:7.1f}"
         print(line)
+    ccr = cc["10x"] / cc["1x"] if cc["1x"] else float("inf")
+    print(f"{'cc_construction(dd04_components)':36s} {cc['1x']:8.3f} {cc['10x']:8.3f} {ccr:6.1f}")
 
 
 if __name__ == "__main__":

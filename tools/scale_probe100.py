@@ -198,6 +198,13 @@ QUERIES = [
     # stays query-bounded. Replica-0 ids survive the shift, so the
     # 8-centroid/5-query literals resolve identically at 100x.
     "sim15_ivfpq_topk",
+    # round 14 (r13 verdict task 4): containment dedup at the second
+    # decade — its 10x ratio is 2.6x (pair-bounded by design: gram
+    # joins ride the LSH candidate set, and re-vocabularied replicas
+    # keep candidates replica-local, so the pair set scales with the
+    # dup rate, not quadratically). The 100x row tests that the
+    # candidate-bounded claim survives a 100x-wider vocab.
+    "dd13_containment_dedup",
 ]
 
 
@@ -297,11 +304,51 @@ def main() -> None:
             **({} if same else {"fingerprint_100x": fp100}),
         })
 
+    # round 14 (r13 verdict task 4): the shared CC construction wall —
+    # not a registered query (it is driver-iterated query-construction
+    # work), so it is timed at its build site: cache cleared, then one
+    # full dd04_components build + materialization per decade. The
+    # number that matters at scale is iterations x per-round cost; the
+    # size dispatch means 1x (3k edges, sf0.1) runs the driver
+    # union-find while a decade that crosses CC_DRIVER_MAX_EDGES runs
+    # the distributed pointer-jumping loop — a DESIGNED path flip, so
+    # no plan-fingerprint comparison applies (recorded as such).
+    if not wanted or any(w in "cc_construction" for w in wanted):
+        from api_etl_pipeline_spark.llm_ops import dedup as _dedup
+
+        cc = {}
+        for tag, d in (("1x", base_dir), ("100x", OUT)):
+            _dedup._COMPONENTS_CACHE.clear()
+            _dedup.SHARED_BUILD_WALLS.clear()
+            t0 = time.perf_counter()
+            comp = _dedup.dd04_components(spark, d)
+            comp.write.mode("overwrite").format("noop").save()
+            cc[tag] = round(time.perf_counter() - t0, 3)
+            n_edges = _dedup.dd04_minhash_lsh_pairs(spark, d).count()
+            path = (
+                "driver-uf" if n_edges <= _dedup.CC_DRIVER_MAX_EDGES
+                else "distributed"
+            )
+            print(
+                f"cc_construction {tag}: {cc[tag]}s "
+                f"({n_edges} edges, {path})", flush=True
+            )
+        rows.append({
+            "query": "cc_construction(dd04_components)",
+            "sec_1x": cc["1x"], "sec_100x": cc["100x"],
+            "ratio": round(cc["100x"] / cc["1x"], 1) if cc["1x"] else None,
+            "plan_unchanged": None,  # designed dispatch flip, see above
+        })
+
     print(f"{'query':28s} {'1x':>8s} {'100x':>9s} {'ratio':>7s}  plan")
     for r in rows:
+        shape = (
+            "dispatch-flip" if r["plan_unchanged"] is None
+            else ("unchanged" if r["plan_unchanged"] else "CHANGED")
+        )
         print(
             f"{r['query']:28s} {r['sec_1x']:8.3f} {r['sec_100x']:9.3f} "
-            f"{r['ratio']:7.1f}  {'unchanged' if r['plan_unchanged'] else 'CHANGED'}"
+            f"{r['ratio']:7.1f}  {shape}"
         )
     print(json.dumps({"build_sec": build_sec, "probes": rows}))
 
