@@ -273,6 +273,10 @@ ALLOWED: dict[tuple[str, str], str] = {
         "the 3-row geometry literal cross-joined onto the bounded pair "
         "lattice — a constant-size broadcast"
     ),
+    ("dd25_simhash_recall_audit", "BroadcastNestedLoopJoin"): (
+        "the 5-row Hamming-threshold literal cross-joined onto the "
+        "bounded dd16 pair lattice — the dd17 geometry-lattice shape"
+    ),
     ("samp08_temporal_split", "BroadcastNestedLoopJoin"): (
         "the 1-row cutoff-day anchor cross-broadcast onto the composite "
         "(day, user) relation — the samp07 1-row-totals shape"
@@ -456,6 +460,7 @@ CHECKPOINTING_QUERIES = {
     "dd15_semdedup_prune",
     "dd16_lsh_recall_audit",  # round 9: derived-corpus + signature checkpoints
     "dd17_lsh_geometry_sweep",  # round 9: same checkpoints, 8-hash variant
+    "dd25_simhash_recall_audit",  # round 14: derived-corpus + simhash ckpts
     "sim13_mmr_rerank",  # round 9: candidate set feeds both lattice sides
     "hh02_countmin_audit",  # round 9: bigram counts feed sketch + probe + lattice
     "maint03_zone_map_skip",  # round 9: composite grain feeds both layouts + anchor

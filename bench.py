@@ -242,6 +242,8 @@ OPTIONAL = [
     "sim15_ivfpq_topk",  # IVF cell pruning x PQ residual codes — the faiss IVFPQ read path
     # round 13
     "cls01_quality_classifier",  # centroid quality scorer: train-slice agg + map-only scoring
+    # round 14
+    "dd25_simhash_recall_audit",  # simhash-Hamming recall audit, dd16 device
 ]
 
 

@@ -127,6 +127,7 @@ QUERIES = [
     "dd24_incremental_semdedup",  # round-12: verdict join must stay delta-cell-bounded, not corpus-bounded
     "sim15_ivfpq_topk",  # round-12: code scan + probe pruning must multiply, window stays query-bounded
     "cls01_quality_classifier",  # round-13: fixed train-slice agg + map-only scoring — must track the scan
+    "dd25_simhash_recall_audit",  # round-14: fixed-stratum simhash audit — dd16's independence claim
 ]
 
 
