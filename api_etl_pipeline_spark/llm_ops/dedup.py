@@ -244,9 +244,9 @@ def dd02_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dd03_minhash_signatures", oracle=_DUCK_SIGNATURES)
 def dd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures over 3-gram shingles (N_MINHASH=32 hash
-    functions = 32-bit slices of 8 salted md5 variants; the signature
-    approximates set identity under Jaccard)."""
+    """MinHash signatures over 3-gram shingles (N_MINHASH=64 hash
+    functions = 32-bit slices of the 16 salted md5 variants; the
+    signature approximates set identity under Jaccard)."""
     return _signatures(spark, sf_dir)
 
 
@@ -1436,7 +1436,9 @@ DD17_GEOMETRIES = (
 
 
 def _dd17_duck_bands(sig: str) -> str:
-    """Per-geometry band SQL over the full 32-hash signature relation."""
+    """Per-geometry band SQL over the full N_MINHASH(=64)-hash
+    signature relation (each geometry consumes its leading b*r
+    slices)."""
     parts = []
     for g, b, r, _h in DD17_GEOMETRIES:
         for i in range(b):
@@ -1453,9 +1455,9 @@ def _dd17_duck_bands(sig: str) -> str:
     "dd17_lsh_geometry_sweep",
     oracle=f"""
     WITH {_DUCK_DD16_DERIVED},
-    sig32 AS ({_duck_sig_from("derived")}),
+    sig_full AS ({_duck_sig_from("derived")}),
     bands AS (
-        {_dd17_duck_bands("sig32")}
+        {_dd17_duck_bands("sig_full")}
     ),
     cand AS (
         SELECT DISTINCT a.g AS g, a.doc_id AS da, b.doc_id AS db
@@ -1506,10 +1508,11 @@ def _dd17_duck_bands(sig: str) -> str:
 )
 def dd17_lsh_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band-geometry sweep over dd16's audit stratum: the production
-    b16r2 geometry (buckets byte-identical to dd04/dd16's), the retired
+    b32r2 geometry (buckets byte-identical to dd04/dd16's), the retired
     b2r2 contrast, the two 8-hash intermediates (b4r2 = more bands →
-    recall, b2r4 = longer bands → precision) and the 32-hash long-band
-    b8r4, each scored against the identical exact-Jaccard ground truth.
+    recall, b2r4 = longer bands → precision) and the 32-hash
+    b8r4/b16r2 ladder steps, each scored against the identical
+    exact-Jaccard ground truth.
     One row per geometry with the confusion matrix, recall/precision
     (single bigint divisions), and the missed-pair checksum — the
     measured trade-off curve the band-math formula only predicts.
@@ -1527,7 +1530,7 @@ def dd17_lsh_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dtoks.select(
         "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("sh")
     )
-    sig32 = lazy_checkpoint(_signatures_of(derived))
+    sig_full = lazy_checkpoint(_signatures_of(derived))
 
     band_structs = [
         F.struct(
@@ -1538,7 +1541,7 @@ def dd17_lsh_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         for g, b, r, _h in DD17_GEOMETRIES
         for i in range(b)
     ]
-    bands = sig32.select(
+    bands = sig_full.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.g", "bb.band", "bb.bucket")
     a, b = bands.alias("a"), bands.alias("b")

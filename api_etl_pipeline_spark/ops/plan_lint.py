@@ -521,15 +521,37 @@ def plan_text(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def _first_toplevel_arg(s: str) -> str:
+    """First top-level argument of an argument list `s` that starts
+    just after an opening '(' — scan paren-balanced until the first
+    depth-0 ',' or the closing ')'. Needed because an argument may
+    itself contain parenthesized expressions (cast(x#1 as double))
+    whose inner ')' a naive [^,)]* capture would stop at."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return s[:i]
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return s[:i]
+    return s
+
+
 def _has_global_window(plan: str) -> bool:
     """True when any windowspecdefinition in the plan has no partition
     columns. Formatted-plan grammar: the spec's arguments are
     [partition cols...], [order cols with ASC/DESC...],
     specifiedwindowframe(...) — so the spec is UNPARTITIONED exactly
     when its FIRST argument is already an order column (carries an
-    ASC/DESC marker) or the frame itself (no ordering either)."""
-    for m in re.finditer(r"windowspecdefinition\(\s*([^,)]*)", plan):
-        first = m.group(1).strip()
+    ASC/DESC marker) or the frame itself (no ordering either). The
+    first argument is extracted paren-balanced so composite order
+    expressions — windowspecdefinition(cast(x#1 as double) ASC ... —
+    don't truncate at an inner ')' and slip past the detector."""
+    for m in re.finditer(r"windowspecdefinition\(\s*", plan):
+        first = _first_toplevel_arg(plan[m.end():]).strip()
         if (
             first.startswith("specifiedwindowframe")
             or " ASC" in first

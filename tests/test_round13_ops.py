@@ -88,10 +88,15 @@ def test_cls01_matches_python_replay(spark):
 def test_cls01_beats_majority_on_holdout(spark):
     """The learned filter must actually be a classifier: on the sf0.1
     holdout (docs outside the train slice) accuracy must beat the
-    all-positive majority baseline, with perfect precision on this
-    corpus (measured 0.9989 / 1.0 at round 13) — guards against a
-    refactor that degrades training back to the uncalibrated-midpoint
-    form (0.76 accuracy, worse than majority)."""
+    all-positive majority baseline, with near-perfect precision on
+    this corpus (measured 0.9989 accuracy / 1.0 precision at round
+    13) — guards against a refactor that degrades training back to
+    the uncalibrated-midpoint form (0.76 accuracy, worse than
+    majority). Precision is asserted against a 0.99 FLOOR, not the
+    measured 1.0 (r13 ADVICE): a benign corpus regeneration or a
+    single boundary flip on a 4000+-row holdout must not fail the
+    suite while the classifier still clears its documented floor; the
+    exact value is printed as a diagnostic instead."""
     rows = (
         all_queries()["cls01_quality_classifier"].fn(spark, SF_1).collect()
     )
@@ -103,7 +108,8 @@ def test_cls01_beats_majority_on_holdout(spark):
     assert acc > majority
     predicted_pos = [r for r in ho if r.predicted_high]
     precision = sum(r.label_high for r in predicted_pos) / len(predicted_pos)
-    assert precision == 1.0
+    print(f"cls01 holdout precision diagnostic: {precision:.6f} (acc {acc:.6f})")
+    assert precision >= 0.99
 
 
 def test_cls01_margin_sign_consistent(spark):
@@ -213,6 +219,14 @@ def test_window_global_detector_grammar():
     assert _has_global_window(ordered)
     assert _has_global_window(frame_only)
     assert _has_global_window(part + "\n" + ordered)
+    # round-14 (r13 ADVICE): a composite ORDER BY expression must not
+    # truncate the first-argument capture at its inner ')' — this exact
+    # shape slipped past the old [^,)]* regex.
+    expr_ordered = "Window [windowspecdefinition(cast(x#1 as double) ASC NULLS FIRST, specifiedwindowframe(RangeFrame, -5.0, 5.0))]"
+    assert _has_global_window(expr_ordered)
+    # ...while a composite PARTITION BY expression stays unflagged.
+    expr_part = "Window [windowspecdefinition(cast(x#1 as double), y#2 ASC NULLS FIRST, specifiedwindowframe(RowFrame, a, b))]"
+    assert not _has_global_window(expr_part)
 
 
 def test_window_global_rule_on_real_plans(spark):
