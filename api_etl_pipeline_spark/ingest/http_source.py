@@ -323,3 +323,38 @@ def responses_from_attempts(attempts):
         F.col("error_type").isNull() & (F.col("status_code") >= 200)
         & (F.col("status_code") < 400)
     )
+
+
+def stream_download_with_sha256(chunks, target) -> tuple[str, int]:
+    """S4 — streaming download with incremental hash (reference
+    downloads.py:7-20). Dead code in the reference itself (only
+    `sha256_bytes` is ever imported, pipeline.py:4,39); implemented
+    here to close the surface row with the same contract, decoupled
+    from any HTTP client: `chunks` is any iterator of byte chunks
+    (the reference's `response.iter_bytes()`; here, a chunked
+    Transport or a file stream), written to `target` while a sha256
+    runs incrementally, returning (hex digest, total bytes).
+    Reference semantics mirrored exactly: parent directories created,
+    empty chunks skipped, digest == sha256 of the whole body.
+
+    Spark placement: this is the EXECUTOR-side spill path for
+    artifacts larger than memory — a fetch task hashes while spilling
+    to local disk so an oversized body never materializes on the
+    heap, and only the (path, sha256, bytes) triple enters the row
+    (the S7 content-addressed sink then moves the file by its hash
+    prefix). The batch-sized path stays S1+X1 (binaryFile + sha2)."""
+    import hashlib
+    from pathlib import Path
+
+    target = Path(target)
+    target.parent.mkdir(parents=True, exist_ok=True)
+    digest = hashlib.sha256()
+    total = 0
+    with target.open("wb") as handle:
+        for chunk in chunks:
+            if not chunk:
+                continue
+            handle.write(chunk)
+            digest.update(chunk)
+            total += len(chunk)
+    return digest.hexdigest(), total

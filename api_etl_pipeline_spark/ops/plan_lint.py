@@ -304,6 +304,11 @@ ALLOWED: dict[tuple[str, str], str] = {
         "(the tx08 single-row-scalar shape) — training is the one "
         "bounded aggregate on the pushed-down doc_id < 500 slice"
     ),
+    ("cls02_classifier_auc_audit", "BroadcastNestedLoopJoin"): (
+        "inherits cls01's single-row class-stats/threshold broadcasts "
+        "(the audit re-derives the scores it measures); the audit's "
+        "own joins are split-keyed BHJ on 2-row aggregates"
+    ),
     # --- round 13: unpartitioned-Window findings (verdict task 5).
     # Every reason must name the GRAIN flowing through the single
     # WindowExec partition and why it is bounded (or why the total

@@ -244,6 +244,7 @@ OPTIONAL = [
     "cls01_quality_classifier",  # centroid quality scorer: train-slice agg + map-only scoring
     # round 14
     "dd25_simhash_recall_audit",  # simhash-Hamming recall audit, dd16 device
+    "cls02_classifier_auc_audit",  # exact split-grain AUC audit of the cls01 filter
 ]
 
 

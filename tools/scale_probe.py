@@ -128,6 +128,7 @@ QUERIES = [
     "sim15_ivfpq_topk",  # round-12: code scan + probe pruning must multiply, window stays query-bounded
     "cls01_quality_classifier",  # round-13: fixed train-slice agg + map-only scoring — must track the scan
     "dd25_simhash_recall_audit",  # round-14: fixed-stratum simhash audit — dd16's independence claim
+    "cls02_classifier_auc_audit",  # round-14: AUC audit — distinct-score window grain must track quantization, not corpus
 ]
 
 
