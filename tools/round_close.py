@@ -189,6 +189,14 @@ def _scan_audit_allowlist() -> set[str]:
         #   partition-pruned read each and only the scoring pass sees
         #   the corpus — the tx20 per-phase-stats class
         "cls01_quality_classifier",
+        # round 14: cls02 — the audit re-derives cls01's scores (the
+        #   same two pushed train-slice scans + one corpus pass) and
+        #   consumes them on TWO aggregate legs (score-distribution for
+        #   the AUC prefix sum, confusion counts) — the sim11
+        #   two-instrument-legs class; both legs reduce to split-grain
+        #   rows before joining, and production would checkpoint the
+        #   500-byte scored projection between them
+        "cls02_classifier_auc_audit",
     }
 
 
