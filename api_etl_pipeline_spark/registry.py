@@ -135,6 +135,21 @@ _DRIVER_SAMPLE_PREFIX = [
     "dd03", "llm01", "llm02", "llm03", "llm04",
 ]
 
+# Round-14 additions with NO driver row yet, explicitly staged for
+# their FIRST row in the r15 prefix (the r13 verdict's consequence of
+# the zero-slack r14 rotation: "any NEW round-14 operator is registered
+# with a live oracle + pytest third-engine replay now and queued for
+# its FIRST driver row in the r15 prefix"). The freshness gate
+# (tools/round_close.py::leg_driver_freshness) treats ONLY names listed
+# here as allowed to be never-checked outside the prefix, and prints
+# them as the staged set — an op left off both this list and the prefix
+# still fails the leg, so nothing can stay unchecked silently. MUST be
+# folded into _DRIVER_SAMPLE_PREFIX (and emptied) at the r15 rotation.
+DRIVER_STAGED_NEXT_ROUND = [
+    "dd25_simhash_recall_audit",
+    "cls02_classifier_auc_audit",
+]
+
 
 def _rotated(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     by_prefix: dict[str, str] = {}

@@ -254,13 +254,29 @@ def leg_driver_freshness() -> dict:
     names = list(all_queries())
     prefix = set(names[:50])
     floor = ref - _FRESHNESS_MAX_AGE
-    stale = sorted(q for q in names if q not in prefix and latest.get(q, 0) < floor)
+    # never-checked ops explicitly staged for NEXT round's prefix (the
+    # zero-slack-rotation path the r13 verdict sanctioned): allowed to
+    # lack a driver row only while declared in the registry's staging
+    # list; a never-checked op on NEITHER list still fails. A STALE op
+    # (has an old row) can never hide here — staging only covers
+    # latest == 0.
+    from api_etl_pipeline_spark.registry import DRIVER_STAGED_NEXT_ROUND
+
+    staged = {
+        q for q in DRIVER_STAGED_NEXT_ROUND
+        if q in names and latest.get(q, 0) == 0
+    }
+    stale = sorted(
+        q for q in names
+        if q not in prefix and q not in staged and latest.get(q, 0) < floor
+    )
     refreshing = sorted(q for q in prefix if latest.get(q, 0) < floor)
     dt = round(time.perf_counter() - t0, 1)
     ok = not stale
     print(
         f"[{'PASS' if ok else 'FAIL'}] driver freshness floor ({dt}s)"
         f" — ref r{ref}, floor r{floor}, {len(refreshing)} stale-in-prefix"
+        + (f", staged-for-next-round: {sorted(staged)}" if staged else "")
         + (f", STALE OUTSIDE PREFIX: {stale}" if stale else "")
     )
     return {
