@@ -129,10 +129,14 @@ def near_dup_demoted_ids(
     doc sharing a band bucket with a lower surviving doc_id). Exposed
     separately from the filtering wrapper so flag-style consumers
     (llm02's single-pass funnel) can mark instead of drop."""
-    bands = _lsh_bands(_signatures(spark, sf_dir))
-    # the band table is narrow (N_BANDS rows per doc) but sits on BOTH
-    # sides of the self-join — materialize it once instead of recomputing
-    # the whole shingle->signature subtree per side (localCheckpoint
+    from api_etl_pipeline_spark.llm_ops.dedup import dd04_bands
+
+    # the full-corpus band table is the shared checkpointed build (r14,
+    # dedup.dd04_bands) — the shingle->signature subtree is paid once per
+    # session, not per funnel construction
+    bands = dd04_bands(spark, sf_dir)
+    # the live band table is narrow (N_BANDS rows per doc) but sits on
+    # BOTH sides of the self-join — materialize it once (localCheckpoint
     # truncates the lineage; at cluster scale use a reliable checkpoint dir)
     live_bands = lazy_checkpoint(bands.join(survivors, "doc_id", "left_semi"))
     a, b = live_bands.alias("a"), live_bands.alias("b")

@@ -446,12 +446,18 @@ def spark_stage_floor(spark) -> float:
 
 def shared_walls() -> dict[str, float]:
     """One-time shared-build walls recorded at their build sites (r14:
-    dedup.SHARED_BUILD_WALLS — the dd04_components map). Collected via
-    a function so modules that register walls lazily (first consumer
-    builds) are read AFTER the timing loop populated them."""
+    dedup.SHARED_BUILD_WALLS — the dd04_components map — plus the
+    generic session-memo walls: load_table footer probes, collected
+    codebooks/query sets). Collected via a function so modules that
+    register walls lazily (first consumer builds) are read AFTER the
+    timing loop populated them."""
+    from api_etl_pipeline_spark import _memo
     from api_etl_pipeline_spark.llm_ops import dedup
 
-    return dict(dedup.SHARED_BUILD_WALLS)
+    out = dict(dedup.SHARED_BUILD_WALLS)
+    for k, v in _memo.SHARED_BUILD_WALLS.items():
+        out[k] = out.get(k, 0.0) + v
+    return out
 
 
 def cpu_calibration() -> float:
