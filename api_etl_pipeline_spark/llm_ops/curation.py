@@ -483,7 +483,7 @@ def chunk01_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 6: embedding-space decontamination + balanced quality pruning ----
 
 from api_etl_pipeline_spark.llm_ops.similarity import (  # noqa: E402
-    _cosine,
+    _dot,
     _duck_cosine,
     _dvec,
 )
@@ -529,16 +529,22 @@ def decon03_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFra
     with no rounding. The broadcast non-equi join is the intended BNLJ
     shape (plan-lint allowlisted with this reason)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # norms hoisted to one fold per ROW on each side (r14): the inlined
+    # _cosine re-folded both self-dots for every (corpus, bench) pair —
+    # 3 array folds per pair down to 1; dot/(sqrt_c*sqrt_b) preserves
+    # _cosine's exact IEEE operation order, so MAX picks the identical
+    # value
     bench = e.filter(F.col("label") == 0).select(
         F.col("vec_id").alias("bench_id"), _dvec("embedding").alias("be")
-    )
+    ).withColumn("bn", F.sqrt(_dot(F.col("be"), F.col("be"))))
     corpus = e.filter(F.col("label") != 0).select(
         "vec_id", _dvec("embedding").alias("ce")
-    )
+    ).withColumn("cn", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    pair_cos = _dot(F.col("ce"), F.col("be")) / (F.col("cn") * F.col("bn"))
     return (
         corpus.join(F.broadcast(bench))
         .groupBy("vec_id")
-        .agg(F.max(_cosine(F.col("ce"), F.col("be"))).alias("max_cos"))
+        .agg(F.max(pair_cos).alias("max_cos"))
         .filter(F.col("max_cos") >= DECON03_TAU)
     )
 

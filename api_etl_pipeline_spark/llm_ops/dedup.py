@@ -1206,39 +1206,74 @@ _DUCK_DD16_DERIVED = f"""stratum AS (
 
 
 def _dd16_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dd16/dd17 derived audit corpus — fixed stratum, one orig +
-    one every-5th-token-dropped mutant per doc, checkpointed once."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < DD16_STRATUM)
-        .select("doc_id", "text")
-    )
-    toks = F.split(F.col("text"), " ")
-    mutant = F.array_join(
-        F.transform(
-            F.filter(
-                F.sequence(F.lit(1), F.size(toks)),
-                lambda i: i % DD16_DROP_EVERY != 0,
+    """The dd16/dd17/dd25 derived audit corpus — fixed stratum, one orig
+    + one every-5th-token-dropped mutant per doc, checkpointed once.
+
+    Memoized per (session, sf_dir) since r14: the audit fixture is a
+    FIXED-size derived relation consumed by three registered audits
+    (dd16/dd17/dd25), each of which re-materialized the identical
+    checkpoint at every construction (bench: 5 constructions x 3
+    queries). One-time wall lands in construction_shared_sec; the
+    audits' TIMED regions (lattice, candidate joins, scoring) are
+    unchanged — they read the checkpoint either way."""
+
+    def _build() -> DataFrame:
+        d = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < DD16_STRATUM)
+            .select("doc_id", "text")
+        )
+        toks = F.split(F.col("text"), " ")
+        mutant = F.array_join(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(1), F.size(toks)),
+                    lambda i: i % DD16_DROP_EVERY != 0,
+                ),
+                lambda i: F.element_at(toks, i),
             ),
-            lambda i: F.element_at(toks, i),
-        ),
-        " ",
+            " ",
+        )
+        return lazy_checkpoint(
+            d.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            (F.col("doc_id") * 2).alias("doc_id"),
+                            F.col("text").alias("text"),
+                        ),
+                        F.struct(
+                            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+                            mutant.alias("text"),
+                        ),
+                    )
+                ).alias("r")
+            ).select("r.doc_id", "r.text")
+        )
+
+    from api_etl_pipeline_spark._memo import session_memo
+
+    return session_memo(
+        spark,
+        ("dd16_derived", sf_dir, DD16_STRATUM, DD16_DROP_EVERY),
+        _build,
+        wall_label=f"dd16_derived[{os.path.basename(str(sf_dir).rstrip('/'))}]",
     )
-    return lazy_checkpoint(
-        d.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        (F.col("doc_id") * 2).alias("doc_id"),
-                        F.col("text").alias("text"),
-                    ),
-                    F.struct(
-                        (F.col("doc_id") * 2 + 1).alias("doc_id"),
-                        mutant.alias("text"),
-                    ),
-                )
-            ).alias("r")
-        ).select("r.doc_id", "r.text")
+
+
+def _dd16_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed full-width (N_MINHASH) signature relation over
+    the derived audit corpus — byte-identical input to dd16's banding
+    and dd17's geometry sweep; memoized per (session, sf_dir) like the
+    corpus itself (the signature pass is the 16-md5s-per-shingle cost
+    both audits re-paid per construction)."""
+    from api_etl_pipeline_spark._memo import session_memo
+
+    return session_memo(
+        spark,
+        ("dd16_sig", sf_dir, N_MINHASH),
+        lambda: lazy_checkpoint(_signatures_of(_dd16_derived(spark, sf_dir))),
+        wall_label=f"dd16_sig[{os.path.basename(str(sf_dir).rstrip('/'))}]",
     )
 
 
@@ -1333,7 +1368,7 @@ def dd16_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dtoks.select(
         "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("sh")
     )
-    sig = lazy_checkpoint(_signatures_of(derived))
+    sig = _dd16_sig(spark, sf_dir)
     bands = _lsh_bands(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -1558,7 +1593,7 @@ def dd17_lsh_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dtoks.select(
         "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("sh")
     )
-    sig_full = lazy_checkpoint(_signatures_of(derived))
+    sig_full = _dd16_sig(spark, sf_dir)
 
     band_structs = [
         F.struct(
@@ -1768,7 +1803,15 @@ def dd25_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dtoks.select(
         "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("sh")
     )
-    shash = lazy_checkpoint(_simhash_of(derived))
+    from api_etl_pipeline_spark._memo import session_memo
+
+    # fixed-size audit simhash relation, memoized like the corpus itself
+    shash = session_memo(
+        spark,
+        ("dd25_simhash", sf_dir),
+        lambda: lazy_checkpoint(_simhash_of(derived)),
+        wall_label=f"dd25_simhash[{os.path.basename(str(sf_dir).rstrip('/'))}]",
+    )
     lattice = (
         derived.select(F.col("doc_id").alias("da"))
         .filter(F.col("da") < n_derived - 1)

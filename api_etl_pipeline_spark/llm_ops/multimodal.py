@@ -709,24 +709,25 @@ def mm06_perceptual_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.filter((F.col("doc_id") % 3 == 0) & (F.length("text") >= 32)).select(
         "doc_id", "text", F.floor(F.length("text") / 32).cast("int").alias("src_h")
     )
-    samples = [
-        F.ascii(
-            F.substring(
-                "text",
-                (F.floor(F.lit(gy) * F.col("src_h") / 8) * 32 + (gx * 32) // 8 + 1).cast("int"),
-                1,
-            )
-        )
+    # the 64 sample expressions and 64 bit cases ride through ONE
+    # F.expr parse each (r14): the F.ascii/F.substring/F.when Column
+    # builds cost one py4j round trip per node (~1.9 s of driver time
+    # per construction for ~600 nodes); the SQL strings parse to the
+    # identical expression trees in two calls
+    samples_sql = ",".join(
+        f"ascii(substring(text, cast(floor({gy} * src_h / 8) * 32 "
+        f"+ {(gx * 32) // 8 + 1} as int), 1))"
         for gy in range(8)
         for gx in range(8)
-    ]
-    sampled = media.select(
-        "doc_id", F.array(*samples).alias("s")
-    ).withColumn("tot", F.aggregate(F.col("s"), F.lit(0), lambda a, b: a + b))
-    bit = lambda i: F.when(F.element_at("s", i + 1) * 64 > F.col("tot"), "1").otherwise("0")  # noqa: E731
-    hashed = sampled.select(
-        "doc_id", F.concat(*[bit(i) for i in range(64)]).alias("ahash")
     )
+    sampled = media.select(
+        "doc_id", F.expr(f"array({samples_sql})").alias("s")
+    ).withColumn("tot", F.aggregate(F.col("s"), F.lit(0), lambda a, b: a + b))
+    bits_sql = ",".join(
+        f"CASE WHEN element_at(s, {i + 1}) * 64 > tot THEN '1' ELSE '0' END"
+        for i in range(64)
+    )
+    hashed = sampled.select("doc_id", F.expr(f"concat({bits_sql})").alias("ahash"))
     return hashed.groupBy("ahash").agg(
         F.substring("ahash", 1, 16).alias("band16"),
         F.count("*").alias("n_docs"),

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
-from api_etl_pipeline_spark.llm_ops.similarity import _cosine, _duck_cosine, _dvec
+from api_etl_pipeline_spark.llm_ops.similarity import _dot, _duck_cosine, _dvec
 from api_etl_pipeline_spark.llm_ops.text import _BM25_RANKED_SQL, BM25_TOPK, bm25_ranked
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
@@ -106,13 +106,22 @@ def ret01_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lex.filter(F.col("lex_rk") == 1)
         .join(e, lex.doc_id == e.vec_id)
         .select("query_id", _dvec("embedding").alias("qe"))
+        # norm hoisted to one fold per row on each side (r14): _cosine's
+        # exact dot/(sqrt_q*sqrt_c) operation order is preserved below
+        .withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
     )
-    corpus = e.select(F.col("vec_id").alias("doc_id"), _dvec("embedding").alias("ce"))
+    corpus = e.select(
+        F.col("vec_id").alias("doc_id"), _dvec("embedding").alias("ce")
+    ).withColumn("cn", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
     sem_w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("doc_id"))
     sem = (
         F.broadcast(seed)
         .join(corpus)
-        .select("query_id", "doc_id", _cosine(F.col("qe"), F.col("ce")).alias("cos"))
+        .select(
+            "query_id",
+            "doc_id",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
         .withColumn("sem_rk", F.row_number().over(sem_w).cast("bigint"))
         .filter(F.col("sem_rk") <= BM25_TOPK)
         .select("query_id", "doc_id", "sem_rk")

@@ -24,6 +24,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from api_etl_pipeline_spark._fastlit import (
+    lit_double_matrix,
+    lit_doubles,
+    lit_long_matrix,
+    lit_longs,
+)
 from api_etl_pipeline_spark._memo import session_memo
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
@@ -117,14 +123,23 @@ def sim01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, then a per-query top-k window. This is the ANN correctness
     baseline; sim02 is the bucketed scale path."""
     e = load_table(spark, sf_dir, "embeddings")
+    # norms hoisted to one fold per ROW on each side (r14): the inlined
+    # _cosine re-folded both self-dots per (query, candidate) pair;
+    # dot/(sqrt_q*sqrt_c) keeps _cosine's exact IEEE operation order
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qe")
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), _dvec("embedding").alias("ce"))
+    ).withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), _dvec("embedding").alias("ce")
+    ).withColumn("cn", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
     scored = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _cosine(F.col("qe"), F.col("ce")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -186,12 +201,15 @@ def sim02_lsh_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("bucket").alias("qbucket"),
-    )
+    ).withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    # corpus-side norm hoisted to one fold per row (r14, _cosine's exact
+    # dot/(sqrt_q*sqrt_c) operation order preserved)
+    vn = v.withColumn("cn", F.sqrt(_dot(F.col("e"), F.col("e"))))
     scored = (
         F.broadcast(q)
-        .join(v, (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
+        .join(vn, (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                _cosine(F.col("qe"), F.col("e")).alias("cosine"))
+                (_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("cn"))).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -262,8 +280,9 @@ def _centroid_array_lit(spark: SparkSession, sf_dir: str, k: int = 8) -> Column:
                     F.lit(cid).cast("long").alias("cent_id"),
                     # one ArrayType literal node, not 64 scalar nodes — keeps
                     # the analyzed plan small so per-query compile time stays
-                    # flat
-                    F.lit(vec).alias("ce"),
+                    # flat (built via _fastlit since r14: F.lit(list) costs
+                    # one py4j trip per element)
+                    lit_doubles(vec).alias("ce"),
                     F.lit(math.sqrt(acc)).alias("cn"),
                 )
             )
@@ -460,11 +479,14 @@ def dd08_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup catches lexical dups; this catches paraphrases). Registered in
     llm_ops/dedup.py's family but lives here with the vector machinery."""
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", _dvec("embedding").alias("e")).withColumn(
-        "bucket", _bucket(F.col("e"))
+    # vector norm hoisted to one fold per ROW (r14): the inlined _cosine
+    # re-folded both self-dots per candidate PAIR; dot/(sqrt_a*sqrt_b)
+    # below is the identical IEEE operation order
+    v = e.select("vec_id", _dvec("embedding").alias("e")).withColumns(
+        {"bucket": _bucket(F.col("e")), "vn": F.sqrt(_dot(F.col("e"), F.col("e")))}
     )
     a, b = v.alias("a"), v.alias("b")
-    cos = _cosine(F.col("a.e"), F.col("b.e"))
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.vn") * F.col("b.vn"))
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
@@ -572,8 +594,17 @@ def _semdedup_verdict(
     from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
 
     # both sides of the within-cell semi-join consume the assignment —
-    # materialize once instead of re-ranking the codebook per side
-    assigned = lazy_checkpoint(assigned)
+    # materialize once instead of re-ranking the codebook per side.
+    # The vector norm rides the checkpoint as `_vn` (r14, guide §2.3
+    # "don't compute things you throw away", per-pair edition): the
+    # inlined _cosine re-folded BOTH vectors' self-dots on EVERY
+    # within-cell pair (3 array folds per pair); hoisting sqrt(dot(e,e))
+    # to one fold per ROW leaves the identical IEEE value — the pair
+    # expression below is the same dot / (sqrt_a * sqrt_b) operation
+    # order _cosine spells out.
+    assigned = lazy_checkpoint(
+        assigned.withColumn("_vn", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    )
     left = assigned.filter(left_filter) if left_filter is not None else assigned
     a, b = left.alias("a"), assigned.alias("b")
     b_wins = (F.col("b.cos_to_cent") < F.col("a.cos_to_cent")) | (
@@ -582,12 +613,15 @@ def _semdedup_verdict(
     )
     if b_wins_extra is not None:
         b_wins = b_wins_extra | b_wins
+    pair_cos = _dot(F.col("a.e"), F.col("b.e")) / (
+        F.col("a._vn") * F.col("b._vn")
+    )
     dominated = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") != F.col("b.vec_id"))
-            & (_cosine(F.col("a.e"), F.col("b.e")) >= DD15_TAU)
+            & (pair_cos >= DD15_TAU)
             & b_wins,
             "left_semi",
         )
@@ -907,8 +941,15 @@ def _two_level_assign_literal(
     array<array<int>>) — three plan nodes total regardless of k2, pure
     whole-stage codegen, zero shuffle. Returns (vec_id, e, pos,
     cos_to_cent) where pos is the 0-based codebook POSITION of the
-    winning fine centroid (callers map position → centroid identity)."""
-    cb_lit, norms_lit, groups_lit = F.lit(cb), F.lit(norms), F.lit(groups)
+    winning fine centroid (callers map position → centroid identity).
+
+    The three literals ride through _fastlit (r14): ``F.lit(list)``
+    costs one py4j round trip per element (~3.3 s for a 63x64 codebook,
+    paid on EVERY construction); the one-expr form parses to the same
+    folded literal bit-for-bit."""
+    cb_lit = lit_double_matrix(cb)
+    norms_lit = lit_doubles(norms)
+    groups_lit = lit_long_matrix(groups)
     b = base.withColumn("qn", F.sqrt(_dot(F.col("e"), F.col("e"))))
     ecol, qn = F.col("e"), F.col("qn")
 
@@ -1085,7 +1126,7 @@ def dd22_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms, groups = _group_fine_under_super(cb, k1)
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select("vec_id", _dvec("embedding").alias("e"))
-    ids_lit = F.lit(ids)
+    ids_lit = lit_longs(ids)
     assigned = _two_level_assign(spark, base, cb, norms, groups, k1).select(
         "vec_id",
         "e",
@@ -1405,7 +1446,7 @@ def dd24_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1 = math.ceil(math.sqrt(k2))
     norms, groups = _group_fine_under_super(cb, k1)
     base = e.select("vec_id", _dvec("embedding").alias("e"))
-    ids_lit = F.lit(ids)
+    ids_lit = lit_longs(ids)
     assigned = _two_level_assign(spark, base, cb, norms, groups, k1).select(
         "vec_id",
         "e",
@@ -1496,7 +1537,7 @@ def sim06_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qlit = F.create_map(*[
         c for qid, qv in queries for c in (
             F.lit(int(qid)),
-            F.lit([float(x) for x in qv]),
+            lit_doubles(qv),
         )
     ])
     ce = e.select(F.col("vec_id").alias("neighbor_id"), _dvec("embedding").alias("ce"))
@@ -1795,7 +1836,7 @@ def sim08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     _l2sq(
                         F.slice(F.col("e"), s * 16 + 1, 16),
-                        F.lit([float(x) for x in sub[s]]),
+                        lit_doubles(sub[s]),
                     ).alias("d2"),
                     F.lit(cid).cast("long").alias("cent_id"),
                 )
@@ -1809,10 +1850,10 @@ def sim08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.lit(qid).cast("long").alias("query_id"),
             (
-                F.element_at(F.lit(tab[0]), F.col("code0").cast("int") + 1)
-                + F.element_at(F.lit(tab[1]), F.col("code1").cast("int") + 1)
-                + F.element_at(F.lit(tab[2]), F.col("code2").cast("int") + 1)
-                + F.element_at(F.lit(tab[3]), F.col("code3").cast("int") + 1)
+                F.element_at(lit_doubles(tab[0]), F.col("code0").cast("int") + 1)
+                + F.element_at(lit_doubles(tab[1]), F.col("code1").cast("int") + 1)
+                + F.element_at(lit_doubles(tab[2]), F.col("code2").cast("int") + 1)
+                + F.element_at(lit_doubles(tab[3]), F.col("code3").cast("int") + 1)
             ).alias("adc"),
         )
         for qid, tab in qtabs
@@ -2010,10 +2051,10 @@ def sim15_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(qid).cast("long").alias("query_id"),
             F.lit(pcell).cast("long").alias("pcell"),
             (
-                F.element_at(F.lit(tab[0]), F.col("code0").cast("int") + 1)
-                + F.element_at(F.lit(tab[1]), F.col("code1").cast("int") + 1)
-                + F.element_at(F.lit(tab[2]), F.col("code2").cast("int") + 1)
-                + F.element_at(F.lit(tab[3]), F.col("code3").cast("int") + 1)
+                F.element_at(lit_doubles(tab[0]), F.col("code0").cast("int") + 1)
+                + F.element_at(lit_doubles(tab[1]), F.col("code1").cast("int") + 1)
+                + F.element_at(lit_doubles(tab[2]), F.col("code2").cast("int") + 1)
+                + F.element_at(lit_doubles(tab[3]), F.col("code3").cast("int") + 1)
             ).alias("adc"),
         )
         for qid, pcell, tab in qtabs
@@ -2098,7 +2139,7 @@ def _kmeans_best(cs):
     by the training iterations and the final assignment pass."""
     arr = F.array(*[
         F.struct(
-            _l2sq(F.col("e"), F.lit(vec)).alias("d2"),
+            _l2sq(F.col("e"), lit_doubles(vec)).alias("d2"),
             F.lit(cid).cast("long").alias("cid"),
         )
         for cid, vec in cs
@@ -2237,7 +2278,7 @@ def sim10_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         *[
-            _dot(d, F.array(*[F.lit(x) for x in _JL[j]])).alias(f"p{j}")
+            _dot(d, lit_doubles(_JL[j])).alias(f"p{j}")
             for j in range(_JL_K)
         ],
     )
@@ -2356,7 +2397,7 @@ def _pq_literals(spark: SparkSession, sf_dir: str):
             *[
                 F.struct(
                     F.lit(k).alias("k"),
-                    F.array(*[F.lit(x) for x in cb[m][k]]).alias("cw"),
+                    lit_doubles(cb[m][k]).alias("cw"),
                 )
                 for k in range(PQ_K)
             ]
@@ -2367,7 +2408,7 @@ def _pq_literals(spark: SparkSession, sf_dir: str):
         *[
             F.struct(
                 F.lit(qid).cast("bigint").alias("query_id"),
-                F.array(*[F.lit(x) for x in vecs[qid]]).alias("qe"),
+                lit_doubles(vecs[qid]).alias("qe"),
                 F.array(
                     *[
                         F.array(
@@ -2997,8 +3038,8 @@ def sim14_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dim_stats,
         wall_label=f"sim14_dim_stats[{os.path.basename(sf_dir.rstrip('/'))}]",
     )
-    mn_lit = F.array(*[F.lit(mn) for mn, _ in stats])
-    mx_lit = F.array(*[F.lit(mx) for _, mx in stats])
+    mn_lit = lit_doubles([mn for mn, _ in stats])
+    mx_lit = lit_doubles([mx for _, mx in stats])
 
     def code_expr(col):
         # (x, i) with 0-based i; literal lookups are 1-based

@@ -443,16 +443,38 @@ LOCAL_SCAN_OK = {
 # cannot silently drift from reality. Regenerate from PLANS.md "+N ckpt"
 # markers (tools/gen_plans.py) plus any additions since.
 #
-# Round 14: queries that consume a SHARED once-per-process build
-# (dedup.dd04_components) capture its checkpoints only in whichever of
-# them constructs FIRST in a process; the vacuous-capture guard treats
-# the group as satisfied once any member captured, so the sharing
-# cannot be silently un-shared (a member capturing while the group is
-# already satisfied would mean a cache miss — also flagged).
-SHARED_CHECKPOINT_GROUPS = {
-    "dd09_dup_clusters": "dd04_components",
-    "dd10_keep_best_dedup": "dd04_components",
-    "samp06_cluster_safe_split": "dd04_components",
+# Round 14: queries that consume SHARED once-per-process builds
+# (dedup.dd04_components, the _memo session builds: lsh_bands, the
+# dd16 audit fixtures, the graph iteration states) capture those
+# checkpoints only in whichever consumer constructs FIRST in a
+# process; the vacuous-capture guard treats each build as satisfied
+# once any member captured (or the cache already holds it), so the
+# sharing cannot be silently un-shared. A query may consume several
+# builds; one that captures although ALL its builds are satisfied —
+# and has no private checkpoints of its own — means a cache miss,
+# flagged hard.
+SHARED_CHECKPOINT_GROUPS: dict[str, tuple[str, ...]] = {
+    "dd09_dup_clusters": ("dd04_components",),
+    "dd10_keep_best_dedup": ("dd04_components",),
+    "samp06_cluster_safe_split": ("dd04_components",),
+    "dd04_minhash_lsh_pairs": ("lsh_bands",),
+    "dd13_containment_dedup": ("lsh_bands",),
+    "llm01_clean_corpus": ("lsh_bands",),
+    "llm02_corpus_funnel": ("lsh_bands",),
+    "dd16_lsh_recall_audit": ("dd16_derived", "dd16_sig"),
+    "dd17_lsh_geometry_sweep": ("dd16_derived", "dd16_sig"),
+    "dd25_simhash_recall_audit": ("dd16_derived", "dd25_simhash"),
+    "gr01_pagerank": ("gr01_ranks",),
+    "gr02_bfs_hops": ("gr02_bfs",),
+    "gr03_triangle_stats": ("lsh_bands", "gr03_oriented"),
+}
+
+# members above that ALSO checkpoint per-construction (non-shared)
+# state — they capture on every construction even with all their
+# shared builds cached, so the cache-miss direction does not apply
+PRIVATE_CHECKPOINT_MEMBERS = {
+    "llm01_clean_corpus",   # live_bands (survivor-filtered band table)
+    "llm02_corpus_funnel",  # flags relation + live_bands
 }
 
 CHECKPOINTING_QUERIES = {
@@ -603,38 +625,48 @@ def lint_registry(spark: SparkSession, sf_dir: str) -> list[Finding]:
     from api_etl_pipeline_spark.registry import all_queries
 
     out: list[Finding] = []
-    # seed from cache state: if the shared build already ran earlier in
+    # seed from cache state: if a shared build already ran earlier in
     # THIS process (a test session constructed a consumer before calling
-    # lint_registry), no member will capture here and that is correct
+    # lint_registry), no member will capture here and that is correct.
+    # _memo keys are (appId, build_name, ...), so key[1] IS the build
+    # name used in SHARED_CHECKPOINT_GROUPS.
+    from api_etl_pipeline_spark import _memo
     from api_etl_pipeline_spark.llm_ops import dedup as _dedup
 
-    groups_satisfied: set[str] = (
-        {"dd04_components"} if _dedup._COMPONENTS_CACHE else set()
-    )
+    app_id = spark.sparkContext.applicationId
+    groups_satisfied: set[str] = {
+        k[1] for k in _memo._MEMO if k[0] == app_id and isinstance(k[1], str)
+    }
+    if _dedup._COMPONENTS_CACHE:
+        groups_satisfied.add("dd04_components")
     for name, spec in all_queries().items():
         captured: list[str] = []
         with checkpoint_observer(lambda df: captured.append(plan_text(df))):
             final_plan = plan_text(spec.fn(spark, sf_dir))
         out.extend(lint_plan(name, final_plan))
-        group = SHARED_CHECKPOINT_GROUPS.get(name)
+        groups = SHARED_CHECKPOINT_GROUPS.get(name, ())
         # non-vacuous capture guard (round-7 advice): both directions hard.
         # Shared-build members (round 14) capture only when they are the
-        # process's FIRST consumer; the group being satisfied stands in
-        # for their own capture, and a LATER member capturing means the
-        # shared cache missed — flagged, so sharing can't silently break.
+        # process's FIRST consumer of some build; every build being
+        # satisfied stands in for their own capture, and a LATER
+        # all-shared member capturing means the shared cache missed —
+        # flagged, so sharing can't silently break.
         if name in CHECKPOINTING_QUERIES and not captured:
-            if not (group and group in groups_satisfied):
+            if not (groups and all(g in groups_satisfied for g in groups)):
                 out.append(Finding(name, "vacuous-checkpoint-capture", "hard", False,
                                    "listed in CHECKPOINTING_QUERIES but the observer "
                                    "captured nothing — checkpoint call lost or moved "
                                    "off-thread"))
-        if captured and group:
-            if group in groups_satisfied:
+        if captured and groups:
+            if (
+                all(g in groups_satisfied for g in groups)
+                and name not in PRIVATE_CHECKPOINT_MEMBERS
+            ):
                 out.append(Finding(name, "shared-build-cache-miss", "hard", False,
-                                   f"captured checkpoints although shared build "
-                                   f"'{group}' already ran this process — the "
-                                   f"cache keyed wrong or was bypassed"))
-            groups_satisfied.add(group)
+                                   f"captured checkpoints although shared builds "
+                                   f"{groups} already ran this process — a "
+                                   f"cache keyed wrong or bypassed"))
+            groups_satisfied.update(groups)
         if captured and name not in CHECKPOINTING_QUERIES:
             out.append(Finding(name, "unlisted-checkpoint-capture", "hard", False,
                                "captures pre-checkpoint plans but is missing from "
