@@ -459,6 +459,7 @@ SHARED_CHECKPOINT_GROUPS: dict[str, tuple[str, ...]] = {
     "samp06_cluster_safe_split": ("dd04_components",),
     "dd04_minhash_lsh_pairs": ("lsh_bands",),
     "dd13_containment_dedup": ("lsh_bands",),
+    "dd14_incremental_dedup": ("lsh_bands",),
     "llm01_clean_corpus": ("lsh_bands",),
     "llm02_corpus_funnel": ("lsh_bands",),
     "dd16_lsh_recall_audit": ("dd16_derived", "dd16_sig"),
@@ -475,6 +476,7 @@ SHARED_CHECKPOINT_GROUPS: dict[str, tuple[str, ...]] = {
 PRIVATE_CHECKPOINT_MEMBERS = {
     "llm01_clean_corpus",   # live_bands (survivor-filtered band table)
     "llm02_corpus_funnel",  # flags relation + live_bands
+    "dd14_incremental_dedup",  # dbands (delta band table, per-construction)
 }
 
 CHECKPOINTING_QUERIES = {

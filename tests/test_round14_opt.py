@@ -93,6 +93,40 @@ def test_fastlit_rejects_non_finite(spark):
         lit_doubles([math.nan])
 
 
+def test_dd14_standing_bands_from_shared_checkpoint(spark):
+    """The r14 dd14 rewrite: the standing side's band table is the
+    shared full-corpus dd04_bands checkpoint filtered to standing
+    doc_ids, NOT a fresh shingle->signature pass over the standing
+    docs. Valid because standing text is unchanged between v1 and v2
+    (revisions only touch doc_id%7==0, excluded from standing) and
+    banding is a per-doc function of the text. Pin the row-set equality
+    of the two formulations at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from api_etl_pipeline_spark.llm_ops.dedup import (
+        _lsh_bands,
+        _signatures_of,
+        dd04_bands,
+    )
+    from api_etl_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    did = F.col("doc_id")
+    standing = (
+        load_table(spark, sf, "documents")
+        .filter((did % 10 != 0) & (did % 7 != 0))
+        .select("doc_id", "text")
+    )
+    scratch = {tuple(r) for r in _lsh_bands(_signatures_of(standing)).collect()}
+    shared = {
+        tuple(r)
+        for r in dd04_bands(spark, sf)
+        .filter((did % 10 != 0) & (did % 7 != 0))
+        .collect()
+    }
+    assert scratch == shared and scratch
+
+
 def test_hoisted_norm_cosine_bit_identical(spark):
     """The r14 pair-join rewrite: per-row sqrt factors x per-pair dot
     must reproduce the inline _cosine doubles bit-for-bit."""
