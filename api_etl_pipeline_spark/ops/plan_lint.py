@@ -627,20 +627,20 @@ def lint_registry(spark: SparkSession, sf_dir: str) -> list[Finding]:
     from api_etl_pipeline_spark.registry import all_queries
 
     out: list[Finding] = []
-    # seed from cache state: if a shared build already ran earlier in
-    # THIS process (a test session constructed a consumer before calling
-    # lint_registry), no member will capture here and that is correct.
-    # _memo keys are (appId, build_name, ...), so key[1] IS the build
-    # name used in SHARED_CHECKPOINT_GROUPS.
+    # Reset the session construction caches so every shared build is
+    # COLD here: each group's first consumer then always captures its
+    # checkpoint plans, making the lint findings (and the allowlist's
+    # stale-entry check) independent of which tests happened to construct
+    # a consumer earlier in this process. Seeding `groups_satisfied` from
+    # live cache state instead made +ckpt coverage order-dependent — a
+    # test run that warmed gr01_ranks first silently skipped gr01's
+    # per-round plan lint and flagged its allowlist entries stale.
     from api_etl_pipeline_spark import _memo
     from api_etl_pipeline_spark.llm_ops import dedup as _dedup
 
-    app_id = spark.sparkContext.applicationId
-    groups_satisfied: set[str] = {
-        k[1] for k in _memo._MEMO if k[0] == app_id and isinstance(k[1], str)
-    }
-    if _dedup._COMPONENTS_CACHE:
-        groups_satisfied.add("dd04_components")
+    _memo._MEMO.clear()
+    _dedup._COMPONENTS_CACHE.clear()
+    groups_satisfied: set[str] = set()
     for name, spec in all_queries().items():
         captured: list[str] = []
         with checkpoint_observer(lambda df: captured.append(plan_text(df))):
