@@ -42,12 +42,20 @@ def _l(x: int) -> str:
     return f"{int(x)}L"
 
 
+def sql_doubles(vals) -> str:
+    """SQL text of an array<double> literal — for callers composing a
+    LARGER one-parse expression string (the lit_doubles device, one
+    level up: embedding the array text avoids a py4j round trip per
+    array when a query builds many literal-table expressions)."""
+    return "array(" + ",".join(_d(x) for x in vals) + ")"
+
+
 def lit_doubles(vals) -> Column:
     """array<double> literal in one expr call; F.lit fallback for []"""
     vals = list(vals)
     if not vals:
         return F.lit([])
-    return F.expr("array(" + ",".join(_d(x) for x in vals) + ")")
+    return F.expr(sql_doubles(vals))
 
 
 def lit_double_matrix(rows) -> Column:

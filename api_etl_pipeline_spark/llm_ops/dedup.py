@@ -111,24 +111,32 @@ def _duck_sig_from(rel: str) -> str:
 _DUCK_SIGNATURES = _duck_sig_from("documents")
 
 
-def _sig_hash_cols() -> list[Column]:
+def _sig_hash_exprs() -> list[str]:
     """The _N_MD5 salted md5 columns over an exploded `shingle` column —
-    shared by _signatures_of and dd17's sweep (same salt convention)."""
-    cols = []
-    for k, s in enumerate(_MD5_SALTS):
-        base = F.col("shingle") if not s else F.concat(F.lit(s), F.col("shingle"))
-        cols.append(F.md5(base.cast("binary")).alias(f"h{k}"))
-    return cols
+    shared by _signatures_of and dd17's sweep (same salt convention).
+    SQL-string form (r14, the _fastlit device): the former per-Column
+    builder cost ~6 py4j round trips per hash column on EVERY query
+    construction; one selectExpr parse emits the identical expressions."""
+    return [
+        (
+            f"md5(cast(shingle as binary)) AS h{k}"
+            if not s
+            else f"md5(cast(concat('{s}', shingle) as binary)) AS h{k}"
+        )
+        for k, s in enumerate(_MD5_SALTS)
+    ]
 
 
 def _min_slice_aggs(prefix: str = "mh") -> list[Column]:
     """N_MINHASH per-doc MIN aggregates: hash j = 32-bit slice j%4 of
     salted md5 j//4. MIN is order-independent, so the signature is
-    partition-layout-invariant."""
+    partition-layout-invariant. Each aggregate is one F.expr parse of
+    the identical expression the per-function Column builder produced."""
     return [
-        F.min(
-            F.conv(F.substring(f"h{j // 4}", 1 + 8 * (j % 4), 8), 16, 10).cast("bigint")
-        ).alias(f"{prefix}{j}")
+        F.expr(
+            f"min(cast(conv(substring(h{j // 4}, {1 + 8 * (j % 4)}, 8), 16, 10)"
+            f" as bigint)) AS {prefix}{j}"
+        )
         for j in range(N_MINHASH)
     ]
 
@@ -141,7 +149,7 @@ def _signatures_of(d: DataFrame) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("toks"))
     sh = toks.select(
         "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
-    ).select("doc_id", *_sig_hash_cols())
+    ).selectExpr("doc_id", *_sig_hash_exprs())
     return sh.groupBy("doc_id").agg(*_min_slice_aggs())
 
 
@@ -157,29 +165,31 @@ def _band_hashes(band: int, rows: int = ROWS_PER_BAND) -> list[str]:
     return [f"mh{band * rows + j}" for j in range(rows)]
 
 
+def _bucket_sql(cols: list[str]) -> str:
+    """SQL text of the band-bucket hash over hash-column names — the
+    single source both the Column wrapper and the one-parse band
+    builders share (r14: one expr parse instead of ~6 py4j round trips
+    per Column op, identical expression)."""
+    cat = ", ".join(f"cast({c} as string)" for c in cols)
+    return f"md5(cast(concat_ws('_', {cat}) as binary))"
+
+
 def _bucket_col(cols: list[str]) -> Column:
-    return F.md5(
-        F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).cast("binary")
-    )
+    return F.expr(_bucket_sql(cols))
 
 
 def _lsh_bands(sig: DataFrame) -> DataFrame:
     """Signatures → (doc_id, band, bucket): all N_BANDS bands in ONE
     pass over the signatures (explode, not union — a union would
-    recompute the whole shingle→signature subtree per band)."""
-    return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        _bucket_col(_band_hashes(i)).alias("bucket"),
-                    )
-                    for i in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
+    recompute the whole shingle→signature subtree per band). The whole
+    explode(array(struct...)) tree is ONE SQL parse (r14): the
+    per-Column form cost ~500 py4j round trips per construction."""
+    structs = ", ".join(
+        f"struct({i} as band, {_bucket_sql(_band_hashes(i))} as bucket)"
+        for i in range(N_BANDS)
+    )
+    return sig.selectExpr(
+        "doc_id", f"explode(array({structs})) as bb"
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
@@ -1411,22 +1421,24 @@ def dd16_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sha = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha"))
     shb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb"))
-    siga = sig.select(
-        F.col("doc_id").alias("da"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    # one-parse column lists / agreement sum (r14, the _fastlit device):
+    # the per-Column forms cost ~1,000 py4j round trips per construction;
+    # these emit the identical integer expressions in 3 parses
+    siga = sig.selectExpr(
+        "doc_id as da", *[f"mh{i} as a{i}" for i in range(N_MINHASH)]
     )
-    sigb = sig.select(
-        F.col("doc_id").alias("db"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    sigb = sig.selectExpr(
+        "doc_id as db", *[f"mh{i} as b{i}" for i in range(N_MINHASH)]
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("bigint")
-    agree = sum(
-        [
-            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+    agree = F.expr(
+        "cast(0 + "
+        + " + ".join(
+            f"(case when a{i} = b{i} then 1 else 0 end)"
             for i in range(N_MINHASH)
-        ],
-        start=F.lit(0),
-    ).cast("bigint")
+        )
+        + " as bigint)"
+    )
     scored = (
         lattice.join(sha, "da")
         .join(shb, "db")
@@ -1611,17 +1623,17 @@ def dd17_lsh_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig_full = _dd16_sig(spark, sf_dir)
 
-    band_structs = [
-        F.struct(
-            F.lit(g).alias("g"),
-            F.lit(i).alias("band"),
-            _bucket_col([f"mh{i * r + j}" for j in range(r)]).alias("bucket"),
-        )
+    # one SQL parse for the whole per-geometry band lattice (r14): the
+    # per-Column form built ~64 struct/bucket trees through py4j on
+    # every construction (~1.5 s of the wall)
+    band_structs = ", ".join(
+        f"struct('{g}' as g, {i} as band, "
+        f"{_bucket_sql([f'mh{i * r + j}' for j in range(r)])} as bucket)"
         for g, b, r, _h in DD17_GEOMETRIES
         for i in range(b)
-    ]
-    bands = sig_full.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    )
+    bands = sig_full.selectExpr(
+        "doc_id", f"explode(array({band_structs})) as bb"
     ).select("doc_id", "bb.g", "bb.band", "bb.bucket")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

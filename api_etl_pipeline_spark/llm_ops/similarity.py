@@ -29,6 +29,7 @@ from api_etl_pipeline_spark._fastlit import (
     lit_doubles,
     lit_long_matrix,
     lit_longs,
+    sql_doubles,
 )
 from api_etl_pipeline_spark._memo import session_memo
 from api_etl_pipeline_spark.registry import query
@@ -1649,6 +1650,17 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _l2sq_sql(a: str, b: str) -> str:
+    """SQL text of _l2sq over SQL operand texts — the identical
+    expression in one parse (r14: the PQ operators built dozens of
+    _l2sq Column trees per construction, ~10 py4j round trips each plus
+    two lambda conversions; composing the SQL string is free)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
 @query(
     "sim07_pq_codes",
     oracle=f"""
@@ -1828,36 +1840,34 @@ def sim08_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qtabs.append((qid, tab))
 
     d = e.select("vec_id", _dvec("embedding").alias("e"))
-    # per-row PQ codes: argmin centroid per subspace over literal codebook
+    # per-row PQ codes: argmin centroid per subspace over literal
+    # codebook — each code column is ONE SQL parse of the identical
+    # sort_array(array(struct(_l2sq, cent_id))) expression (r14: the
+    # per-Column form cost ~2.4 s of py4j round trips per construction)
     code_cols = []
     for s in range(4):
-        ranked = F.sort_array(
-            F.array(*[
-                F.struct(
-                    _l2sq(
-                        F.slice(F.col("e"), s * 16 + 1, 16),
-                        lit_doubles(sub[s]),
-                    ).alias("d2"),
-                    F.lit(cid).cast("long").alias("cent_id"),
-                )
-                for cid, sub in cents
-            ])
+        structs = ", ".join(
+            f"struct({_l2sq_sql(f'slice(e, {s * 16 + 1}, 16)', sql_doubles(sub[s]))}"
+            f" as d2, {cid}L as cent_id)"
+            for cid, sub in cents
         )
-        code_cols.append(F.element_at(ranked, 1)["cent_id"].alias(f"code{s}"))
+        code_cols.append(
+            F.expr(
+                f"element_at(sort_array(array({structs})), 1).cent_id as code{s}"
+            )
+        )
     coded = d.select("vec_id", *code_cols)
-    # ADC per query: 4 literal-table lookups, left-associated sum
-    per_query = F.array(*[
-        F.struct(
-            F.lit(qid).cast("long").alias("query_id"),
-            (
-                F.element_at(lit_doubles(tab[0]), F.col("code0").cast("int") + 1)
-                + F.element_at(lit_doubles(tab[1]), F.col("code1").cast("int") + 1)
-                + F.element_at(lit_doubles(tab[2]), F.col("code2").cast("int") + 1)
-                + F.element_at(lit_doubles(tab[3]), F.col("code3").cast("int") + 1)
-            ).alias("adc"),
-        )
+    # ADC per query: 4 literal-table lookups, left-associated sum — the
+    # whole query array is one parse
+    entries = ", ".join(
+        f"struct({qid}L as query_id, ("
+        f"element_at({sql_doubles(tab[0])}, cast(code0 as int) + 1) + "
+        f"element_at({sql_doubles(tab[1])}, cast(code1 as int) + 1) + "
+        f"element_at({sql_doubles(tab[2])}, cast(code2 as int) + 1) + "
+        f"element_at({sql_doubles(tab[3])}, cast(code3 as int) + 1)) as adc)"
         for qid, tab in qtabs
-    ])
+    )
+    per_query = F.expr(f"array({entries})")
     pairs = (
         coded.select(F.col("vec_id").alias("neighbor_id"), F.explode(per_query).alias("q"))
         .select("neighbor_id", F.col("q")["query_id"].alias("query_id"), F.col("q")["adc"].alias("adc"))
@@ -2026,39 +2036,32 @@ def sim15_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             qtabs.append((qid, pcell, tab))
 
-    # per-subspace residual codes: argmin over the literal codebook
+    # per-subspace residual codes: argmin over the literal codebook —
+    # ONE SQL parse per code column (r14, the sim08 device; the
+    # per-Column form cost ~2.4 s of py4j round trips per construction)
     code_cols = []
     for s in range(4):
-        ranked_codes = F.sort_array(
-            F.array(*[
-                F.struct(
-                    _l2sq(
-                        F.slice(F.col("r"), s * 16 + 1, 16),
-                        F.lit(cv[s * 16:(s + 1) * 16]),
-                    ).alias("d2"),
-                    F.lit(cid).cast("long").alias("cent_id"),
-                )
-                for cid, cv in cvecs
-            ])
+        structs = ", ".join(
+            f"struct({_l2sq_sql(f'slice(r, {s * 16 + 1}, 16)', sql_doubles(cv[s * 16:(s + 1) * 16]))}"
+            f" as d2, {cid}L as cent_id)"
+            for cid, cv in cvecs
         )
         code_cols.append(
-            F.element_at(ranked_codes, 1)["cent_id"].alias(f"code{s}")
+            F.expr(
+                f"element_at(sort_array(array({structs})), 1).cent_id as code{s}"
+            )
         )
     coded = resid.select("vec_id", "cell", *code_cols)
 
-    per_query = F.array(*[
-        F.struct(
-            F.lit(qid).cast("long").alias("query_id"),
-            F.lit(pcell).cast("long").alias("pcell"),
-            (
-                F.element_at(lit_doubles(tab[0]), F.col("code0").cast("int") + 1)
-                + F.element_at(lit_doubles(tab[1]), F.col("code1").cast("int") + 1)
-                + F.element_at(lit_doubles(tab[2]), F.col("code2").cast("int") + 1)
-                + F.element_at(lit_doubles(tab[3]), F.col("code3").cast("int") + 1)
-            ).alias("adc"),
-        )
+    entries = ", ".join(
+        f"struct({qid}L as query_id, {pcell}L as pcell, ("
+        f"element_at({sql_doubles(tab[0])}, cast(code0 as int) + 1) + "
+        f"element_at({sql_doubles(tab[1])}, cast(code1 as int) + 1) + "
+        f"element_at({sql_doubles(tab[2])}, cast(code2 as int) + 1) + "
+        f"element_at({sql_doubles(tab[3])}, cast(code3 as int) + 1)) as adc)"
         for qid, pcell, tab in qtabs
-    ])
+    )
+    per_query = F.expr(f"array({entries})")
     pairs = (
         coded.select(
             F.col("vec_id").alias("neighbor_id"),
@@ -2392,39 +2395,40 @@ def _pq_literals(spark: SparkSession, sf_dir: str):
         [vecs[k][m * PQ_SUB:(m + 1) * PQ_SUB] for k in range(PQ_K)]
         for m in range(PQ_M)
     ]
-    cb_lits = [
-        F.array(
-            *[
-                F.struct(
-                    F.lit(k).alias("k"),
-                    lit_doubles(cb[m][k]).alias("cw"),
-                )
-                for k in range(PQ_K)
-            ]
+    # SQL-text literals (r14, the _fastlit device): the per-Column form
+    # cost ~500 py4j round trips per construction; the texts compose
+    # into sim12's one-parse encode/score expressions. Values are the
+    # identical doubles (repr round-trip, correctly-rounded SQL parse).
+    cb_sqls = [
+        "array("
+        + ", ".join(
+            f"struct({k} as k, {sql_doubles(cb[m][k])} as cw)"
+            for k in range(PQ_K)
         )
+        + ")"
         for m in range(PQ_M)
     ]
-    q_lits = F.array(
-        *[
-            F.struct(
-                F.lit(qid).cast("bigint").alias("query_id"),
-                lit_doubles(vecs[qid]).alias("qe"),
-                F.array(
-                    *[
-                        F.array(
-                            *[
-                                F.lit(l2sq(vecs[qid][m * PQ_SUB:(m + 1) * PQ_SUB], cb[m][k]))
-                                for k in range(PQ_K)
-                            ]
-                        )
-                        for m in range(PQ_M)
+    q_sql = (
+        "array("
+        + ", ".join(
+            f"struct(cast({qid} as bigint) as query_id, "
+            f"{sql_doubles(vecs[qid])} as qe, "
+            + "array("
+            + ", ".join(
+                sql_doubles(
+                    [
+                        l2sq(vecs[qid][m * PQ_SUB:(m + 1) * PQ_SUB], cb[m][k])
+                        for k in range(PQ_K)
                     ]
-                ).alias("lut"),
+                )
+                for m in range(PQ_M)
             )
+            + ") as lut)"
             for qid in range(5)
-        ]
+        )
+        + ")"
     )
-    return cb_lits, q_lits
+    return cb_sqls, q_sql
 
 
 @query(
@@ -2524,8 +2528,8 @@ def sim12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial top-k was evaluated and REJECTED — it re-routes the whole
     scored stream through Arrow for pruning the JVM already does."""
     e = load_table(spark, sf_dir, "embeddings")
-    cb_lits, q_lits = _pq_literals(spark, sf_dir)
-    if cb_lits is None:  # degenerate corpus (< K codewords): empty result,
+    cb_sqls, q_sql = _pq_literals(spark, sf_dir)
+    if cb_sqls is None:  # degenerate corpus (< K codewords): empty result,
         # not a crash — the empty-partition robustness convention
         return spark.createDataFrame(
             [],
@@ -2534,43 +2538,35 @@ def sim12_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     base = e.select("vec_id", _dvec("embedding").alias("e"))
 
-    def code_for(m: int):
-        sub = F.slice(F.col("e"), m * PQ_SUB + 1, PQ_SUB)
-        ranked = F.array_sort(
-            F.transform(
-                cb_lits[m],
-                lambda s: F.struct(
-                    F.aggregate(
-                        F.zip_with(sub, s["cw"], lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("d"),
-                    s["k"].alias("k"),
-                ),
-            )
+    # ONE SQL parse per code column / score column (r14): identical
+    # expressions to the former per-Column builders (array_sort over
+    # struct(d, k), sequential-fold L2², fixed-order LUT adds)
+    def code_for(m: int) -> str:
+        sub = f"slice(e, {m * PQ_SUB + 1}, {PQ_SUB})"
+        fold = (
+            f"aggregate(zip_with({sub}, s.cw, (x, y) -> (x - y) * (x - y)), "
+            f"0.0D, (acc, v) -> acc + v)"
         )
-        return F.element_at(ranked, 1)["k"]
+        return (
+            f"element_at(array_sort(transform({cb_sqls[m]}, "
+            f"s -> struct({fold} as d, s.k as k))), 1).k as c{m}"
+        )
 
-    encoded = base.select(
-        "vec_id", "e", *[code_for(m).alias(f"c{m}") for m in range(PQ_M)]
+    encoded = base.selectExpr(
+        "vec_id", "e", *[code_for(m) for m in range(PQ_M)]
     )
     qx = encoded.select("vec_id", "e", "c0", "c1", "c2", "c3",
-                        F.explode(q_lits).alias("q"))
-    scored = qx.filter(F.col("vec_id") != F.col("q.query_id")).select(
-        F.col("q.query_id").alias("query_id"),
-        F.col("vec_id").alias("neighbor_id"),
+                        F.explode(F.expr(q_sql)).alias("q"))
+    scored = qx.filter(F.col("vec_id") != F.col("q.query_id")).selectExpr(
+        "q.query_id as query_id",
+        "vec_id as neighbor_id",
         # fixed subspace order — never a float SUM aggregate
-        (
-            F.element_at(F.element_at(F.col("q.lut"), 1), F.col("c0") + 1)
-            + F.element_at(F.element_at(F.col("q.lut"), 2), F.col("c1") + 1)
-            + F.element_at(F.element_at(F.col("q.lut"), 3), F.col("c2") + 1)
-            + F.element_at(F.element_at(F.col("q.lut"), 4), F.col("c3") + 1)
-        ).alias("approx_l2sq"),
-        F.aggregate(
-            F.zip_with(F.col("e"), F.col("q.qe"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("exact_l2sq"),
+        "(element_at(element_at(q.lut, 1), c0 + 1)"
+        " + element_at(element_at(q.lut, 2), c1 + 1)"
+        " + element_at(element_at(q.lut, 3), c2 + 1)"
+        " + element_at(element_at(q.lut, 4), c3 + 1)) as approx_l2sq",
+        "aggregate(zip_with(e, q.qe, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, v) -> acc + v) as exact_l2sq",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_l2sq").asc(), F.col("neighbor_id").asc()
