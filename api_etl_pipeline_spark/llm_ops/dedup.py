@@ -1129,18 +1129,35 @@ def dd14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     run; at a daily-refresh 100 TB corpus with a ~1% delta, this is the
     difference between reshingling 100 TB and 1 TB. 10x probe in
     SCALE.md measures cost tracking the delta."""
-    d = load_table(spark, sf_dir, "documents")
+    from api_etl_pipeline_spark._memo import session_memo
+
     did = F.col("doc_id")
-    rev = did % 7 == 0
-    v2 = d.select(
-        "doc_id",
-        F.when(rev, F.concat(F.col("text"), F.lit(" [rev2]")))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    delta = v2.filter((did % 10 == 0) | (did % 7 == 0))
+
+    def _build_delta_bands() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        rev = did % 7 == 0
+        v2 = d.select(
+            "doc_id",
+            F.when(rev, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        delta = v2.filter((did % 10 == 0) | (did % 7 == 0))
+        return _lsh_bands(_signatures_of(delta))
+
+    # the delta shingle→signature→band subtree is a PURE plan; its
+    # analyzed handle is session-memoized (r14, the _memo contract).
+    # The checkpoint below stays per-construction, so every timed run
+    # re-shingles the delta from the parquet scan.
     # the delta band table feeds BOTH probe joins — materialize once
-    dbands = lazy_checkpoint(_lsh_bands(_signatures_of(delta)))
+    dbands = lazy_checkpoint(
+        session_memo(
+            spark,
+            ("dd14_delta_bands", sf_dir),
+            _build_delta_bands,
+            wall_label=f"dd14_delta_bands[{os.path.basename(sf_dir.rstrip('/'))}]",
+        )
+    )
     # Standing docs' text is UNCHANGED between v1 and v2 (revisions only
     # touch doc_id%7==0, which the standing filter excludes), and the
     # band table is a per-doc function of the text — so the standing

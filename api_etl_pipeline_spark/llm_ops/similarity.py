@@ -562,17 +562,33 @@ def _semdedup_prune_frame(spark: SparkSession, sf_dir: str, k: int) -> DataFrame
     joined back on vec_id. ONLY k differs between the two registered
     queries — the dq08/dq09 relationship, enforced by
     tests/test_round11_ops.py's machinery-identity pin."""
-    e = load_table(spark, sf_dir, "embeddings")
-    cents = _centroid_array_lit(spark, sf_dir, k=k)
-    base = e.select("vec_id", _dvec("embedding").alias("e")).withColumn(
-        "qn", F.sqrt(_dot(F.col("e"), F.col("e")))
-    )
-    best = F.element_at(_ranked_cells(cents, F.col("e"), F.col("qn")), 1)
-    assigned = base.select(
-        "vec_id",
-        "e",
-        best["cent_id"].alias("cell"),
-        (-best["negcos"] + F.lit(0.0)).alias("cos_to_cent"),
+    def _build() -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings")
+        cents = _centroid_array_lit(spark, sf_dir, k=k)
+        base = e.select("vec_id", _dvec("embedding").alias("e")).withColumn(
+            "qn", F.sqrt(_dot(F.col("e"), F.col("e")))
+        )
+        best = F.element_at(_ranked_cells(cents, F.col("e"), F.col("qn")), 1)
+        return base.select(
+            "vec_id",
+            "e",
+            best["cent_id"].alias("cell"),
+            (-best["negcos"] + F.lit(0.0)).alias("cos_to_cent"),
+        )
+
+    # the assignment is a PURE zero-shuffle plan (scan → project; no
+    # checkpoint, nothing materialized), so its analyzed handle is
+    # memoizable construction state (r14, the _memo contract): every
+    # construction re-derived the identical k-struct literal tree
+    # through py4j and re-analyzed it per chained select. The verdict
+    # tail below builds a FRESH lazy_checkpoint per construction, so
+    # the timed region still computes the assignment from parquet on
+    # every bench run.
+    assigned = session_memo(
+        spark,
+        ("semdedup_assigned", sf_dir, k),
+        _build,
+        wall_label=f"semdedup_assign_k{k}[{os.path.basename(sf_dir.rstrip('/'))}]",
     )
     return _semdedup_verdict(assigned)
 
@@ -1123,21 +1139,33 @@ def dd22_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-fold cosines bit-identical to the oracle's list_reduce). The
     emitted cell is the winning centroid's vec_id via a k2-entry ids
     literal, matching the rank-based oracle on any id layout."""
-    _, k1, k2, ids, cb = _codebook_rows(spark, sf_dir)
-    norms, groups = _group_fine_under_super(cb, k1)
-    e = load_table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", _dvec("embedding").alias("e"))
-    ids_lit = lit_longs(ids)
-    assigned = _two_level_assign(spark, base, cb, norms, groups, k1).select(
-        "vec_id",
-        "e",
-        # codebook POSITION → centroid vec_id (dense-id layouts make
-        # these equal; shifted layouts need the mapping for the
-        # rank-based oracle to agree)
-        F.element_at(ids_lit, (F.col("pos") + 1).cast("int"))
-        .cast("bigint")
-        .alias("cell"),
-        "cos_to_cent",
+    def _build() -> DataFrame:
+        _, k1, k2, ids, cb = _codebook_rows(spark, sf_dir)
+        norms, groups = _group_fine_under_super(cb, k1)
+        e = load_table(spark, sf_dir, "embeddings")
+        base = e.select("vec_id", _dvec("embedding").alias("e"))
+        ids_lit = lit_longs(ids)
+        return _two_level_assign(spark, base, cb, norms, groups, k1).select(
+            "vec_id",
+            "e",
+            # codebook POSITION → centroid vec_id (dense-id layouts make
+            # these equal; shifted layouts need the mapping for the
+            # rank-based oracle to agree)
+            F.element_at(ids_lit, (F.col("pos") + 1).cast("int"))
+            .cast("bigint")
+            .alias("cell"),
+            "cos_to_cent",
+        )
+
+    # pure zero-shuffle assignment plan, memoized per session — the
+    # _semdedup_prune_frame rationale verbatim (profile: ~1.7 s/
+    # construction of py4j + re-analysis of the k2-literal tree); the
+    # verdict tail still lazy_checkpoints fresh per construction
+    assigned = session_memo(
+        spark,
+        ("dd22_assigned", sf_dir),
+        _build,
+        wall_label=f"dd22_assign[{os.path.basename(sf_dir.rstrip('/'))}]",
     )
     return _semdedup_verdict(assigned)
 
@@ -1444,17 +1472,28 @@ def dd24_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _standing_codebook,
         wall_label=f"dd24_codebook[{os.path.basename(sf_dir.rstrip('/'))}]",
     )
-    k1 = math.ceil(math.sqrt(k2))
-    norms, groups = _group_fine_under_super(cb, k1)
-    base = e.select("vec_id", _dvec("embedding").alias("e"))
-    ids_lit = lit_longs(ids)
-    assigned = _two_level_assign(spark, base, cb, norms, groups, k1).select(
-        "vec_id",
-        "e",
-        F.element_at(ids_lit, (F.col("pos") + 1).cast("int"))
-        .cast("bigint")
-        .alias("cell"),
-        "cos_to_cent",
+    def _build() -> DataFrame:
+        k1 = math.ceil(math.sqrt(k2))
+        norms, groups = _group_fine_under_super(cb, k1)
+        base = e.select("vec_id", _dvec("embedding").alias("e"))
+        ids_lit = lit_longs(ids)
+        return _two_level_assign(spark, base, cb, norms, groups, k1).select(
+            "vec_id",
+            "e",
+            F.element_at(ids_lit, (F.col("pos") + 1).cast("int"))
+            .cast("bigint")
+            .alias("cell"),
+            "cos_to_cent",
+        )
+
+    # pure zero-shuffle assignment plan, memoized per session (the
+    # dd22/_semdedup_prune_frame rationale); the incremental verdict
+    # tail below still lazy_checkpoints fresh per construction
+    assigned = session_memo(
+        spark,
+        ("dd24_assigned", sf_dir),
+        _build,
+        wall_label=f"dd24_assign[{os.path.basename(sf_dir.rstrip('/'))}]",
     )
     # the shared verdict tail in its incremental shape: only the delta
     # is verdicted, and a standing partner dominates unconditionally

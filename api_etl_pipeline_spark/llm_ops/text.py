@@ -10,6 +10,8 @@ ops/_compat.py for why float aggregation is avoided).
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -935,7 +937,25 @@ def tx16_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tx16's ranked BM25 output as a reusable building block (the
-    hybrid-retrieval fusion in llm_ops/retrieval.py consumes it)."""
+    hybrid-retrieval fusion in llm_ops/retrieval.py consumes it).
+
+    The relation is a PURE plan (no checkpoint, nothing materialized),
+    so the analyzed handle is session-memoized (r14, the _memo
+    contract): tx16 and ret01 each re-derived the identical 9-term
+    tf/df/score tree through ~1 s of py4j per construction. Every
+    timed run still computes BM25 from the parquet scan; ret01's
+    lazy_checkpoint wraps the memoized handle fresh per construction."""
+    from api_etl_pipeline_spark._memo import session_memo
+
+    return session_memo(
+        spark,
+        ("bm25_ranked", sf_dir),
+        lambda: _bm25_ranked_build(spark, sf_dir),
+        wall_label=f"bm25_ranked[{_os.path.basename(sf_dir.rstrip('/'))}]",
+    )
+
+
+def _bm25_ranked_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", _tokens().alias("w")
     )
