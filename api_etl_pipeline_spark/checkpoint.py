@@ -81,10 +81,22 @@ def checkpoint_observer(fn: Callable[[DataFrame], None]) -> Iterator[None]:
         _OBSERVER.reset(token)
 
 
+# Monotone count of checkpoint calls in this process (r14): a query
+# construction that performs NO checkpoint builds a PURE plan whose
+# handle can be reused across bench timing runs (every noop execution
+# still computes from the parquet scans); one that checkpoints holds
+# run-local materializable state and must be rebuilt per run. bench.py
+# snapshots this counter around fn() to tell the two apart by machine
+# instead of by allowlist.
+CHECKPOINT_SEQ = 0
+
+
 def lazy_checkpoint(df: DataFrame) -> DataFrame:
     """Truncate lineage without forcing immediate materialization (the
     first action pays it). See module docstring for the cluster-scale
     fault-tolerance caveat."""
+    global CHECKPOINT_SEQ
+    CHECKPOINT_SEQ += 1
     obs = _OBSERVER.get()
     if obs is not None:
         obs(df)
@@ -96,6 +108,8 @@ def lazy_checkpoint(df: DataFrame) -> DataFrame:
 def eager_checkpoint(df: DataFrame) -> DataFrame:
     """Materialize now — for iterative loops that immediately fan out
     multiple consumers of the checkpointed state (dd09's CC rounds)."""
+    global CHECKPOINT_SEQ
+    CHECKPOINT_SEQ += 1
     obs = _OBSERVER.get()
     if obs is not None:
         obs(df)

@@ -1153,7 +1153,9 @@ def dd14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbands = lazy_checkpoint(
         session_memo(
             spark,
-            ("dd14_delta_bands", sf_dir),
+            # geometry in the key, the lsh_bands precedent (dd17's sweep
+            # machinery and tests rebind the module geometry)
+            ("dd14_delta_bands", sf_dir, N_MINHASH, N_BANDS, ROWS_PER_BAND),
             _build_delta_bands,
             wall_label=f"dd14_delta_bands[{os.path.basename(sf_dir.rstrip('/'))}]",
         )

@@ -1161,9 +1161,13 @@ def dd22_semdedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _semdedup_prune_frame rationale verbatim (profile: ~1.7 s/
     # construction of py4j + re-analysis of the k2-literal tree); the
     # verdict tail still lazy_checkpoints fresh per construction
+    # the live DD22_LITERAL_MAX_BYTES value rides in the key: the
+    # literal/broadcast dispatch reads it at construction time (tests
+    # monkeypatch it to force the Arrow path) and the two paths build
+    # DIFFERENT plans
     assigned = session_memo(
         spark,
-        ("dd22_assigned", sf_dir),
+        ("dd22_assigned", sf_dir, DD22_LITERAL_MAX_BYTES),
         _build,
         wall_label=f"dd22_assign[{os.path.basename(sf_dir.rstrip('/'))}]",
     )
@@ -1489,9 +1493,11 @@ def dd24_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pure zero-shuffle assignment plan, memoized per session (the
     # dd22/_semdedup_prune_frame rationale); the incremental verdict
     # tail below still lazy_checkpoints fresh per construction
+    # DD22_LITERAL_MAX_BYTES in the key for the same reason as dd22's
+    # memo: the assignment dispatch reads it live
     assigned = session_memo(
         spark,
-        ("dd24_assigned", sf_dir),
+        ("dd24_assigned", sf_dir, DD22_LITERAL_MAX_BYTES),
         _build,
         wall_label=f"dd24_assign[{os.path.basename(sf_dir.rstrip('/'))}]",
     )

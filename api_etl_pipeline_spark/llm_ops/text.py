@@ -949,7 +949,12 @@ def bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return session_memo(
         spark,
-        ("bm25_ranked", sf_dir),
+        (
+            "bm25_ranked",
+            sf_dir,
+            # the scoring repartition reads shuffle.partitions live
+            spark.conf.get("spark.sql.shuffle.partitions", "32"),
+        ),
         lambda: _bm25_ranked_build(spark, sf_dir),
         wall_label=f"bm25_ranked[{_os.path.basename(sf_dir.rstrip('/'))}]",
     )

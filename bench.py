@@ -564,18 +564,45 @@ def main() -> None:
     }
     constructions: dict[str, float] = {}
 
+    # r14 (optimization round 1): a construction that performs NO
+    # checkpoint builds a PURE plan — nothing is materialized at
+    # construction time, so re-running fn() per timing run only repeats
+    # identical py4j/Catalyst work while every noop execution computes
+    # from the parquet scans regardless of which handle it runs on.
+    # Such constructions run TWICE (construction_sec keeps its min-of-
+    # constructions-that-ran semantics on a warm sample) and the handle
+    # is reused for the remaining runs — detected by the checkpoint
+    # counter, not an allowlist. Queries that checkpoint keep the
+    # fresh-construction-per-run discipline: reusing their handle would
+    # let runs 2..n read run 1's materialized blocks inside the timed
+    # region. The timed noop region is untouched either way; every run
+    # still computes from the parquet scans.
+    from api_etl_pipeline_spark import checkpoint as _ckpt
+
+    _PURE_CONSTRUCTIONS = 2
+
     def time_one(name: str) -> float:
         best = None
         cbest = None
+        cached = None
+        pure_builds = 0
         for _ in range(runs):
-            c0 = time.perf_counter()
-            df = specs[name].fn(spark, bench_dir)
-            c1 = time.perf_counter()
+            if cached is None:
+                seq0 = _ckpt.CHECKPOINT_SEQ
+                c0 = time.perf_counter()
+                df = specs[name].fn(spark, bench_dir)
+                c1 = time.perf_counter()
+                cbest = (c1 - c0) if cbest is None else min(cbest, c1 - c0)
+                if _ckpt.CHECKPOINT_SEQ == seq0:
+                    pure_builds += 1
+                    if pure_builds >= _PURE_CONSTRUCTIONS:
+                        cached = df
+            else:
+                df = cached
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-            cbest = (c1 - c0) if cbest is None else min(cbest, c1 - c0)
         constructions[name] = round(cbest, 3)
         return round(best, 3)
 
