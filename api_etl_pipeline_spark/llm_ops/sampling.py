@@ -362,15 +362,30 @@ def samp06_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hash_bucket(gk, 100) < 90).alias("in_train"),
         F.when(hash_bucket(F.col("doc_id"), 100) < 90, 0).otherwise(1).alias("naive_side"),
     )
-    w = Window.partitionBy("gk")
+    # mn/mx only decide the leak flag for DUP rows (singletons are
+    # mn==mx by construction), and naive_side is a pure function of
+    # doc_id — so compute them straight off the component map (bounded
+    # by the duplication rate, already materialized shared state) and
+    # broadcast-join back instead of a full-corpus window on gk: the
+    # window shuffled EVERY row full-width through one exchange —
+    # overwhelmingly singleton groups doing no work — where this form
+    # moves only (split, gk) pairs for the distinct count (guide
+    # §2.3/§2.4: narrow the exchange, replace the shuffle with a
+    # broadcast). Identical values: min/max over the same dup groups'
+    # naive_side, non-dup rows contribute 0 to the leak sum either way
+    # (oracle unchanged, canon-verified).
+    comp_side = F.when(hash_bucket(F.col("doc_id"), 100) < 90, 0).otherwise(1)
+    dup_leak = (
+        comp.select(F.col("component").alias("gk"), comp_side.alias("ns"))
+        .groupBy("gk")
+        .agg(F.min("ns").alias("mn"), F.max("ns").alias("mx"))
+    )
     sides = assigned.select(
         "n_chars",
         "gk",
         "is_dup",
         F.when(F.col("in_train"), "train").otherwise("test").alias("split"),
-        F.min("naive_side").over(w).alias("mn"),
-        F.max("naive_side").over(w).alias("mx"),
-    )
+    ).join(F.broadcast(dup_leak), "gk", "left")
     return sides.groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),

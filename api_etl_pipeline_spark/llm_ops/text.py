@@ -1734,13 +1734,15 @@ def tx23_corpus_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def fold_sum(expr, order_col):
-        return F.aggregate(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(order_col).alias("o"), expr.alias("v")))
-            ),
-            F.lit(0.0),
-            lambda acc, s: acc + s["v"],
+    def fold_sum(expr_sql: str, order_col: str) -> Column:
+        # one F.expr parse of the identical ordered-fold expression (r14,
+        # the _fastlit device): the per-Column form cost ~15 py4j round
+        # trips + one lambda conversion per fold, eight folds per
+        # construction, rebuilt fresh each run because they sit
+        # downstream of the corpus-explode checkpoint
+        return F.expr(
+            f"aggregate(array_sort(collect_list(struct({order_col} as o, "
+            f"{expr_sql} as v))), cast(0.0 as double), (acc, s) -> acc + s.v)"
         )
 
     freq = toks.groupBy("tok").agg(F.count("*").alias("f"))
@@ -1751,13 +1753,13 @@ def tx23_corpus_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("r"),
     ).filter(F.col("r") <= TX23_ZIPF_TOP)
-    x, y = F.log(F.col("r").cast("double")), F.log(F.col("f").cast("double"))
+    x, y = "ln(cast(r as double))", "ln(cast(f as double))"
     zfit = ranked.agg(
         F.count("*").cast("double").alias("n"),
         fold_sum(x, "r").alias("sx"),
         fold_sum(y, "r").alias("sy"),
-        fold_sum(x * y, "r").alias("sxy"),
-        fold_sum(x * x, "r").alias("sxx"),
+        fold_sum(f"{x} * {y}", "r").alias("sxy"),
+        fold_sum(f"{x} * {x}", "r").alias("sxx"),
     )
 
     per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("nt"))
@@ -1785,14 +1787,14 @@ def tx23_corpus_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     curve = lazy_checkpoint(curve)  # feeds the fit AND the output rows
-    hx = F.log(F.col("cum_tokens").cast("double"))
-    hy = F.log(F.col("cum_vocab").cast("double"))
+    hx = "ln(cast(cum_tokens as double))"
+    hy = "ln(cast(cum_vocab as double))"
     hfit = curve.agg(
         F.count("*").cast("double").alias("hn"),
         fold_sum(hx, "decile").alias("hsx"),
         fold_sum(hy, "decile").alias("hsy"),
-        fold_sum(hx * hy, "decile").alias("hsxy"),
-        fold_sum(hx * hx, "decile").alias("hsxx"),
+        fold_sum(f"{hx} * {hy}", "decile").alias("hsxy"),
+        fold_sum(f"{hx} * {hx}", "decile").alias("hsxx"),
     )
     zslope = F.round(
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
