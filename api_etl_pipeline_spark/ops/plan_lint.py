@@ -468,6 +468,11 @@ SHARED_CHECKPOINT_GROUPS: dict[str, tuple[str, ...]] = {
     "gr01_pagerank": ("gr01_ranks",),
     "gr02_bfs_hops": ("gr02_bfs",),
     "gr03_triangle_stats": ("lsh_bands", "gr03_oriented"),
+    # round 14: the trained BPE tokenizer state (checkpointed vocab +
+    # merge rules) is one shared build with three registered consumers
+    "tx21_bpe_train_merges": ("bpe_train",),
+    "tx22_bpe_tokenize_apply": ("bpe_train",),
+    "tx24_tokenizer_fertility": ("bpe_train",),
 }
 
 # members above that ALSO checkpoint per-construction (non-shared)
