@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
 from api_etl_pipeline_spark.llm_ops.text import EN_STOPWORDS
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
@@ -348,9 +349,24 @@ def cls02_classifier_auc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     scores = cls01_quality_classifier(spark, sf_dir)
     lab = F.col("label_high")
-    dist = scores.groupBy("is_train", "score").agg(
-        F.count(F.when(lab, 1)).cast("bigint").alias("np_s"),
-        F.count(F.when(~lab, 1)).cast("bigint").alias("nn_s"),
+    # collapse ONCE to the (split, score, label, prediction) grain —
+    # bounded by score quantization (ROUND-6), not the corpus — and
+    # checkpoint it: the AUC branch and the confusion branch both
+    # consume it, and without lineage truncation each branch re-ran the
+    # ENTIRE cls01 subtree (corpus scan + training aggregates + scoring
+    # projection) — two corpus traversals for one audit (r14, guide
+    # §2.4 reused-subtree rule; the ret01/decon02 lesson). Every count
+    # below is an exact integer sum over this grain, identical to the
+    # former per-row aggregation.
+    pred = F.col("predicted_high")
+    collapsed = lazy_checkpoint(
+        scores.groupBy("is_train", "score", "label_high", "predicted_high").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+    )
+    dist = collapsed.groupBy("is_train", "score").agg(
+        F.sum(F.when(lab, F.col("n")).otherwise(0)).cast("bigint").alias("np_s"),
+        F.sum(F.when(~lab, F.col("n")).otherwise(0)).cast("bigint").alias("nn_s"),
     )
     w = (
         Window.partitionBy("is_train")
@@ -374,15 +390,15 @@ def cls02_classifier_auc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("auc_num"),
         F.count("*").cast("bigint").alias("n_distinct_scores"),
     )
-    pred = F.col("predicted_high")
-    conf = scores.groupBy("is_train").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.count(F.when(lab, 1)).cast("bigint").alias("n_pos"),
-        F.count(F.when(~lab, 1)).cast("bigint").alias("n_neg"),
-        F.count(F.when(lab & pred, 1)).cast("bigint").alias("tp"),
-        F.count(F.when(~lab & pred, 1)).cast("bigint").alias("fp"),
-        F.count(F.when(lab & ~pred, 1)).cast("bigint").alias("fn"),
-        F.count(F.when(~lab & ~pred, 1)).cast("bigint").alias("tn"),
+    n = F.col("n")
+    conf = collapsed.groupBy("is_train").agg(
+        F.sum(n).cast("bigint").alias("n_docs"),
+        F.sum(F.when(lab, n).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(~lab, n).otherwise(0)).cast("bigint").alias("n_neg"),
+        F.sum(F.when(lab & pred, n).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(~lab & pred, n).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(lab & ~pred, n).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when(~lab & ~pred, n).otherwise(0)).cast("bigint").alias("tn"),
     )
     return conf.join(F.broadcast(auc), "is_train").select(
         "is_train",

@@ -304,10 +304,11 @@ ALLOWED: dict[tuple[str, str], str] = {
         "(the tx08 single-row-scalar shape) — training is the one "
         "bounded aggregate on the pushed-down doc_id < 500 slice"
     ),
-    ("cls02_classifier_auc_audit", "BroadcastNestedLoopJoin"): (
-        "inherits cls01's single-row class-stats/threshold broadcasts "
-        "(the audit re-derives the scores it measures); the audit's "
-        "own joins are split-keyed BHJ on 2-row aggregates"
+    ("cls02_classifier_auc_audit+ckpt", "BroadcastNestedLoopJoin"): (
+        "same cls01 single-row broadcasts, now inside the checkpointed "
+        "collapsed-score-grain subtree (r14: one corpus traversal feeds "
+        "both the AUC and confusion branches instead of re-running the "
+        "whole cls01 subtree per branch)"
     ),
     # --- round 13: unpartitioned-Window findings (verdict task 5).
     # Every reason must name the GRAIN flowing through the single
@@ -495,6 +496,7 @@ CHECKPOINTING_QUERIES = {
     "dd16_lsh_recall_audit",  # round 9: derived-corpus + signature checkpoints
     "dd17_lsh_geometry_sweep",  # round 9: same checkpoints, 8-hash variant
     "dd25_simhash_recall_audit",  # round 14: derived-corpus + simhash ckpts
+    "cls02_classifier_auc_audit",  # round 14: collapsed score grain feeds AUC + confusion branches
     "sim13_mmr_rerank",  # round 9: candidate set feeds both lattice sides
     "hh02_countmin_audit",  # round 9: bigram counts feed sketch + probe + lattice
     "maint03_zone_map_skip",  # round 9: composite grain feeds both layouts + anchor
