@@ -46,7 +46,18 @@ def sql_doubles(vals) -> str:
     """SQL text of an array<double> literal — for callers composing a
     LARGER one-parse expression string (the lit_doubles device, one
     level up: embedding the array text avoids a py4j round trip per
-    array when a query builds many literal-table expressions)."""
+    array when a query builds many literal-table expressions).
+
+    Empty input is rejected (r14 advice): bare SQL ``array()`` parses
+    as a NON-double array type, a silent type break for any caller
+    composing an empty slice into a larger expression — lit_doubles'
+    [] fallback is the supported empty-array path."""
+    vals = list(vals)
+    if not vals:
+        raise ValueError(
+            "sql_doubles([]) would emit untyped SQL array(); use "
+            "lit_doubles([]) (F.lit fallback) for empty arrays"
+        )
     return "array(" + ",".join(_d(x) for x in vals) + ")"
 
 

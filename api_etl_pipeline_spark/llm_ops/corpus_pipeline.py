@@ -659,7 +659,17 @@ def llm04_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = lazy_checkpoint(  # ONE materialization of the regex chain
         session_memo(
             spark,
-            ("llm04_per", sf_dir),
+            # live-read module constants in the key (r14 advice): a test
+            # that rebinds the bucket count or a PII regex must never be
+            # served a stale memoized plan (the dd14/dd22 key precedent)
+            (
+                "llm04_per",
+                sf_dir,
+                CUR05_PATH_BUCKETS,
+                CUR06_EMAIL_RE,
+                CUR06_SSN_RE,
+                CUR06_PHONE_RE,
+            ),
             _build_per,
             wall_label=f"llm04_per[{_os.path.basename(sf_dir.rstrip('/'))}]",
         )

@@ -243,6 +243,11 @@ def decon02_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session-memoized (r14, the _memo contract — the nested pair-lambda
     # tree cost ~0.5 s of py4j per construction). The checkpoint stays
     # per-construction: every timed run re-runs the corpus traversal.
+    # key note (r14 advice): the builder's only tunable, the 3-gram
+    # size, is an inline literal in _build_counts (no module constant
+    # exists to rebind), so (sf_dir) fully determines the plan; if the
+    # gram size ever becomes a module constant it MUST join this key
+    # (the dd14/dd22 live-read precedent).
     counts = lazy_checkpoint(
         session_memo(
             spark,

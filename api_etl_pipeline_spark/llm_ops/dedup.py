@@ -56,6 +56,19 @@ _N_MD5 = N_MINHASH // 4  # 4 32-bit slices per md5
 # md5 #k prepends 'g{k+1}' (h2 = md5('g2'||shingle), ...)
 _MD5_SALTS = tuple("" if k == 0 else f"g{k + 1}" for k in range(_N_MD5))
 
+_SQL_SAFE_RE = __import__("re").compile(r"^[A-Za-z0-9_]*$")
+
+
+def _sql_safe(s: str) -> str:
+    """Guard for Python strings interpolated into single-quoted SQL
+    (r14 advice): salts, geometry names and hash-column names are
+    constants today, but a future quote/backslash would break the parse
+    or silently change the hashed value — assert the safe alphabet at
+    the interpolation site instead of trusting call-site discipline."""
+    if not _SQL_SAFE_RE.match(s):
+        raise ValueError(f"unsafe string for SQL interpolation: {s!r}")
+    return s
+
 
 def _shingles(toks: Column) -> Column:
     """Token 3-gram shingles from a *materialized* tokens column (empty
@@ -121,7 +134,7 @@ def _sig_hash_exprs() -> list[str]:
         (
             f"md5(cast(shingle as binary)) AS h{k}"
             if not s
-            else f"md5(cast(concat('{s}', shingle) as binary)) AS h{k}"
+            else f"md5(cast(concat('{_sql_safe(s)}', shingle) as binary)) AS h{k}"
         )
         for k, s in enumerate(_MD5_SALTS)
     ]
@@ -170,7 +183,7 @@ def _bucket_sql(cols: list[str]) -> str:
     single source both the Column wrapper and the one-parse band
     builders share (r14: one expr parse instead of ~6 py4j round trips
     per Column op, identical expression)."""
-    cat = ", ".join(f"cast({c} as string)" for c in cols)
+    cat = ", ".join(f"cast({_sql_safe(c)} as string)" for c in cols)
     return f"md5(cast(concat_ws('_', {cat}) as binary))"
 
 
@@ -290,10 +303,16 @@ def dd04_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join + downstream) is unchanged."""
     from api_etl_pipeline_spark._memo import session_memo
 
+    # eager, not lazy (r15, r14 verdict item 2): a lazy checkpoint
+    # materializes at the first consumer's FIRST TIMED RUN, which
+    # min-of-N discards — the materialization second appeared in no
+    # metric. Eager materialization inside the memoized builder lands
+    # the full build wall in construction_shared_sec; timed runs read
+    # the same materialized blocks either way.
     return session_memo(
         spark,
         ("lsh_bands", sf_dir, N_MINHASH, N_BANDS, ROWS_PER_BAND),
-        lambda: lazy_checkpoint(_lsh_bands(_signatures(spark, sf_dir))),
+        lambda: eager_checkpoint(_lsh_bands(_signatures(spark, sf_dir))),
         wall_label=f"lsh_bands[{os.path.basename(str(sf_dir).rstrip('/'))}]",
     )
 
@@ -1279,7 +1298,10 @@ def _dd16_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " ",
         )
-        return lazy_checkpoint(
+        # eager inside the memoized builder (r15): the materialization
+        # wall lands in construction_shared_sec instead of vanishing
+        # into the first consumer's discarded first timed run
+        return eager_checkpoint(
             d.select(
                 F.explode(
                     F.array(
@@ -1317,7 +1339,8 @@ def _dd16_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_memo(
         spark,
         ("dd16_sig", sf_dir, N_MINHASH),
-        lambda: lazy_checkpoint(_signatures_of(_dd16_derived(spark, sf_dir))),
+        # eager: meter the signature materialization in the shared wall
+        lambda: eager_checkpoint(_signatures_of(_dd16_derived(spark, sf_dir))),
         wall_label=f"dd16_sig[{os.path.basename(str(sf_dir).rstrip('/'))}]",
     )
 
@@ -1646,7 +1669,7 @@ def dd17_lsh_geometry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-Column form built ~64 struct/bucket trees through py4j on
     # every construction (~1.5 s of the wall)
     band_structs = ", ".join(
-        f"struct('{g}' as g, {i} as band, "
+        f"struct('{_sql_safe(g)}' as g, {i} as band, "
         f"{_bucket_sql([f'mh{i * r + j}' for j in range(r)])} as bucket)"
         for g, b, r, _h in DD17_GEOMETRIES
         for i in range(b)
@@ -1856,7 +1879,8 @@ def dd25_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shash = session_memo(
         spark,
         ("dd25_simhash", sf_dir),
-        lambda: lazy_checkpoint(_simhash_of(derived)),
+        # eager: meter the simhash materialization in the shared wall
+        lambda: eager_checkpoint(_simhash_of(derived)),
         wall_label=f"dd25_simhash[{os.path.basename(str(sf_dir).rstrip('/'))}]",
     )
     lattice = (

@@ -15,7 +15,7 @@ import os as _os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+from api_etl_pipeline_spark.checkpoint import eager_checkpoint, lazy_checkpoint
 from api_etl_pipeline_spark.registry import query
 from api_etl_pipeline_spark.tables import load_table
 
@@ -1472,7 +1472,11 @@ def _bpe_train_build(spark: SparkSession, sf_dir: str):
     # round and every rule row derives from this tiny relation — without
     # the checkpoint each of the 3 rounds' top-pair AND rewrite subtrees
     # would re-run the corpus scan (measured 14 scans → 1)
-    vocab = lazy_checkpoint(
+    # eager (r15): _bpe_train_build runs inside the session_memo builder,
+    # so eager materialization lands the vocab build wall in
+    # construction_shared_sec instead of the first consumer's discarded
+    # first timed run (r14 verdict item 2)
+    vocab = eager_checkpoint(
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("wcnt"))

@@ -50,7 +50,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-HARD_NODES = ("CartesianProduct",)
+# InMemoryRelation/InMemoryTableScan (r14 verdict "what's wrong" #4 /
+# advice): the bench's pure-construction handle-reuse guard trusts
+# checkpoint.py to be the only materialization device — a future
+# .persist()/.cache() in any registered query would silently qualify it
+# for reuse and let timed runs 2..n read run-1 cached blocks. No
+# registered query may cache; this makes that machine-checked.
+HARD_NODES = ("CartesianProduct", "InMemoryTableScan", "InMemoryRelation")
 WARN_NODES = ("SortMergeJoin", "SortAggregate", "BroadcastNestedLoopJoin")
 
 # warn-level findings with their standing justification; a finding not in

@@ -708,13 +708,61 @@ def main() -> None:
     # captures only a ~2 KB stdout tail, and round 4's single full-dict line
     # (71 queries) outgrew it — the truncated front lost "value" and the
     # driver recorded parsed: null. The LAST line printed is a compact
-    # headline (always < 400 bytes) so the tail capture always parses.
+    # headline so the tail capture always parses.
+    #
+    # r15 (r14 verdict item 1): per-query walls never reached the driver —
+    # the full line outgrew the tail rounds ago, and the compact line had
+    # grown construction dicts to ~1.9 KB of the 2 KB tail (one more entry
+    # away from losing the headline parse entirely). Now every per-query
+    # dict is ALSO emitted as chunked standalone JSON lines, each < 400
+    # bytes ({"queries_part": i, "of": n, "queries": {...}}), printed
+    # between the full line and the compact line so (a) a driver that
+    # scans stdout for part-lines can reassemble all of them, (b) the
+    # tail's last ~1.3 KB still carries the most recent chunks, and (c)
+    # the LAST line stays the small always-parseable compact headline
+    # (the construction dicts moved out of it into their own chunk
+    # lines; their totals stay via construction_total_sec). The per-CPU
+    # copy of BENCH_QUERIES.json closes the r14 hole where the driver's
+    # 8-core scaling run overwrote the 32-core run's per-query file.
     queries_file = Path(_REPO) / "BENCH_QUERIES.json"
     try:
         queries_file.write_text(json.dumps(full, indent=1) + "\n")
     except OSError as exc:
         print(f"could not write {queries_file}: {exc}", file=sys.stderr)
+    queries_file_cpu = Path(_REPO) / f"BENCH_QUERIES_c{cpus}.json"
+    try:
+        queries_file_cpu.write_text(json.dumps(full, indent=1) + "\n")
+    except OSError as exc:
+        print(f"could not write {queries_file_cpu}: {exc}", file=sys.stderr)
     print(json.dumps(full))
+
+    def emit_parts(part_key: str, inner_key: str, items: dict, limit: int = 390):
+        """Print ``items`` as numbered JSON lines each under ``limit``
+        bytes: {"<part_key>": i, "of": n, "<inner_key>": {subset}}."""
+        if not items:
+            return
+        chunks: list[dict] = []
+        cur: dict = {}
+        for k, v in items.items():
+            cur[k] = v
+            probe = json.dumps({part_key: 999, "of": 999, inner_key: cur})
+            if len(probe) > limit and len(cur) > 1:
+                cur.pop(k)
+                chunks.append(cur)
+                cur = {k: v}
+        if cur:
+            chunks.append(cur)
+        for i, c in enumerate(chunks, 1):
+            print(json.dumps({part_key: i, "of": len(chunks), inner_key: c}))
+
+    emit_parts("construction_part", "construction_sec", full["construction_sec"])
+    emit_parts(
+        "construction_shared_part",
+        "construction_shared_sec",
+        full["construction_shared_sec"],
+    )
+    emit_parts("rotation_part", "queries_rotation", timings_rotation)
+    emit_parts("queries_part", "queries", timings)
     compact = {
         k: v
         for k, v in full.items()
@@ -725,6 +773,10 @@ def main() -> None:
             "queries_calibrated2",
             "queries_rotation",
             "bench_set",
+            # r15: the two construction dicts moved to their own chunked
+            # part-lines above; the compact line keeps the scalar total
+            "construction_sec",
+            "construction_shared_sec",
         )
     }
     compact["n_queries"] = len(timings)
@@ -734,6 +786,7 @@ def main() -> None:
         1 for v in full["bench_set"].values() if v.startswith("exempt")
     )
     compact["queries_file"] = str(queries_file)
+    compact["queries_file_cpu"] = str(queries_file_cpu)
     print(json.dumps(compact))
 
 
