@@ -76,6 +76,13 @@ _DECON_GRAMS = """
 """
 
 
+# decon01's gram-representation dispatch: above this on-disk corpus
+# size the benchmark gram set is large enough that broadcast memory,
+# not oracle legibility, is the binding constraint — grams ride as
+# xxhash64 fingerprints (exact membership, ~4x narrower)
+DECON01_HASH_MIN_BYTES = 64 << 20
+
+
 @query(
     "decon01_ngram_overlap",
     oracle=f"""
@@ -115,14 +122,30 @@ def decon01_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings (`_hashed_word_ngrams`: 4× smaller broadcast — the
     exact-match version of a bloom pre-filter). (b) did not beat (a) end
     to end at this SF (join+agg dominates, not gram width), so strings
-    stay for oracle clarity; at 100 TB flip to `_hashed_word_ngrams`
-    when the benchmark gram broadcast approaches executor memory."""
+    stay for oracle clarity below the dispatch threshold.
+
+    r15 (r14 verdict item 6): the r4-documented 100 TB flip is now
+    EXECUTED behind a size dispatch (the dd22/dd18 device): past
+    DECON01_HASH_MIN_BYTES of on-disk corpus the gram columns switch to
+    `_hashed_word_ngrams` 64-bit fingerprints — ~4x smaller benchmark
+    broadcast and ~4x narrower train-side explode, exact membership
+    (xxhash64 is deterministic; collision odds ~n²/2⁶⁴ are negligible
+    and deterministic). Counts are identical unless two DIFFERENT grams
+    collide, which the forced-arm oracle test pins at test SFs. Both
+    arms' plans are fingerprinted in plans/r15/."""
+    from api_etl_pipeline_spark.llm_ops.dedup import _corpus_bytes
+
     d = load_table(spark, sf_dir, "documents")
+    grams = (
+        _hashed_word_ngrams
+        if _corpus_bytes(sf_dir) > DECON01_HASH_MIN_BYTES
+        else _word_ngrams
+    )
     per_doc = d.select(
         "doc_id", F.split(F.col("text"), " ").alias("w")
     ).select(
         "doc_id",
-        F.array_distinct(_word_ngrams(F.col("w"), 3)).alias("gs"),
+        F.array_distinct(grams(F.col("w"), 3)).alias("gs"),
     )
     bench = (
         per_doc.filter(F.col("doc_id") % 20 == 0)

@@ -1974,6 +1974,32 @@ def dd25_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 DD18_T_NUM, DD18_T_DEN = 1, 2  # threshold t = 1/2, kept RATIONAL so the
 # verify step is the exact integer comparison den*inter >= num*union
 
+# r15 size dispatch for the prefix-index self-join (r14 verdict item 5,
+# guide §3.1): below this on-disk corpus size the materialized prefix
+# index is explicitly broadcast (the static planner sees only an RDD
+# scan with unknown stats after the checkpoint, so it would plan SMJ);
+# above it the equi-join shuffles on the shingle key and AQE may still
+# flip to broadcast from the actual exchange sizes at runtime. The
+# dispatch reads file metadata only — no extra Spark job.
+DD18_BCAST_MAX_BYTES = 64 << 20
+
+
+def _corpus_bytes(sf_dir: str) -> int:
+    """On-disk bytes of the documents table (file or directory); huge
+    sentinel when unknowable (catalog: scheme, missing path) so the
+    dispatch degrades to the scale arm, never the broadcast arm."""
+    import pathlib
+
+    p = pathlib.Path(str(sf_dir)) / "documents.parquet"
+    try:
+        if p.is_file():
+            return p.stat().st_size
+        if p.is_dir():
+            return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+    except OSError:
+        pass
+    return 1 << 62
+
 
 @query(
     "dd18_prefix_filter_join",
@@ -2095,7 +2121,13 @@ def dd18_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_cut = F.col("n") - F.expr(
         f"({DD18_T_NUM} * n + {DD18_T_DEN - 1}) div {DD18_T_DEN}"
     ) + 1
-    pref = (
+    # r15 (verdict item 5): the prefix index feeds BOTH sides of the
+    # candidate self-join, and the window pipeline that builds it
+    # (df join + sizes join + per-doc rank) was planned TWICE — one full
+    # copy per join side (AQE reuses the identical exchanges underneath,
+    # but the rank window and its joins re-ran per side). Checkpoint it
+    # once; both sides read the materialized prefix rows.
+    pref = lazy_checkpoint(
         shr.join(sizes, "doc_id")
         .withColumn(
             "pos",
@@ -2110,6 +2142,8 @@ def dd18_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = pref.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = pref.select(F.col("doc_id").alias("doc_b"), "shingle")
+    if _corpus_bytes(sf_dir) <= DD18_BCAST_MAX_BYTES:
+        b = F.broadcast(b)
     cand = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -942,6 +942,15 @@ def q52_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# x26's cross-bucket decomposition width: buckets are floor(price / W),
+# so the bucket-grain relation is bounded by the PRICE DOMAIN (TPC-H
+# extendedprice ~ [900, 105k] -> ~410 buckets at W=256) independent of
+# corpus size; W only shifts work between the bounded offsets window and
+# the parallel within-bucket windows, never the result (the bucket key
+# is monotone in price, and decimal regrouping is exact)
+X26_BUCKET_WIDTH = 256
+
+
 @query(
     "x26_weighted_median",
     oracle="""
@@ -988,20 +997,62 @@ def x26_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_price = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("w")
     )
-    w_cum = (
+    # r15 two-phase form (r14 verdict item 4, guide §2.2 two-level
+    # aggregation): the r14 shape ran ONE window partitioned by the
+    # 3-value return flag over every distinct (flag, price) row — all
+    # distinct prices flowed through <=3 tasks (the bench's most
+    # core-starve-sensitive stage, and a serialized per-flag sort of
+    # the whole price distribution at 100 TB). Exact decomposition:
+    # bucket prices by a MONOTONE fixed-width key (floor(price/W) —
+    # bucket order == price order, count bounded by the price domain,
+    # not the data), compute per-(flag, bucket) subtotals, turn them
+    # into exclusive cross-bucket offsets with a window over the
+    # bucket-grain relation (bounded rows), broadcast the offsets back,
+    # and run the running sum WITHIN each (flag, bucket) partition in
+    # parallel: cumw(p) = offset(bucket(p)) + within-bucket running
+    # sum — the identical exact-DECIMAL value (decimal addition is
+    # exact, so the regrouping is equality-preserving, boundary
+    # comparisons included). The distinct-price relation never passes
+    # through a per-flag sort; every remaining per-flag stage is
+    # bucket-grain or 3-row.
+    bkt = F.floor(F.col("l_extendedprice") / F.lit(X26_BUCKET_WIDTH)).cast(
+        "bigint"
+    )
+    pp = per_price.withColumn("bkt", bkt)
+    # bucket subtotals aggregate the FACT TABLE directly rather than
+    # per_price: deriving them from pp puts the join's pushed-down
+    # null-filters asymmetrically into the two branches, defeating
+    # ReuseExchange — the (flag, price) aggregation then ran twice
+    # (measured 1.4 s vs 0.9 s before). The direct pass is map-side
+    # combined straight to (flag, bucket) grain (~1.2k groups), so its
+    # shuffle is bucket-grain and the extra scan is a cheap concurrent
+    # counting pass; exact-DECIMAL regrouping keeps every sum identical.
+    per_bucket = li.groupBy("l_returnflag", bkt.alias("bkt")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("bw")
+    )
+    w_off = (
         Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    offs = per_bucket.select(
+        "l_returnflag",
+        "bkt",
+        F.coalesce(
+            F.sum("bw").over(w_off), F.lit(0).cast("decimal(38,2)")
+        ).alias("cum_before"),
+        F.sum("bw").over(w_tot).alias("total"),
+    )
+    w_in = (
+        Window.partitionBy("l_returnflag", "bkt")
         .orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_tot = Window.partitionBy("l_returnflag")
-    ranked = per_price.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum("w").over(w_cum).alias("cumw"),
-        F.sum("w").over(w_tot).alias("total"),
-    )
     return (
-        ranked.filter(2 * F.col("cumw") >= F.col("total"))
+        pp.join(F.broadcast(offs), ["l_returnflag", "bkt"])
+        .withColumn("cumw", F.col("cum_before") + F.sum("w").over(w_in))
+        .filter(2 * F.col("cumw") >= F.col("total"))
         .groupBy("l_returnflag")
         .agg(F.min("l_extendedprice").alias("weighted_median_price"))
     )

@@ -449,12 +449,17 @@ def dq05_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation, region, customer, part, supplier) broadcast the parent;
     the two fact-fact edges (lineitem->orders, events->customer at
     event volume) shuffle on the key, which IS the audit's unavoidable
-    cost. Each big table is scanned once per edge it parents/children
-    (lineitem 3x) — allowlisted in the scan audit: the per-edge
-    traversal is the operator's definition, and at 100 TB the three
-    lineitem edges share one cached scan via a multi-FK rewrite
-    (select all 3 keys once, three joins off the same projection) that
-    this form keeps separate only for oracle clarity."""
+    cost.
+
+    r15 (r14 verdict item 9): the FOUR lineitem traversals (three FK
+    edges + the fault-injected leg) now share ONE checkpointed 3-key
+    projection — the multi-FK rewrite this docstring had named for
+    100 TB since round 7. Only (l_orderkey, l_partkey, l_suppkey) is
+    ever materialized (keys, never payload); each edge slices its
+    column off the materialized relation, so the audit reads the fact
+    table once per run instead of four times."""
+    from api_etl_pipeline_spark.checkpoint import lazy_checkpoint
+
     def leg(name, child, parent_table, pk):
         parent = (
             load_table(spark, sf_dir, parent_table)
@@ -471,13 +476,15 @@ def dq05_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(orphans / F.count("*"), 6).alias("orphan_rate"),
         )
 
+    li_keys = lazy_checkpoint(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey"
+        )
+    )
     legs = []
     for name, ct, ck, pt, pk in DQ05_EDGES:
-        child = (
-            load_table(spark, sf_dir, ct)
-            .select(F.col(ck).alias("k"))
-            .filter(F.col("k").isNotNull())
-        )
+        src = li_keys if ct == "lineitem" else load_table(spark, sf_dir, ct)
+        child = src.select(F.col(ck).alias("k")).filter(F.col("k").isNotNull())
         legs.append(leg(name, child, pt, pk))
     # fault-injected leg: the shipped data has zero true orphans on every
     # edge, which would leave the orphan-counting path undemonstrated —
@@ -485,10 +492,8 @@ def dq05_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit provably DETECTS at a known deterministic rate (the cur03
     # derived-version pattern)
     ok = F.col("l_orderkey")
-    injected = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(ok.isNotNull())
-        .select(F.when(ok % 97 == 0, -ok - 1).otherwise(ok).alias("k"))
+    injected = li_keys.filter(ok.isNotNull()).select(
+        F.when(ok % 97 == 0, -ok - 1).otherwise(ok).alias("k")
     )
     legs.append(
         leg(
