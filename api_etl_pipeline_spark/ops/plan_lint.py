@@ -98,8 +98,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("sim01_cosine_topk", "BroadcastNestedLoopJoin"): "5-row query-vector broadcast, non-equi self-exclusion",
     # r15: the exact-truth leg is the shared sim01_truth build; its
     # checkpoint plan is captured by whichever consumer constructs
-    # first in a cold process (sim11 registers before ret02)
-    ("sim11_ann_recall_at_k+ckpt", "BroadcastNestedLoopJoin"): (
+    # first in a cold all_queries() pass — ret02, which the r15 driver
+    # prefix rotation places before sim11
+    ("ret02_ann_rank_quality+ckpt", "BroadcastNestedLoopJoin"): (
         "inherited exact leg IS sim01 — same 5-row query-vector "
         "broadcast, non-equi self-exclusion (lives in the shared "
         "sim01_truth checkpoint subplan, built by the first consumer)"

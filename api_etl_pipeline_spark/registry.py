@@ -104,51 +104,53 @@ def _load_all() -> None:
 
 
 # Driver-coverage rotation. The driver's per-round correctness gate samples
-# the FIRST 50 entries of queries() in dict order. This round-14 prefix (per
-# the round-13 verdict task 1) front-loads, in order:
-#   1. ALL 45 queries whose latest driver row is still round 8 — the
-#      entire r8 cohort, verified against the latest-round histogram
-#      (r8×45, r9×44, r10×50, r11×48, r12×48, r13×50) at the start of
-#      round 14: cur06, dq07, ev01-ev12, ev14, ev16, inc01, q19-q38,
-#      st14, stats01, stats02, tx23, udaf01, w03, x11, x24. The
-#      freshness-floor gate leg (tools/round_close.py) fails at the
-#      r14 close unless every one of these sits in the prefix.
-#   2. the 5 geometry-changed pull-forwards staged at r13: dd03 and
-#      llm01-llm04 — their outputs changed with the b32r2/64-hash
-#      production geometry but did not fit the r13 prefix; the r13
-#      judge swept them 4+1 green at sf0.01 and staged them here.
-# 45 + 5 = 50 exactly — zero free slots, exactly as the r13 verdict
-# item 2 predicted (no r8 name was refreshed since). Consequence: any
-# NEW round-14 operator (dd25 simhash-recall audit) is registered with
-# a live oracle + pytest third-engine replay now and queued for its
-# FIRST driver row in the r15 prefix, the r13-staging precedent.
-# R15 fill queue = the 44-name r9 cohort (latest-round histogram at
-# r14 start) + dd25 + remaining slack. Nothing is removed — every
-# query stays registered and the pytest mirror in
-# tests/test_queries_oracle.py still covers all of them.
+# the FIRST 50 entries of queries() in dict order. This round-15 prefix
+# (the r14 staging plan executed) front-loads, in order:
+#   1. ALL 42 queries whose latest passing driver row is still round 9 —
+#      the entire r9 cohort, verified against the latest-round histogram
+#      at the start of round 15 (r9×42, r10×50, r11×45, r12×48, r13×50,
+#      r14×50, never×2). Note two touched-this-round names (dd18, ret02)
+#      are in this cohort — their r15 rewrites get a same-round driver
+#      row, exactly the freshness the rotation exists to provide.
+#   2. the two staged round-14 additions with no driver row yet: dd25
+#      (simhash recall audit) and cls02 (classifier AUC audit) — the
+#      zero-slack r14 rotation queued them here; DRIVER_STAGED_NEXT_ROUND
+#      is emptied in the same commit, per its contract.
+#   3. 6 fill slots from the r10 cohort, oldest-first alphabetical:
+#      cur09, dd08, dd19, dq09, ev19, ing01.
+# 42 + 2 + 6 = 50 exactly. Nothing is removed — every query stays
+# registered and the pytest mirror in tests/test_queries_oracle.py
+# still covers all of them.
 _DRIVER_SAMPLE_PREFIX = [
-    "cur06", "dq07",
-    *[f"ev{i:02d}" for i in range(1, 13)], "ev14", "ev16",
-    "inc01",
-    *[f"q{i:02d}" for i in range(19, 39)],
-    "st14", "stats01", "stats02", "tx23", "udaf01", "w03", "x11", "x24",
-    "dd03", "llm01", "llm02", "llm03", "llm04",
+    "cur07_html_main_text", "cur08_gopher_rules",
+    "dd01_exact_dup_groups", "dd02_dedup_keep_first",
+    "dd05_ngram_jaccard", "dd06_simhash", "dd07_simhash_hamming",
+    "dd18_prefix_filter_join", "dq08_fd_profile", "hh02_countmin_audit",
+    "ing21_offset_pagination", "maint01_compaction_plan",
+    "maint02_retention_plan", "maint03_zone_map_skip",
+    "mix03_anneal_schedule", "pack03_packing_efficiency",
+    "q51_hll_mergeable_distinct", "ret02_ann_rank_quality",
+    "samp07_dsir_importance", "samp08_temporal_split",
+    "sim12_pq_topk", "sim13_mmr_rerank", "sim14_sq8_topk",
+    "st15_journey_patterns_live", "st16_countmin_live",
+    "tx24_tokenizer_fertility", "udtf01_bigram_expand",
+    "w04_running_sum", "w05_ntile", "w06_first_last",
+    "w12_time_range_window",
+    *[f"x{i:02d}" for i in range(1, 11)], "x25_mad_outliers",
+    "dd25_simhash_recall_audit", "cls02_classifier_auc_audit",
+    "cur09_pseudonymize_ids", "dd08_embedding_near_dup",
+    "dd19_span_dedup", "dq09_fd_profile_sampled",
+    "ev19_journey_patterns", "ing01_dedup_insert",
 ]
 
-# Round-14 additions with NO driver row yet, explicitly staged for
-# their FIRST row in the r15 prefix (the r13 verdict's consequence of
-# the zero-slack r14 rotation: "any NEW round-14 operator is registered
-# with a live oracle + pytest third-engine replay now and queued for
-# its FIRST driver row in the r15 prefix"). The freshness gate
-# (tools/round_close.py::leg_driver_freshness) treats ONLY names listed
-# here as allowed to be never-checked outside the prefix, and prints
-# them as the staged set — an op left off both this list and the prefix
-# still fails the leg, so nothing can stay unchecked silently. MUST be
-# folded into _DRIVER_SAMPLE_PREFIX (and emptied) at the r15 rotation.
-DRIVER_STAGED_NEXT_ROUND = [
-    "dd25_simhash_recall_audit",
-    "cls02_classifier_auc_audit",
-]
+# Round-15 additions with NO driver row yet, staged for their FIRST row
+# in the next round's prefix. EMPTY this round: r15 is an optimization
+# round and adds no operators; the two r14-staged names (dd25, cls02)
+# were folded into _DRIVER_SAMPLE_PREFIX above, per this list's
+# contract. The freshness gate (tools/round_close.py::
+# leg_driver_freshness) treats ONLY names listed here as allowed to be
+# never-checked outside the prefix.
+DRIVER_STAGED_NEXT_ROUND: list[str] = []
 
 
 def _rotated(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
