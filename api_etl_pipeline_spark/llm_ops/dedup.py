@@ -1980,8 +1980,15 @@ DD18_T_NUM, DD18_T_DEN = 1, 2  # threshold t = 1/2, kept RATIONAL so the
 # scan with unknown stats after the checkpoint, so it would plan SMJ);
 # above it the equi-join shuffles on the shingle key and AQE may still
 # flip to broadcast from the actual exchange sizes at runtime. The
-# dispatch reads file metadata only — no extra Spark job.
-DD18_BCAST_MAX_BYTES = 64 << 20
+# dispatch reads file metadata only — no extra Spark job. Threshold
+# measured, not guessed: at 4 MB the sf0.1 bench corpus (676 KB)
+# broadcasts while the 10x probe's verbatim-clone corpus (5.3 MB
+# compressed, every shingle df>=10 so the prefix index is HUGE) takes
+# the shuffle arm — a 64 MB first cut forced the broadcast there and
+# measured 8.8 s vs 5.0 s for the shuffle form (compressed corpus bytes
+# under-estimate prefix size exactly when duplication is extreme, so
+# the bound stays conservative).
+DD18_BCAST_MAX_BYTES = 4 << 20
 
 
 def _corpus_bytes(sf_dir: str) -> int:

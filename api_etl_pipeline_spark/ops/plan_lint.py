@@ -513,7 +513,6 @@ CHECKPOINTING_QUERIES = {
     "maint03_zone_map_skip",  # round 9: composite grain feeds both layouts + anchor
     "mix03_anneal_schedule",  # round 9: source sizes feed schedule + fold + budget
     "dq08_fd_profile",  # round 9: projected pair columns feed N hypothesis aggs
-    "dq05_referential_integrity",  # r15: one 3-key lineitem projection feeds 4 edge legs
     "ret02_ann_rank_quality",  # r15: exact truth is the shared sim01_truth build
     "sim11_ann_recall_at_k",  # r15: same shared sim01_truth build
     "st16_countmin_live",  # round 9: batch-audit user counts feed probe + lattice

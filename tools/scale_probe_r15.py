@@ -64,6 +64,18 @@ def main() -> None:
 
     base_dir, _ = bench.prepare_layout(spark, SF_DIR, 32)
     build_10x(spark)
+    # JVM/codegen + page-cache warmup BEFORE the cold-build walls: the
+    # first probe run measured the 1x builds in a cold JVM and read
+    # 12.9 s for a build that times 3-4 s warm — bench.py's warmup
+    # discipline applies to build walls too.
+    from api_etl_pipeline_spark.registry import all_queries
+    from api_etl_pipeline_spark.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, base_dir, t).write.mode("overwrite").format("noop").save()
+    all_queries()["q01_pricing_summary"].fn(spark, base_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
     w1 = shared_build_walls(spark, "1x", base_dir)
     base = time_set(spark, base_dir, QUERIES)
     w10 = shared_build_walls(spark, "10x", OUT)
